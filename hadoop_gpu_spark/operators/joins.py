@@ -1,0 +1,165 @@
+"""Join operators.
+
+Reference surface (SURVEY.md §2.3):
+- map-side sort-merge join expression language ``inner(...)``, ``outer(...)``,
+  ``override(...)`` over identically-partitioned sorted sources
+  (``M/join/CompositeInputFormat.java:48``, ``M/join/Parser.java:64``,
+  ``M/join/OverrideRecordReader.java:36``);
+- reduce-side tagged join (``DJ/DataJoinReducerBase.java:92-214``) — per-key
+  cross product of sources = plain relational join;
+- broadcast idiom via DistributedCache (``C/filecache/DistributedCache.java:115``).
+
+Spark-first restatement: ``df.join`` with Catalyst choosing broadcast /
+shuffle-hash / sort-merge; ``override`` is a full-outer join + rightmost-wins
+coalesce. Semi/anti/as-of/range joins are beyond the reference surface but
+first-class here.
+
+Scale notes:
+- ``broadcast_join`` pins the small side below the driver; use for dims
+  (region/nation/supplier at any SF, part/customer at small SF).
+- Equi-joins shuffle both sides on the key — at 100 TB pre-bucket fact
+  tables on the join key (``sources.bucketed``) to get zero-shuffle SMJ.
+- AQE (enabled in session.py) converts to broadcast at runtime when a side
+  turns out small, and splits skewed partitions.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def inner_join(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFrame:
+    """`inner(a, b)` — reference M/join/InnerJoinRecordReader.java:30."""
+    return left.join(right, on=on, how="inner")
+
+
+def outer_join(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFrame:
+    """`outer(a, b)` — reference M/join/OuterJoinRecordReader.java:30."""
+    return left.join(right, on=on, how="full_outer")
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFrame:
+    """Beyond-reference (SURVEY.md §2.3 'not implemented')."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFrame:
+    """Beyond-reference (SURVEY.md §2.3 'not implemented')."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def broadcast_join(
+    big: DataFrame, small: DataFrame, on: list[str] | str, how: str = "inner"
+) -> DataFrame:
+    """DistributedCache small-table idiom → explicit broadcast hash join.
+
+    Reference mechanism: C/filecache/DistributedCache.java:115 (side table
+    shipped to every task, hash-probed inside map()).
+    """
+    return big.join(F.broadcast(small), on=on, how=how)
+
+
+def override_join(sources: list[DataFrame], on: list[str] | str) -> DataFrame:
+    """``override(s1, ..., sn)`` — rightmost source's value wins per key.
+
+    Reference: M/join/OverrideRecordReader.java:36 and
+    M/join/package.html:61 ("the rightmost non-null element wins" —
+    priority-union / coalescing overlay).
+
+    Implementation: iterated full-outer join on the key; for every non-key
+    column present in multiple sources, take ``coalesce(later, earlier)``.
+    All sources must share the key columns; value columns are aligned by
+    name. Single shuffle per join on the key; at scale, pre-bucket all
+    sources on the key for a shuffle-free plan.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+
+    def merge(acc: DataFrame, nxt: DataFrame) -> DataFrame:
+        acc_vals = [c for c in acc.columns if c not in keys]
+        nxt_vals = [c for c in nxt.columns if c not in keys]
+        a = acc.select(*keys, *[F.col(c).alias(f"__l_{c}") for c in acc_vals])
+        b = nxt.select(*keys, *[F.col(c).alias(f"__r_{c}") for c in nxt_vals])
+        j = a.join(b, on=keys, how="full_outer")
+        out_cols: list[Column] = [F.col(k) for k in keys]
+        for c in dict.fromkeys(acc_vals + nxt_vals):  # preserve order, dedup
+            l, r = f"__l_{c}", f"__r_{c}"
+            if c in acc_vals and c in nxt_vals:
+                out_cols.append(F.coalesce(F.col(r), F.col(l)).alias(c))
+            elif c in nxt_vals:
+                out_cols.append(F.col(r).alias(c))
+            else:
+                out_cols.append(F.col(l).alias(c))
+        return j.select(*out_cols)
+
+    return reduce(merge, sources)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    extra: Column | None = None,
+) -> DataFrame:
+    """Point-in-interval join (beyond-reference). ``left.point ∈ [lo, hi)``.
+
+    At scale, Spark would nested-loop this; callers should bucket both sides
+    by a coarse range key first (see similarity.ann for the pattern).
+    """
+    cond = (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) < F.col(right_hi))
+    if extra is not None:
+        cond = cond & extra
+    return left.join(right, on=cond)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join (beyond-reference): for each left row, the latest right row
+    with ``right.on <= left.on`` (direction='backward'), optionally within
+    ``by`` equality groups.
+
+    Shuffle-based formulation (no driver loop, scales): tag both sides,
+    union, then a window ``last(right_value, ignorenulls=True)`` ordered by
+    the as-of key within each ``by`` group — one shuffle on (by, on), no
+    cross product. This matches DuckDB's ASOF JOIN semantics for the
+    backward direction (lossy: left rows with no prior right row keep NULL).
+    """
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of is implemented")
+    by = by or []
+    right_cols = right_cols or [c for c in right.columns if c != on and c not in by]
+
+    from pyspark.sql.window import Window
+
+    l = left.withColumn("__side", F.lit(1))
+    r = right.select(
+        *by, on, *[F.col(c).alias(f"__r_{c}") for c in right_cols]
+    ).withColumn("__side", F.lit(0))
+    l_aligned = l
+    for c in right_cols:
+        l_aligned = l_aligned.withColumn(f"__r_{c}", F.lit(None).cast(r.schema[f"__r_{c}"].dataType))
+    u = l_aligned.unionByName(r, allowMissingColumns=True)
+    # Right rows sort before left rows at the same key (side 0 < 1), so a
+    # right row at exactly t matches a left row at t.
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u
+    for c in right_cols:
+        filled = filled.withColumn(f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+    out = filled.filter(F.col("__side") == 1).drop("__side")
+    for c in right_cols:
+        out = out.withColumnRenamed(f"__r_{c}", c)
+    return out

@@ -1,0 +1,30 @@
+"""Set operations.
+
+Reference (SURVEY.md §2.7): union = MultipleInputs/DelegatingInputFormat
+(``M/lib/MultipleInputs.java:34``); priority-union = override join;
+distinct = identity-reduce idiom; intersect/except not shipped (expressible
+in user code) — first-class here, beyond-reference.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+
+
+def union_all(sources: list[DataFrame]) -> DataFrame:
+    """Multi-path input union, schema-aligned by name."""
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=False), sources)
+
+
+def distinct(df: DataFrame) -> DataFrame:
+    return df.distinct()
+
+
+def intersect_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersectAll(b)
+
+
+def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.exceptAll(b)

@@ -1,0 +1,502 @@
+"""Query registry: the engine's operator coverage, one runnable query per
+operator family from SURVEY.md §2, each with a DuckDB-equivalent oracle.
+
+Contract (driver's __spark_entry__ protocol):
+- ``QUERIES[name](spark, sf_dir) -> DataFrame``
+- ``ORACLES[name]`` = ANSI SQL DuckDB can run over the same parquet views
+  (omitted for non-SQL-expressible ops → rows-only check).
+
+Determinism rules used throughout (so value-hashes match across engines):
+- money-column sums accumulate as decimal(18,2) then cast to double
+  (order-independent — see operators.aggregates.exact_money_sum);
+- integer-valued doubles (l_quantity, counts) sum exactly in fp;
+- stddev/variance computed from sum/sumsq, not streaming moments;
+- every hash is md5-based (functions.hashing) — portable across engines;
+- floating reductions over embeddings are rounded to 9 decimals on both
+  sides (error ~1e-15, boundary risk negligible);
+- ranking queries always carry a unique tie-break column.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadoop_gpu_spark.operators import aggregates as agg_ops
+from hadoop_gpu_spark.operators import fields as field_ops
+from hadoop_gpu_spark.operators import joins as join_ops
+from hadoop_gpu_spark.operators import sampling as sample_ops
+from hadoop_gpu_spark.operators import sort as sort_ops
+from hadoop_gpu_spark.functions.hashing import bucket, bucket_sql, md5_hex
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from hadoop_gpu_spark.tables import load_table
+
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregation — TPC-H Q1-shaped pricing summary (flagship).
+# Reference analog: ValueAggregatorJob multi-aggregate single pass
+# (M/lib/aggregate/ValueAggregatorJob.java:81) + combiner (X/WordCount.java:61).
+# ---------------------------------------------------------------------------
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+           SUM(l_quantity) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_price = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum(price_dec).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.11 WordCount (X/WordCount.java:17-62): tokenize → explode → count.
+# ---------------------------------------------------------------------------
+@query(
+    "q_wordcount",
+    oracle="""
+    SELECT token, COUNT(*) AS cnt
+    FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    """,
+)
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return field_ops.token_counts(T(spark, sf_dir, "documents"), "text")
+
+
+# ---------------------------------------------------------------------------
+# §2.11 Grep (X/Grep.java:34-82): regex extract → count (+ rank idiom).
+# ---------------------------------------------------------------------------
+@query(
+    "q_grep",
+    oracle="""
+    SELECT match, COUNT(*) AS cnt
+    FROM (SELECT unnest(regexp_extract_all(text, 's[a-z]+', 0)) AS match FROM documents)
+    GROUP BY match
+    """,
+)
+def q_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return field_ops.regex_extract_counts(T(spark, sf_dir, "documents"), "text", "s[a-z]+")
+
+
+# ---------------------------------------------------------------------------
+# §2.3 reduce-side join (DJ/DataJoinReducerBase.java:92-214) as a star join;
+# dims broadcast (DistributedCache idiom, C/filecache/DistributedCache.java:115).
+# ---------------------------------------------------------------------------
+@query(
+    "q_join_star",
+    oracle="""
+    SELECT r_name, n_name,
+           COUNT(*) AS order_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    customer = T(spark, sf_dir, "customer")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    j = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("order_cnt"),
+        agg_ops.exact_money_sum("o_totalprice", "total_value"),
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS cnt,
+           SUM(l_quantity) AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = join_ops.broadcast_join(li, part, on=[li.l_partkey == part.p_partkey])
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 override(...) — rightmost-non-null wins (M/join/OverrideRecordReader.java:36).
+# src_a = customer balances; src_b = per-customer max order value (overrides).
+# ---------------------------------------------------------------------------
+@query(
+    "q_join_override",
+    oracle="""
+    WITH a AS (SELECT c_custkey AS k, c_acctbal AS val FROM customer),
+         b AS (SELECT o_custkey AS k, MAX(o_totalprice) AS val FROM orders GROUP BY o_custkey)
+    SELECT COALESCE(a.k, b.k) AS k, COALESCE(b.val, a.val) AS val
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    """,
+)
+def q_join_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    a = customer.select(F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("val"))
+    b = orders.groupBy(F.col("o_custkey").alias("k")).agg(F.max("o_totalprice").alias("val"))
+    return join_ops.override_join([a, b], on="k")
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return join_ops.semi_join(customer, orders, on="c_custkey").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return join_ops.anti_join(customer, orders, on="c_custkey").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_outer_counts",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
+    FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_join_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    j = customer.join(orders, customer.c_custkey == orders.o_custkey, "left_outer")
+    return j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("order_cnt"))
+
+
+# ---------------------------------------------------------------------------
+# §2.5/§2.6 secondary sort (X/SecondarySort.java:51) as ranking analytics.
+# ---------------------------------------------------------------------------
+@query(
+    "q_secondary_sort",
+    oracle="""
+    SELECT c_nationkey, c_custkey, rn FROM (
+      SELECT c_nationkey, c_custkey,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+      FROM customer) WHERE rn <= 3
+    """,
+)
+def q_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = T(spark, sf_dir, "customer")
+    ranked = sort_ops.ranked_within_group(
+        customer, ["c_nationkey"], [F.col("c_acctbal").desc(), F.col("c_custkey").asc()]
+    )
+    return ranked.filter(F.col("rn") <= 3).select("c_nationkey", "c_custkey", "rn")
+
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    return sort_ops.top_k(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 total-order sort (M/lib/TotalOrderPartitioner.java:41, X/Sort.java:53).
+# Verifiable form: the global rank assigned by the sort.
+# ---------------------------------------------------------------------------
+@query(
+    "q_total_order_sort",
+    oracle="""
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+    FROM orders
+    """,
+)
+def q_total_order_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return orders.select("o_orderkey", F.row_number().over(w).alias("rn"))
+
+
+# ---------------------------------------------------------------------------
+# §2.2 field selection (M/lib/FieldSelectionMapReduce.java:64).
+# ---------------------------------------------------------------------------
+@query(
+    "q_field_selection",
+    oracle="""
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS f0,
+           string_split(text, ' ')[3] AS f2
+    FROM documents
+    """,
+)
+def q_field_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return field_ops.field_selection(
+        docs, "text", " ", [0, 2], aliases=["f0", "f2"], keep_cols=["doc_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference scalar: JSON extraction (events.props).
+# ---------------------------------------------------------------------------
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 deterministic samplers (M/SequenceFileInputFilter.java:146,195).
+# ---------------------------------------------------------------------------
+@query(
+    "q_md5_sample",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    WHERE {bucket_sql('l_orderkey', 16)} = 0
+    GROUP BY l_returnflag
+    """,
+)
+def q_md5_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    s = sample_ops.md5_sample(li, "l_orderkey", 16)
+    return s.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 ValueHistogram (M/lib/aggregate/ValueHistogram.java:33).
+# ---------------------------------------------------------------------------
+@query(
+    "q_value_histogram",
+    oracle=agg_ops.value_histogram_oracle_sql(["l_returnflag"], "l_quantity", "lineitem"),
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg_ops.value_histogram(T(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_quantity")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 descriptor-driven multi-aggregate (ValueAggregatorJob.java:81).
+# ---------------------------------------------------------------------------
+@query(
+    "q_descriptor_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(o_orderkey) AS cnt,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_totalprice) AS min_price,
+           COUNT(DISTINCT o_custkey) AS uniq_customers,
+           MIN(o_orderpriority) AS min_priority,
+           MAX(o_orderpriority) AS max_priority
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_descriptor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    g = orders.groupBy("o_orderstatus").agg(
+        F.count("o_orderkey").alias("cnt"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.countDistinct("o_custkey").alias("uniq_customers"),
+        F.min("o_orderpriority").alias("min_priority"),
+        F.max("o_orderpriority").alias("max_priority"),
+    )
+    return g
+
+
+@query(
+    "q_uniq_value_count",
+    oracle="""
+    SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS uniq_count
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_uniq_value_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg_ops.uniq_value_count(T(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_suppkey")
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations.
+# ---------------------------------------------------------------------------
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 1000
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.operators.setops import distinct
+
+    customer = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    a = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = orders.filter(F.col("o_totalprice") > 1000).select(F.col("o_custkey").alias("c_custkey"))
+    return a.intersect(b)
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    return customer.select("c_custkey").exceptAll(
+        orders.select(F.col("o_custkey").alias("c_custkey"))
+    ).distinct()
+
+
+@query(
+    "q_union_distinct",
+    oracle="""
+    SELECT k FROM (
+      SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+      UNION
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.operators.setops import union_all
+
+    customer = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    a = customer.filter(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("k"))
+    b = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    return union_all([a, b]).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Time-bucketed aggregation over events (batch analog of a tumbling window).
+# ---------------------------------------------------------------------------
+@query(
+    "q_events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        agg_ops.exact_money_sum("value", "sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact deduplication (hash-groupBy) over documents — LLM-pipeline op.
+# ---------------------------------------------------------------------------
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return docs.groupBy(md5_hex("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("copies")
+    )
