@@ -1,0 +1,44 @@
+"""Token n-gram Jaccard similarity for candidate document pairs.
+
+Jaccard over distinct token 3-grams, computed with array set-expressions
+(array_intersect/array_union) on pre-materialized n-gram arrays. Intended
+for the *verification* stage after LSH candidate generation — never run
+all-pairs at scale; feed it `lsh_candidate_pairs` output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_gpu_spark.operators.fields import tokenize
+
+NGRAM_N = 3
+
+
+def token_ngrams(text: Column | str, n: int = NGRAM_N) -> Column:
+    """Distinct token n-gram strings ('tok1 tok2 tok3')."""
+    toks = tokenize(text)
+    cnt = F.greatest(F.size(toks) - n + 1, F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str, n: int = NGRAM_N
+) -> DataFrame:
+    """For candidate (a, b) pairs, Jaccard over distinct token n-grams.
+
+    Deterministic double: intersection/union sizes are ints, division is
+    exact-input IEEE — portable across engines.
+    """
+    grams = docs.select(F.col(id_col), token_ngrams(text_col, n).alias("__g"))
+    ga = grams.select(F.col(id_col).alias("a"), F.col("__g").alias("__ga"))
+    gb = grams.select(F.col(id_col).alias("b"), F.col("__g").alias("__gb"))
+    j = pairs.join(ga, "a").join(gb, "b")
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    union = F.size(F.array_union("__ga", "__gb"))
+    return j.select("a", "b", (inter / union).alias("jaccard"))

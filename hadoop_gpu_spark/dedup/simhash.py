@@ -1,0 +1,103 @@
+"""SimHash near-duplicate fingerprints (60-bit, engine-portable).
+
+Each token gets a portable 60-bit md5-derived hash; per document, each bit
+position accumulates +1/-1 over tokens (multiset); the sign vector packs
+into a single BIGINT. Near-dup candidates = documents matching on any of 4
+15-bit chunks (pigeonhole: hamming distance ≤ 3 guarantees a matching
+chunk), verified with ``bit_count(a XOR b)``.
+
+60 bits (not 64) so the value stays inside a signed BIGINT in every engine
+(16 hex chars would overflow DuckDB's ::BIGINT cast).
+
+Scale shape: fingerprints at scan; candidates shuffle only (chunk, id);
+verification is an integer xor — no text comparison anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_gpu_spark.operators.fields import tokenize
+
+BITS = 60
+CHUNKS = 4
+CHUNK_BITS = BITS // CHUNKS  # 15
+
+
+def _token_hash60(tok: Column) -> Column:
+    return F.conv(F.substring(F.md5(F.encode(tok, "UTF-8")), 1, 15), 16, 10).cast("long")
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, simhash BIGINT). Explode-free: one pass of array expressions.
+
+    Bit j of the result = sign of sum over tokens of (+1 if token-hash bit
+    j set else -1).
+    """
+    toks = tokenize(text_col)
+    hashes = F.transform(toks, _token_hash60)
+    df2 = df.select(F.col(id_col), hashes.alias("__th"), F.size(toks).alias("__n"))
+    # ones_j = number of tokens with bit j set; sign positive iff 2*ones > n.
+    def bit_adder(j: int):
+        # exactly-two-arg lambda required by F.aggregate
+        return lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1))
+
+    bit_terms = []
+    for j in range(BITS):
+        ones = F.aggregate(F.col("__th"), F.lit(0).cast("long"), bit_adder(j))
+        bit_terms.append(F.when(ones * 2 > F.col("__n"), F.lit(1 << j).cast("long")).otherwise(F.lit(0)))
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    return df2.select(id_col, total.alias("simhash"))
+
+
+def simhash_chunks(sig_df: DataFrame, id_col: str) -> DataFrame:
+    """(id, chunk, chunk_val) — 4 rows per doc for candidate bucketing."""
+    pieces = []
+    for c in range(CHUNKS):
+        val = F.shiftright(F.col("simhash"), c * CHUNK_BITS).bitwiseAND(F.lit((1 << CHUNK_BITS) - 1))
+        pieces.append(sig_df.select(F.col(id_col), F.lit(c).alias("chunk"), val.alias("chunk_val")))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, max_bucket: int = 256
+) -> DataFrame:
+    """Distinct (a, b, hamming) pairs with hamming(simhash) <= max_hamming."""
+    sig = simhash64(df, text_col, id_col)
+    chunks = simhash_chunks(sig, id_col)
+    buckets = chunks.groupBy("chunk", "chunk_val").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids")
+    )
+    bounded = buckets.filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    pairs = (
+        bounded.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("a"), F.col("simhash").alias("__sa"))
+    sb = sig.select(F.col(id_col).alias("b"), F.col("simhash").alias("__sb"))
+    verified = (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("hamming", F.bit_count(F.expr("__sa ^ __sb")))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return verified.select("a", "b", "hamming")

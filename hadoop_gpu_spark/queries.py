@@ -500,3 +500,359 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy(md5_hex("text").alias("text_hash")).agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("copies")
     )
+
+
+# ===========================================================================
+# Batch 2 — LLM-pipeline operators (north-star surface) + temporal joins +
+# the reference's compute workloads.
+# ===========================================================================
+
+_SQL_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counting, quality scoring, fingerprinting.
+# ---------------------------------------------------------------------------
+@query(
+    "q_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_SQL_TOKS}) AS n_tokens,
+           length(text) AS n_chars_ck,
+           length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) / length(text) AS punct_ratio,
+           list_sum(list_transform({_SQL_TOKS}, t -> length(t))) / len({_SQL_TOKS}) AS mean_tok_len,
+           substr(md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')), 1, 16) AS fp
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.functions import text as tx
+
+    docs = T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.char_count("text").alias("n_chars_ck"),
+        tx.punct_ratio("text").alias("punct_ratio"),
+        tx.mean_token_len("text").cast("double").alias("mean_tok_len"),
+        tx.fingerprint("text").alias("fp"),
+    )
+
+
+def _lang_hits_sql(markers: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return f"len(list_filter({_SQL_TOKS}, t -> list_contains({arr}, t)))"
+
+
+def _lang_id_sql() -> str:
+    from hadoop_gpu_spark.functions.text import LANG_MARKERS
+
+    hits = {lang: _lang_hits_sql(m) for lang, m in LANG_MARKERS.items()}
+    m = "greatest(" + ", ".join(f"h_{l}" for l in hits) + ")"
+    whens = " ".join(f"WHEN h_{l} = __m THEN '{l}'" for l in hits)  # dict order = tie order
+    cols = ", ".join(f"{e} AS h_{l}" for l, e in hits.items())
+    return f"""
+    WITH h AS (SELECT doc_id, lang, {cols} FROM documents),
+         g AS (SELECT *, {m} AS __m FROM h)
+    SELECT lang, CASE WHEN __m = 0 THEN 'und' {whens} END AS lang_pred, COUNT(*) AS cnt
+    FROM g GROUP BY lang, lang_pred
+    """
+
+
+@query("q_lang_id_confusion", oracle=_lang_id_sql())
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.functions import text as tx
+
+    docs = T(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", tx.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             len({_SQL_TOKS})::DOUBLE AS n,
+             length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) / length(text) AS pr,
+             list_sum(list_transform({_SQL_TOKS}, t -> length(t))) / len({_SQL_TOKS}) AS mtl
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN mtl >= 2 AND mtl <= 12
+                THEN least(n, 256.0) / 256.0 * (1.0 - pr)
+                ELSE least(n, 256.0) / 256.0 * (1.0 - pr) / 2 END AS quality
+    FROM s
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.functions import text as tx
+
+    docs = T(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.quality_score("text").alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs (dedup.minhash).
+# ---------------------------------------------------------------------------
+def _minhash_sig_sql() -> str:
+    from hadoop_gpu_spark.dedup.minhash import sql_signature_exprs
+
+    return "SELECT doc_id, " + ", ".join(sql_signature_exprs()) + " FROM documents"
+
+
+@query("q_dedup_minhash", oracle=_minhash_sig_sql())
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.dedup.minhash import minhash_signatures
+
+    return minhash_signatures(T(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _minhash_pairs_sql() -> str:
+    from hadoop_gpu_spark.dedup.minhash import NUM_HASHES, ROWS_PER_BAND, sql_band_hash_expr
+
+    bands = NUM_HASHES // ROWS_PER_BAND
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {sql_band_hash_expr(b)} AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sig AS ({_minhash_sig_sql()}),
+         bands AS ({band_selects}),
+         ok AS (SELECT band, band_hash FROM bands
+                GROUP BY band, band_hash HAVING COUNT(*) BETWEEN 2 AND 64)
+    SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+    FROM bands b1
+    JOIN bands b2 ON b1.band = b2.band AND b1.band_hash = b2.band_hash
+                 AND b1.doc_id < b2.doc_id
+    JOIN ok ON ok.band = b1.band AND ok.band_hash = b1.band_hash
+    """
+
+
+@query("q_dedup_minhash_pairs", oracle=_minhash_pairs_sql())
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.dedup.minhash import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(T(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints (dedup.simhash).
+# ---------------------------------------------------------------------------
+def _simhash_sql() -> str:
+    ones = ", ".join(
+        f"SUM((h >> {j}) & 1) AS o{j}" for j in range(60)
+    )
+    packed = " + ".join(f"(CASE WHEN 2 * o{j} > n THEN {1 << j}::BIGINT ELSE 0 END)" for j in range(60))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents)),
+    bits AS (SELECT doc_id, COUNT(*) AS n, {ones} FROM tok GROUP BY doc_id)
+    SELECT doc_id, {packed} AS simhash FROM bits
+    """
+
+
+@query("q_dedup_simhash", oracle=_simhash_sql())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.dedup.simhash import simhash64
+
+    return simhash64(T(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification over LSH candidates (dedup.ngram).
+# ---------------------------------------------------------------------------
+def _ngram_jaccard_sql() -> str:
+    grams = (
+        f"list_distinct(list_transform(range(1, greatest(len({_SQL_TOKS}) - 2, 1) + 1), "
+        f"i -> array_to_string(list_slice({_SQL_TOKS}, i, i + 2), ' ')))"
+    )
+    return f"""
+    WITH pairs AS ({_minhash_pairs_sql()}),
+         g AS (SELECT doc_id, unnest({grams}) AS gram FROM documents),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+         inter AS (SELECT p.a, p.b, COUNT(*) AS i
+                   FROM pairs p
+                   JOIN g ga ON ga.doc_id = p.a
+                   JOIN g gb ON gb.doc_id = p.b AND gb.gram = ga.gram
+                   GROUP BY p.a, p.b)
+    SELECT p.a, p.b,
+           COALESCE(i, 0) / (sa.sz + sb.sz - COALESCE(i, 0)) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.a
+    JOIN sizes sb ON sb.doc_id = p.b
+    LEFT JOIN inter ON inter.a = p.a AND inter.b = p.b
+    """
+
+
+@query("q_dedup_ngram_jaccard", oracle=_ngram_jaccard_sql())
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.dedup.minhash import lsh_candidate_pairs
+    from hadoop_gpu_spark.dedup.ngram import ngram_jaccard_pairs
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "text", "doc_id")
+    return ngram_jaccard_pairs(pairs, docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k (similarity.ann) + gram-matrix
+# matmul (ml.matmul — the reference's matmul workload, cell form).
+# ---------------------------------------------------------------------------
+_COS_SQL = (
+    "list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) / "
+    "sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) * "
+    "list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+)
+
+
+@query(
+    "q_ann_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS qid, e.vec_id AS nid, {_COS_SQL} AS score
+      FROM embeddings q, embeddings e
+      WHERE q.vec_id < 8 AND q.vec_id <> e.vec_id),
+    ranked AS (
+      SELECT qid, nid, score,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank
+      FROM scored)
+    SELECT qid, nid, round(score, 9) AS score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.similarity.ann import brute_force_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    out = brute_force_topk(emb, queries_df, "embedding", "vec_id", k=5)
+    return out.select("qid", "nid", F.round("score", 9).alias("score"), "rank")
+
+
+@query(
+    "q_matmul_gram",
+    oracle="""
+    SELECT a.vec_id AS i, b.vec_id AS j,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 9) AS c
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < 32 AND b.vec_id < 32 AND a.vec_id <= b.vec_id
+    """,
+)
+def q_matmul_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.ml.matmul import gram_matrix
+
+    emb = T(spark, sf_dir, "embeddings")
+    out = gram_matrix(emb, "vec_id", "embedding", 32)
+    return out.select("i", "j", F.round("c", 9).alias("c"))
+
+
+# ---------------------------------------------------------------------------
+# k-means (ml.kmeans) — the reference's flagship GPU workload. Float
+# iteration order makes exact hashes meaningless → rows-only check (driver
+# records the weaker check; numeric parity vs numpy is covered in tests/).
+# ---------------------------------------------------------------------------
+@query("q_kmeans")
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.ml.kmeans import kmeans_dataframe
+
+    emb = T(spark, sf_dir, "embeddings")
+    points = emb.select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    init = points.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("long").alias("cluster_id"), "x", "y"
+    )
+    return kmeans_dataframe(points, init, ["x", "y"], k=8, max_iter=5)
+
+
+# ---------------------------------------------------------------------------
+# As-of join + sessionization over events (beyond-reference temporal ops).
+# ---------------------------------------------------------------------------
+@query(
+    "q_asof_join",
+    oracle="""
+    SELECT l.event_id, r.event_id AS signup_event
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("event_id", "user_id", "ts")
+        .withColumnRenamed("event_id", "signup_event")
+    )
+    out = join_ops.asof_join(
+        purchases, signups, on="ts", by=["user_id"], right_cols=["signup_event"]
+    )
+    return out.select("event_id", "signup_event")
+
+
+@query(
+    "q_sessionization",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flags AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts::TIMESTAMP) - epoch_us(prev_ts::TIMESTAMP) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM w)
+    SELECT user_id, event_id,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM flags
+    """,
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return flagged.select(
+        "user_id", "event_id", F.sum("new_session").over(wsum).alias("session_no")
+    )
+
+
+@query(
+    "q_range_join",
+    oracle="""
+    SELECT b.bucket_id, COUNT(*) AS cnt,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN (SELECT range AS bucket_id, range * 25.0 AS lo, (range + 1) * 25.0 AS hi
+          FROM range(0, 40)) b
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.bucket_id
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    buckets = (
+        spark.range(0, 40)
+        .select(
+            F.col("id").alias("bucket_id"),
+            (F.col("id") * 25.0).alias("lo"),
+            ((F.col("id") + 1) * 25.0).alias("hi"),
+        )
+    )
+    j = join_ops.range_join(ev, F.broadcast(buckets), "value", "lo", "hi")
+    return j.groupBy("bucket_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        agg_ops.exact_money_sum("value", "sum_value"),
+    )
