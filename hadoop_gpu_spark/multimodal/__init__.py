@@ -1,0 +1,106 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Design for 100 TB (north-star surface): media bytes live in a BinaryType
+column (or a reference column pointing into an object store) beside a typed
+metadata struct; all decode/feature work runs as Arrow-batched Pandas UDFs
+via mapInPandas, sized by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+so a batch of frames fits executor memory.
+
+The decode kernels themselves are STUBBED (no image/audio libs in this
+container): ``decode_image`` raises NotImplementedError unless
+``fake=True``, in which case a deterministic fake decoder (md5-seeded
+dimensions/pixels) exercises the full Spark-side plumbing — schema,
+partitioning, UDF signature, batch shape — which is the real, tested part.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = "media_id long, kind string, data binary, meta_width int, meta_height int, meta_ms int"
+
+
+def attach_fake_media(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Build a media table from any table: bytes = payload utf-8, metadata
+    derived deterministically — a stand-in corpus for plumbing tests."""
+    data = F.encode(F.col(payload_col).cast("string"), "UTF-8")
+    h = F.conv(F.substring(F.md5(data), 1, 4), 16, 10).cast("int")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        (F.when(h % 3 == 0, "image").when(h % 3 == 1, "audio").otherwise("video")).alias("kind"),
+        data.alias("data"),
+        (h % 640 + 16).alias("meta_width"),
+        (h % 480 + 16).alias("meta_height"),
+        (h % 10000).alias("meta_ms"),
+    )
+
+
+def _fake_decode(data: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic fake pixel decoder: md5-seeded uint8 grid."""
+    seed = int.from_bytes(hashlib.md5(data).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+
+
+def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode → (media_id, width, height, mean_pixel, pixel_hash).
+
+    Real decode requires an image library (not in this container):
+    NotImplementedError unless ``fake=True`` (deterministic fake decoder).
+    The mapInPandas plumbing below is the production shape either way.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires an image library (e.g. Pillow/opencv) — "
+            "not available in this environment; pass fake=True for the "
+            "deterministic stub decoder"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = _fake_decode(bytes(r.data), int(r.meta_width), int(r.meta_height))
+                rows.append(
+                    (
+                        r.media_id,
+                        px.shape[1],
+                        px.shape[0],
+                        float(px.mean()),
+                        hashlib.md5(px.tobytes()).hexdigest()[:16],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "mean_pixel", "pixel_hash"]
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(
+        run, schema="media_id long, width int, height int, mean_pixel double, pixel_hash string"
+    )
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000, fake: bool = False) -> DataFrame:
+    """Video frame sampling: one row per sampled timestamp (plumbing:
+    explode on a JVM-computed timestamp sequence — no Python until decode)."""
+    if not fake:
+        raise NotImplementedError("video decode not available; pass fake=True")
+    frames = df.filter(F.col("kind") == "video").select(
+        "media_id",
+        "data",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("meta_ms") - 1, F.lit(0)), F.lit(every_ms))
+        ).alias("frame_ms"),
+    )
+    return frames.select(
+        "media_id",
+        "frame_ms",
+        F.substring(F.md5(F.concat(F.col("data"), F.col("frame_ms").cast("string").cast("binary"))), 1, 16).alias(
+            "frame_hash"
+        ),
+    )

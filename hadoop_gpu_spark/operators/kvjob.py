@@ -1,0 +1,145 @@
+"""KVJob — the MapReduce dataflow contract as a thin Spark compat layer.
+
+Reproduces the reference's job model (SURVEY.md §3.2): a job is
+map → partition → sort → combine → shuffle → merge → group → reduce over
+(key, value) records (``M/Mapper.java:133``, ``M/Reducer.java:166``,
+``M/Partitioner.java:35``, grouping comparator ``M/ReduceTask.java:405``).
+
+This is a COMPAT layer: new code should use DataFrame ops directly (every
+shipped reference operator has a native equivalent in operators/*). KVJob
+exists so workloads written against the reference contract (pipes/streaming
+binaries, per-group iterative jobs) can run unchanged in semantics:
+
+- ``map_fn``: record → iterable of (k, v)  — 0..n outputs (UDTF-like).
+- ``combine_fn``/``reduce_fn``: (k, [v...]) → iterable of (k2, v2), with
+  values arriving in secondary-sort order when ``value_sort=True``
+  (JobConf.getOutputValueGroupingComparator semantics).
+
+Execution shape: mapInPandas (Arrow-batched) for map;
+``repartition(key).sortWithinPartitions`` + per-partition group streaming
+for the shuffle/sort/group phases — i.e. Spark's shuffle IS the
+sort-merge; no extra pass. Combine runs map-side per partition before the
+shuffle (the reference's spill combiner, M/MapTask.java:1224-1251).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KV = tuple[Any, Any]
+
+
+def _group_stream(rows: Iterable[KV], fn: Callable[[Any, Iterator[Any]], Iterable[KV]]) -> Iterator[KV]:
+    """Stream key-grouped rows (already sorted by key) through a reducer."""
+    cur_key, cur_vals = object(), None
+    for k, v in rows:
+        if cur_vals is None or k != cur_key:
+            if cur_vals is not None:
+                yield from fn(cur_key, iter(cur_vals))
+            cur_key, cur_vals = k, [v]
+        else:
+            cur_vals.append(v)
+    if cur_vals is not None:
+        yield from fn(cur_key, iter(cur_vals))
+
+
+def kv_job(
+    df: DataFrame,
+    map_fn: Callable[[Any], Iterable[KV]],
+    reduce_fn: Callable[[Any, Iterator[Any]], Iterable[KV]],
+    combine_fn: Callable[[Any, Iterator[Any]], Iterable[KV]] | None = None,
+    key_type: str = "string",
+    value_type: str = "string",
+    out_key_type: str = "string",
+    out_value_type: str = "string",
+    num_partitions: int | None = None,
+    value_sort: bool = False,
+) -> DataFrame:
+    """Run a full MR-contract job over ``df``'s rows. Returns (key, value).
+
+    ``map_fn`` receives each input Row; emit (k, v) pairs. The combiner, if
+    given, runs on map-side sorted runs (exactly the reference's spill
+    combine). Values reach ``reduce_fn`` sorted when ``value_sort`` — the
+    secondary-sort contract (M/JobConf.java:717-728).
+    """
+    kv_schema = f"k {key_type}, v {value_type}"
+
+    def run_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_k, out_v = [], []
+            for row in pdf.itertuples(index=False):
+                for k, v in map_fn(row):
+                    out_k.append(k)
+                    out_v.append(v)
+            yield pd.DataFrame({"k": out_k, "v": out_v})
+
+    mapped = df.mapInPandas(run_map, schema=kv_schema)
+
+    if combine_fn is not None:
+        def run_combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pdf = pdf.sort_values(["k", "v"] if value_sort else ["k"], kind="mergesort")
+                rows = zip(pdf["k"], pdf["v"])
+                out = list(_group_stream(rows, combine_fn))
+                yield pd.DataFrame(out, columns=["k", "v"]) if out else pd.DataFrame({"k": [], "v": []})
+
+        mapped = mapped.mapInPandas(run_combine, schema=kv_schema)
+
+    n_parts = num_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    shuffled = mapped.repartition(n_parts, "k")
+    sort_cols = ["k", "v"] if value_sort else ["k"]
+    sorted_parts = shuffled.sortWithinPartitions(*sort_cols)
+
+    out_schema = f"k {out_key_type}, v {out_value_type}"
+
+    def run_reduce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Batches within a partition arrive in sorted order, but a key group
+        # can span batch boundaries — carry the tail group across batches.
+        pending_k, pending_v = object(), []
+        have = False
+        for pdf in batches:
+            for k, v in zip(pdf["k"], pdf["v"]):
+                if not have or k != pending_k:
+                    if have:
+                        out = list(reduce_fn(pending_k, iter(pending_v)))
+                        if out:
+                            yield pd.DataFrame(out, columns=["k", "v"])
+                    pending_k, pending_v, have = k, [v], True
+                else:
+                    pending_v.append(v)
+        if have:
+            out = list(reduce_fn(pending_k, iter(pending_v)))
+            if out:
+                yield pd.DataFrame(out, columns=["k", "v"])
+
+    return sorted_parts.mapInPandas(run_reduce, schema=out_schema)
+
+
+def wordcount_kvjob(df: DataFrame, text_col: str) -> DataFrame:
+    """The reference's WordCount (X/WordCount.java) through the full
+    map/combine/shuffle/reduce contract — the compat layer's smoke test."""
+    col_idx = df.columns.index(text_col)
+
+    def mapper(row) -> Iterable[KV]:
+        for tok in str(row[col_idx]).split():
+            if tok:
+                yield tok, 1
+
+    def summer(k, vals) -> Iterable[KV]:
+        yield k, sum(vals)
+
+    return kv_job(
+        df,
+        map_fn=mapper,
+        reduce_fn=summer,
+        combine_fn=summer,
+        key_type="string",
+        value_type="long",
+        out_key_type="string",
+        out_value_type="long",
+    )

@@ -1,0 +1,149 @@
+"""Sources & sinks (SURVEY.md §2.1).
+
+Reference formats → Spark-native equivalents:
+- TextInputFormat → read_text; KeyValueTextInputFormat → read_kv_text;
+- SequenceFile/MapFile → Parquet (read/write_parquet, sorted+bucketed for
+  MapFile point-lookup semantics);
+- MultipleOutputFormat → write_partitioned (df.write.partitionBy);
+- NullOutputFormat → write_noop; DBInput/DBOutputFormat → read/write_jdbc;
+- NLineInputFormat → read_text_nline; TeraInputFormat → read_fixed_width;
+- Random generators → gen_random_text / gen_tera_records.
+
+All readers return DataFrames; writers are thin, so Catalyst keeps
+pushdown/pruning through every one of them.
+"""
+
+from __future__ import annotations
+
+import string
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """TextInputFormat (M/TextInputFormat.java:35): one row per line."""
+    return spark.read.text(path).withColumnRenamed("value", "line")
+
+
+def read_kv_text(spark: SparkSession, path: str, sep: str = "\t") -> DataFrame:
+    """KeyValueTextInputFormat (M/KeyValueTextInputFormat.java:34):
+    first separator splits key from value."""
+    lines = read_text(spark, path)
+    idx = F.instr(F.col("line"), sep)
+    return lines.select(
+        F.when(idx > 0, F.substring_index(F.col("line"), sep, 1)).otherwise(F.col("line")).alias("k"),
+        F.when(idx > 0, F.expr(f"substring(line, instr(line, '{sep}') + 1)")).alias("v"),
+    )
+
+
+def read_text_nline(spark: SparkSession, path: str, n: int) -> DataFrame:
+    """NLineInputFormat (M/lib/NLineInputFormat.java:59): N lines per task →
+    here, partition count = ceil(lines / n) so each partition is one 'work
+    item batch' (used by the reference to dispatch one k-means dataset per
+    mapper)."""
+    lines = read_text(spark, path)
+    total = lines.count()
+    parts = max(1, -(-total // n))
+    return lines.repartition(parts)
+
+
+def read_fixed_width(spark: SparkSession, path: str, widths: list[tuple[str, int]]) -> DataFrame:
+    """TeraInputFormat (X/terasort/TeraInputFormat.java:46): fixed-width
+    records — e.g. [('key', 10), ('payload', 90)]."""
+    lines = read_text(spark, path)
+    cols, pos = [], 1
+    for name, w in widths:
+        cols.append(F.substring(F.col("line"), pos, w).alias(name))
+        pos += w
+    return lines.select(*cols)
+
+
+def write_text(df: DataFrame, path: str, sep: str = "\t", mode: str = "overwrite") -> None:
+    """TextOutputFormat (M/TextOutputFormat.java:40): `k<sep>v` lines."""
+    df.select(
+        F.concat_ws(sep, *[F.col(c).cast("string") for c in df.columns]).alias("value")
+    ).write.mode(mode).text(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    sort_by: list[str] | None = None,
+    compression: str = "zstd",
+) -> None:
+    """SequenceFileOutputFormat successor; with sort_by, MapFileOutputFormat
+    semantics (sorted runs + parquet min/max index = sparse index +
+    getClosest via row-group pruning, C/io/MapFile.java:49)."""
+    out = df.sortWithinPartitions(*sort_by) if sort_by else df
+    out.write.mode(mode).option("compression", compression).parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """MultipleOutputFormat (M/lib/MultipleOutputFormat.java:51): route each
+    record to a file named by a function of the record → partitionBy."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_noop(df: DataFrame) -> None:
+    """NullOutputFormat (M/lib/NullOutputFormat.java): run, discard."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, num_partitions: int = 1, **opts) -> DataFrame:
+    """DBInputFormat (M/lib/db/DBInputFormat.java:49): chunked JDBC scan.
+    (No JDBC driver ships in this container — surface kept for parity.)"""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    reader = reader.option("numPartitions", num_partitions)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **opts) -> None:
+    """DBOutputFormat (M/lib/db/DBOutputFormat.java:44): batched INSERT."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+    for k, v in opts.items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+# --- synthetic generators (X/RandomTextWriter.java:82, X/terasort/TeraGen.java:60)
+
+_WORDS = [
+    "".join(w)
+    for w in zip(*[iter(string.ascii_lowercase * 40)] * 4)
+][:100]
+
+
+def gen_random_text(spark: SparkSession, num_rows: int, words_per_row: int = 20, seed: int = 42) -> DataFrame:
+    """RandomTextWriter: rows of pseudo-random words. Deterministic via
+    md5-hash chain (no engine RNG)."""
+    from hadoop_gpu_spark.functions.hashing import hash_u32
+
+    base = spark.range(num_rows)
+    word_arr = F.array(*[F.lit(w) for w in _WORDS])
+    toks = F.transform(
+        F.sequence(F.lit(1), F.lit(words_per_row)),
+        lambda i: F.element_at(
+            word_arr,
+            (hash_u32(F.concat(F.col("id").cast("string"), F.lit(":"), i.cast("string")), seed)
+             % len(_WORDS) + 1).cast("int"),
+        ),
+    )
+    return base.select(F.col("id").alias("line_id"), F.array_join(toks, " ").alias("line"))
+
+
+def gen_tera_records(spark: SparkSession, num_rows: int, seed: int = 42) -> DataFrame:
+    """TeraGen: (10-char key, 90-char payload) deterministic records."""
+    from hadoop_gpu_spark.functions.hashing import md5_hex
+
+    base = spark.range(num_rows)
+    h = md5_hex(F.concat(F.lit(f"tera:{seed}:"), F.col("id").cast("string")))
+    return base.select(
+        F.substring(h, 1, 10).alias("key"),
+        F.rpad(F.substring(h, 11, 22), 90, "x").alias("payload"),
+    )

@@ -1,0 +1,165 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is strictly batch (SURVEY.md §2.9 — its "streaming" is
+subprocess piping), so everything here is beyond-reference north-star
+surface: file-source streams, watermarked tumbling/sliding windows, and a
+custom stateful sessionizer via applyInPandasWithState.
+
+Batch/stream parity: ``windowed_counts`` over the stream equals
+``q_events_hourly``'s batch answer when the stream is drained with
+``Trigger.AvailableNow`` — that equivalence is the test.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos (spark.sql.legacy.parquet.nanosAsLong)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = one
+    micro-batch backlog; drain with availableNow for batch parity)."""
+    # The file-stream source needs a directory; glob-filter to the events
+    # file inside the sf dir.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts+sums per event_type.
+
+    Late data beyond the watermark is dropped; state is bounded by
+    (watermark / window) * |event_type| rows per partition — the 100 TB
+    streaming-state story.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type", "cnt", "sum_value")
+    )
+
+
+def sliding_window_avg(
+    stream: DataFrame, window: str = "1 hour", slide: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.avg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "avg_value")
+    )
+
+
+def sessionize_stateful(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful sessionizer via applyInPandasWithState: per user,
+    emit a row per closed session (session_start, session_end, n_events).
+
+    State = (open session start/end/count); a session closes when the gap
+    to the next event exceeds ``gap_minutes`` or the watermark passes.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("end_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            start_us, end_us, n = state.get
+        else:
+            start_us, end_us, n = None, None, 0
+        closed = []
+        for pdf in pdfs:
+            for ts in sorted(pdf["ts"]):
+                t_us = int(pd.Timestamp(ts).value // 1000)
+                if start_us is None:
+                    start_us, end_us, n = t_us, t_us, 1
+                elif t_us - end_us > gap_us:
+                    closed.append((user_id, start_us, end_us, n))
+                    start_us, end_us, n = t_us, t_us, 1
+                else:
+                    end_us, n = t_us, n + 1
+        if state.hasTimedOut:
+            if start_us is not None:
+                closed.append((user_id, start_us, end_us, n))
+            state.remove()
+        else:
+            state.update((start_us, end_us, n))
+            state.setTimeoutDuration(60_000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def drain_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Run an availableNow pass into a memory sink; return the result table
+    (test/bench utility — batch parity checks)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,76 @@
+"""Hybrid CPU/GPU routing: the reference scheduler's split policy
+(JobQueueTaskScheduler.java:177-193) + HybridOp path equivalence."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from hadoop_gpu_spark.hybrid import AlphaEstimator, HybridOp, makespan_split, run_hybrid
+
+
+def _ref_makespan(pending, n_cpu, n_gpu, alpha):
+    best = None
+    for x in range(pending + 1):
+        y = pending - x
+        f = max(math.ceil(x / n_cpu) * alpha, math.ceil(y / n_gpu))
+        if best is None or f < best[0]:
+            best = (f, x, y)
+    return best
+
+
+def test_makespan_matches_reference_scan():
+    # reference shipped config: 4 CPU + 1 GPU slots (mapred-site.xml:15-21)
+    for pending in (0, 1, 5, 17, 100):
+        for alpha in (0.5, 1.0, 1.93, 4.0):  # 1.93 = the paper's speedup
+            x, y = makespan_split(pending, 4, 1, alpha)
+            assert x + y == pending
+            f_got = max(math.ceil(x / 4) * alpha, math.ceil(y / 1)) if pending else 0
+            f_best = _ref_makespan(pending, 4, 1, alpha)[0] if pending else 0
+            assert f_got == f_best
+
+
+def test_makespan_cold_start_routes_cpu():
+    # alpha unknown (0) → all CPU, like the scheduler before both means exist
+    assert makespan_split(10, 4, 1, 0.0) == (10, 0)
+
+
+def test_alpha_estimator():
+    est = AlphaEstimator()
+    assert est.alpha == 0.0
+    est.record("cpu", 2.0)
+    assert est.alpha == 0.0  # still unmeasured on GPU
+    est.record("gpu", 1.0)
+    assert est.alpha == 2.0
+
+
+def _double_cpu(batches):
+    for pdf in batches:
+        yield pd.DataFrame({"x": pdf["x"] * 2})
+
+
+def _double_gpu(batches):
+    # "GPU" stand-in with identical semantics (no CUDA in this container) —
+    # the CPU≡GPU equivalence contract (FIXTURES.md §9).
+    for pdf in batches:
+        yield pd.DataFrame({"x": (pdf["x"].to_numpy() * 2)})
+
+
+def test_hybrid_op_paths_equivalent(spark):
+    df = spark.range(100).selectExpr("id as x")
+    op = HybridOp("double", _double_cpu, "x long", gpu_fn=_double_gpu)
+    cpu = sorted(r["x"] for r in op.apply(df, force_path="cpu").collect())
+    gpu = sorted(r["x"] for r in op.apply(df, force_path="gpu").collect())
+    assert cpu == gpu == [2 * i for i in range(100)]
+    # accumulator-backed batch timers flowed back from the executors
+    assert op._acc["cpu_n"].value > 0 and op._acc["gpu_n"].value > 0
+    assert op.alpha > 0
+
+
+def test_run_hybrid_no_gpu_falls_back(spark):
+    df = spark.range(50).selectExpr("id as x")
+    op = HybridOp("double", _double_cpu, "x long", gpu_fn=None)
+    out = sorted(r["x"] for r in run_hybrid(op, df).collect())
+    assert out == [2 * i for i in range(50)]

@@ -1,0 +1,62 @@
+"""KVJob compat layer + subprocess pipe operators."""
+
+from __future__ import annotations
+
+from hadoop_gpu_spark.operators.fields import token_counts
+from hadoop_gpu_spark.operators.kvjob import kv_job, wordcount_kvjob
+from hadoop_gpu_spark.operators.pipes import pipe_map, pipe_reduce
+from hadoop_gpu_spark.tables import load_table
+
+
+def test_wordcount_kvjob_matches_native(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).limit(50)
+    via_kv = {r["k"]: r["v"] for r in wordcount_kvjob(docs, "text").collect()}
+    native = {r["token"]: r["cnt"] for r in token_counts(docs, "text").collect()}
+    assert via_kv == native
+
+
+def test_kvjob_value_sort_secondary_contract(spark):
+    rows = [(1, 30), (1, 10), (2, 5), (1, 20), (2, 1)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+
+    def mapper(row):
+        yield row.g, row.v
+
+    def reducer(k, vals):
+        yield k, ",".join(str(v) for v in vals)  # order-sensitive
+
+    out = {
+        int(r["k"]): r["v"]
+        for r in kv_job(
+            df, mapper, reducer, key_type="int", value_type="long",
+            out_key_type="int", out_value_type="string", value_sort=True,
+        ).collect()
+    }
+    assert out == {1: "10,20,30", 2: "1,5"}
+
+
+def test_pipe_map_cat_roundtrip(spark):
+    df = spark.createDataFrame([("a", "1"), ("b", "2")], ["k", "v"])
+    out = {r["k"]: r["v"] for r in pipe_map(df, "cat").collect()}
+    assert out == {"a": "1", "b": "2"}
+
+
+def test_pipe_reduce_streaming_wc(spark):
+    # A real streaming-style reducer: sums per key over sorted lines,
+    # exactly the S/PipeReducer contract.
+    kv = spark.createDataFrame(
+        [("x", "1"), ("y", "2"), ("x", "3"), ("y", "4"), ("x", "5")], ["k", "v"]
+    )
+    cmd = (
+        "python3 -c \"import sys\n"
+        "cur=None; s=0\n"
+        "for line in sys.stdin:\n"
+        "    k,v=line.rstrip().split('\\t')\n"
+        "    if k!=cur:\n"
+        "        if cur is not None: print(cur+'\\t'+str(s))\n"
+        "        cur,s=k,0\n"
+        "    s+=int(v)\n"
+        "if cur is not None: print(cur+'\\t'+str(s))\""
+    )
+    out = {r["k"]: int(r["v"]) for r in pipe_reduce(kv, cmd, num_partitions=2).collect()}
+    assert out == {"x": 9, "y": 6}

@@ -1,0 +1,111 @@
+"""k-means and matmul numeric parity vs numpy (the reference's ML oracle —
+tolerance-based, float32 semantics per SURVEY.md §7.3)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from hadoop_gpu_spark.ml.kmeans import kmeans_dataframe, kmeans_grouped, lloyd_numpy
+from hadoop_gpu_spark.ml.matmul import matmul_blocked, matmul_cells
+from hadoop_gpu_spark.tables import load_table
+
+
+def test_lloyd_numpy_converges():
+    rng = np.random.default_rng(42)
+    pts = np.concatenate([rng.normal(0, 0.5, (50, 2)), rng.normal(10, 0.5, (50, 2))])
+    cents, assign = lloyd_numpy(pts, pts[:2], max_iter=100, eps=1e-6)
+    # two well-separated blobs → centroids near (0,0) and (10,10)
+    got = sorted(cents.tolist())
+    assert abs(got[0][0]) < 1 and abs(got[1][0] - 10) < 1
+    assert len(set(assign.tolist())) == 2
+
+
+def test_kmeans_dataframe_matches_numpy(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    pts_pd = (
+        emb.select("vec_id", F.col("embedding")[0].alias("x"), F.col("embedding")[1].alias("y"))
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    pts = pts_pd[["x", "y"]].to_numpy().astype(np.float64)
+    k = 4
+
+    # numpy reference: same fixed iteration count, same init (first k points)
+    cents = pts[:k].copy()
+    for _ in range(3):
+        d = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            if (assign == c).any():
+                cents[c] = pts[assign == c].mean(axis=0)
+
+    points = emb.select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    init = points.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("long").alias("cluster_id"), "x", "y"
+    )
+    out = kmeans_dataframe(points, init, ["x", "y"], k=k, max_iter=3).toPandas()
+    got = out.sort_values("cluster_id")[["c_x", "c_y"]].to_numpy()
+    d = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    final_assign = d.argmin(axis=1)
+    expect = np.stack([
+        pts[final_assign == c].mean(axis=0) if (final_assign == c).any() else cents[c]
+        for c in range(k)
+    ])
+    assert np.allclose(got, expect, atol=1e-6)
+
+
+def test_kmeans_grouped_reference_semantics(spark):
+    # Two datasets, each with 2 tight blobs; reference contract: one whole
+    # dataset per group, Lloyd's until eps (cpu-kmeans2D.cc:163-170).
+    rng = np.random.default_rng(7)
+    rows = []
+    for ds in (0, 1):
+        off = 5.0 * (ds + 1)
+        for i in range(40):
+            blob = i % 2
+            x, y = rng.normal(blob * off, 0.1, 2)
+            rows.append((ds, i, float(x), float(y)))
+    df = spark.createDataFrame(rows, ["dataset_id", "point_id", "x", "y"])
+    out = kmeans_grouped(df, "dataset_id", ["x", "y"], k=2, eps=0.01).toPandas()
+    assert len(out) == 4  # 2 datasets × 2 clusters
+    assert set(out["n_points"]) == {20}
+
+
+def test_matmul_cells_and_blocked_match_numpy(spark):
+    rng = np.random.default_rng(3)
+    t = 8
+    cells = [
+        (i, j, rng.normal(size=t).tolist(), rng.normal(size=t).tolist())
+        for i in range(3)
+        for j in range(3)
+    ]
+    df = spark.createDataFrame(cells, ["i", "j", "a", "b"])
+    out = {(r["i"], r["j"]): r["c"] for r in matmul_cells(df).collect()}
+    for i, j, a, b in cells:
+        assert abs(out[(i, j)] - float(np.dot(a, b))) < 1e-9
+
+    # blocked: C = A @ B with 2x2 grid of m×m blocks
+    m, grid = 4, 2
+    A = rng.normal(size=(grid * m, grid * m))
+    B = rng.normal(size=(grid * m, grid * m))
+    blocks_a = [
+        (i, kk, A[i * m:(i + 1) * m, kk * m:(kk + 1) * m].flatten().tolist())
+        for i in range(grid) for kk in range(grid)
+    ]
+    blocks_b = [
+        (kk, j, B[kk * m:(kk + 1) * m, j * m:(j + 1) * m].flatten().tolist())
+        for kk in range(grid) for j in range(grid)
+    ]
+    da = spark.createDataFrame(blocks_a, ["i", "k", "sa"])
+    db = spark.createDataFrame(blocks_b, ["k", "j", "sb"])
+    out_blocks = {(r["i"], r["j"]): np.array(r["c"]).reshape(m, m)
+                  for r in matmul_blocked(da, db, m).collect()}
+    C = A @ B
+    for i in range(grid):
+        for j in range(grid):
+            assert np.allclose(out_blocks[(i, j)], C[i * m:(i + 1) * m, j * m:(j + 1) * m], atol=1e-9)

@@ -1,0 +1,113 @@
+"""Operator-level unit tests mirroring the reference's test styles
+(SURVEY.md §5): golden expectations, join consistency (TestDatamerge),
+sort-validator invariants (TestMiniMRDFSSort)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from hadoop_gpu_spark.operators import joins, sort
+from hadoop_gpu_spark.operators.sampling import md5_sample, percent_sample
+
+
+def test_override_join_rightmost_wins(spark):
+    # TestDatamerge-style: keys in all/some/one source (FIXTURES.md §5).
+    a = spark.createDataFrame([(1, "a1"), (2, "a2"), (3, "a3")], ["k", "val"])
+    b = spark.createDataFrame([(2, "b2"), (3, None), (4, "b4")], ["k", "val"])
+    c = spark.createDataFrame([(3, "c3")], ["k", "val"])
+    out = {r["k"]: r["val"] for r in joins.override_join([a, b, c], "k").collect()}
+    # rightmost non-null wins: b overrides a; c overrides b; b's NULL at k=3
+    # does not clobber (coalesce semantics, M/join/OverrideRecordReader.java:36)
+    assert out == {1: "a1", 2: "b2", 3: "c3", 4: "b4"}
+
+
+def test_inner_outer_join_consistency(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "va"])
+    b = spark.createDataFrame([(2, "p"), (3, "q")], ["k", "vb"])
+    inner = joins.inner_join(a, b, "k")
+    outer = joins.outer_join(a, b, "k")
+    assert inner.count() == 1
+    assert outer.count() == 3
+    # inner ⊆ outer (join consistency, TestDatamerge.java:249-355)
+    assert inner.join(outer, ["k"], "left_anti").count() == 0
+
+
+def test_semi_anti_partition(spark):
+    a = spark.createDataFrame([(i,) for i in range(10)], ["k"])
+    b = spark.createDataFrame([(i,) for i in range(0, 10, 2)], ["k"])
+    semi = joins.semi_join(a, b, "k").count()
+    anti = joins.anti_join(a, b, "k").count()
+    assert semi + anti == 10 and semi == 5
+
+
+def test_asof_join_matches_pandas(spark):
+    left = [(1, 10, "l0"), (1, 25, "l1"), (2, 5, "l2"), (3, 7, "l3")]
+    right = [(1, 9, "r0"), (1, 20, "r1"), (2, 6, "r2")]
+    l = spark.createDataFrame(left, ["g", "t", "lv"])
+    r = spark.createDataFrame(right, ["g", "t", "rv"])
+    out = joins.asof_join(l, r, on="t", by=["g"], right_cols=["rv"]).toPandas()
+    expect = pd.merge_asof(
+        pd.DataFrame(left, columns=["g", "t", "lv"]).sort_values("t"),
+        pd.DataFrame(right, columns=["g", "t", "rv"]).sort_values("t"),
+        on="t",
+        by="g",
+        direction="backward",
+    )
+    got = out.sort_values(["g", "t"]).reset_index(drop=True)
+    exp = expect.sort_values(["g", "t"]).reset_index(drop=True)
+    assert got[["g", "t", "rv"]].where(got.notna(), None).values.tolist() == \
+        exp[["g", "t", "rv"]].where(exp.notna(), None).values.tolist()
+
+
+def test_total_order_sort_validator(spark, sf_dir):
+    from hadoop_gpu_spark.tables import load_table
+
+    orders = load_table(spark, "orders", sf_dir)
+    out = sort.total_order_sort(orders, ["o_totalprice"], num_partitions=4)
+    assert sort.sort_validator(out, ["o_totalprice"])
+
+
+def test_key_field_sort_spec(spark):
+    df = spark.createDataFrame([("a", "10"), ("b", "9"), ("c", "100")], ["f1", "f2"])
+    # -k2,2nr → field 2 numeric reverse
+    cols = sort.key_field_sort_expr("-k2,2nr", ["f1", "f2"])
+    got = [r["f1"] for r in df.orderBy(*cols).collect()]
+    assert got == ["c", "a", "b"]  # 100, 10, 9 numeric desc (lexical would differ)
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame([(g, v) for g in range(3) for v in range(10)], ["g", "v"])
+    out = sort.top_k_per_group(df, ["g"], [F.col("v").desc()], 2)
+    assert out.count() == 6
+    assert {r["v"] for r in out.collect()} == {8, 9}
+
+
+def test_samplers_deterministic_and_partition(spark, sf_dir):
+    from hadoop_gpu_spark.tables import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    s1 = md5_sample(li, "l_orderkey", 16).count()
+    s2 = md5_sample(li, "l_orderkey", 16).count()
+    assert s1 == s2 and 0 < s1 < li.count()
+    # different seeds → different (deterministic) samples
+    p = percent_sample(li, "l_orderkey", 16).count()
+    assert p != s1 or p > 0
+
+
+def test_secondary_sort_stream_order(spark):
+    # FIXTURES.md §4 kv_pairs contract: within each k1 group (one partition),
+    # rows arrive ordered by k2.
+    rows = [(k1, k2, k1 * 100 + k2) for k1 in range(4) for k2 in (3, 1, 2, 0)]
+    df = spark.createDataFrame(rows, ["k1", "k2", "v"])
+    out = sort.secondary_sort(df, ["k1"], ["k2"])
+
+    def check(it):
+        import pandas as pd_
+
+        for pdf in it:
+            g = pdf.groupby("k1")["k2"].apply(lambda s: list(s) == sorted(s))
+            yield pd_.DataFrame({"ok": [bool(g.all())]})
+
+    res = out.mapInPandas(check, schema="ok boolean").collect()
+    assert all(r["ok"] for r in res)

@@ -1,0 +1,41 @@
+"""Plan-shape assertions — the 100 TB survival checks (pushdown, pruning,
+broadcast, no cartesians) for the headline queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_gpu_spark import plans
+from hadoop_gpu_spark.queries import QUERIES
+from hadoop_gpu_spark.tables import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_quantity") > 30).select("l_orderkey")
+    pf = plans.pushed_filters(li)
+    assert "l_quantity" in pf, pf
+
+
+def test_column_pruning(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    cols = plans.read_schema_columns(li)
+    assert set(cols) <= {"l_orderkey", "l_quantity"}, cols
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    df = QUERIES["q_join_star"](spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+
+
+def test_no_accidental_cartesian_in_relational_queries(spark, sf_dir):
+    # ANN/gram queries use an intentional broadcast NL join; relational ones
+    # must not.
+    for name in ["q01_pricing_summary", "q_join_star", "q_join_override",
+                 "q_join_semi", "q_join_anti", "q_events_hourly"]:
+        assert not plans.has_cartesian(QUERIES[name](spark, sf_dir)), name
+
+
+def test_q1_plans_hash_aggregate(spark, sf_dir):
+    # partial/final HashAggregate = the reference's combiner pattern, free.
+    df = QUERIES["q01_pricing_summary"](spark, sf_dir)
+    assert "HashAggregate" in plans.formatted_plan(df)

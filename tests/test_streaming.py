@@ -1,0 +1,49 @@
+"""Structured Streaming: batch/stream parity + stateful sessionization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_gpu_spark.queries import QUERIES
+from hadoop_gpu_spark.streaming import events_stream, sessionize_stateful, windowed_counts
+
+
+def test_windowed_counts_matches_batch(spark, sf_dir):
+    stream = events_stream(spark, sf_dir)
+    agg = windowed_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wc_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["hour"], r["event_type"]): (r["cnt"], round(r["sum_value"], 2))
+        for r in spark.table("wc_stream").collect()
+    }
+    batch = {
+        (r["hour"], r["event_type"]): (r["cnt"], round(r["sum_value"], 2))
+        for r in QUERIES["q_events_hourly"](spark, sf_dir).collect()
+    }
+    assert got == batch
+
+
+def test_sessionize_stateful_runs(spark, sf_dir):
+    stream = events_stream(spark, sf_dir)
+    sess = sessionize_stateful(stream, gap_minutes=30)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("sess_stream").toPandas()
+    # availableNow drains one batch; only sessions closed by a >gap jump
+    # inside the batch are emitted — check shape + invariants, not totals.
+    if len(out):
+        assert (out["session_end"] >= out["session_start"]).all()
+        assert (out["n_events"] >= 1).all()
