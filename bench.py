@@ -50,11 +50,14 @@ def main() -> None:
         fn = QUERIES.get(name)
         if fn is None:
             continue
+        # Warmup pass absorbs one-time plan analysis + whole-stage codegen
+        # compilation; the timed pass measures steady-state execution (what
+        # repeated production runs cost). noop sink materializes every
+        # output column (count() would let Catalyst prune the projection
+        # and under-report work).
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop sink materializes every output column (count() would let
-        # Catalyst prune the projection and under-report work).
-        df.write.format("noop").mode("overwrite").save()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {times[name]}s", file=sys.stderr)
 

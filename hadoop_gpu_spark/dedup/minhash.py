@@ -61,6 +61,9 @@ def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = NUM_HASHES
 ) -> DataFrame:
     """id + m0..m{n-1} minhash columns (scan-local, no shuffle)."""
+    from hadoop_gpu_spark.utils import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
     hashes = _shingle_hashes(text_col).alias("__h")
     out = df.select(F.col(id_col), hashes)
 

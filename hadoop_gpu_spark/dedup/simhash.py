@@ -35,6 +35,9 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Bit j of the result = sign of sum over tokens of (+1 if token-hash bit
     j set else -1).
     """
+    from hadoop_gpu_spark.utils import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
     toks = tokenize(text_col)
     hashes = F.transform(toks, _token_hash60)
     df2 = df.select(F.col(id_col), hashes.alias("__th"), F.size(toks).alias("__n"))

@@ -41,56 +41,91 @@ def kmeans_dataframe(
 
     ``eps=None`` runs exactly ``max_iter`` iterations (deterministic shape
     for benchmarking); with eps, stops when max squared movement <= eps^2.
+
+    Per iteration: ONE narrow map (argmin over a k-literal centroid array —
+    no join, no wide groupBy) + ONE k-row aggregate shuffle with map-side
+    combine. Points are cached once; only k-row centroid lists circulate
+    through the driver. This is the plan shape that survives 100 TB: per
+    iteration cost = one scan of the cached points + a k·P-row shuffle.
     """
-    spark = points.sparkSession
     cents = [tuple(r) for r in init_centroids.select("cluster_id", *feature_cols).collect()]
-
-    for _ in range(max_iter):
-        cdf = spark.createDataFrame(cents, ["cluster_id", *feature_cols])
-        assigned = _assign(points, cdf, feature_cols)
-        new = (
-            assigned.groupBy("cluster_id")
-            .agg(*[F.avg(c).alias(c) for c in feature_cols], F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        new_map = {r["cluster_id"]: tuple(r[c] for c in feature_cols) for r in new}
-        # Empty clusters keep their previous centroid (reference keeps stale
-        # centroids implicitly — recalc only sums assigned points).
-        next_cents = [
-            (cid, *(new_map.get(cid, tuple(vals)))) for cid, *vals in cents
-        ]
-        if eps is not None:
-            move = max(
-                sum((a - b) ** 2 for a, b in zip(old[1:], nw[1:]))
-                for old, nw in zip(cents, next_cents)
+    points = points.persist()
+    try:
+        for _ in range(max_iter):
+            assigned = _with_nearest(points, cents, feature_cols)
+            new = (
+                assigned.groupBy("cluster_id")
+                .agg(*[F.avg(c).alias(c) for c in feature_cols], F.count(F.lit(1)).alias("n"))
+                .collect()
             )
-            cents = next_cents
-            if move <= eps * eps:
-                break
-        else:
-            cents = next_cents
+            new_map = {r["cluster_id"]: tuple(r[c] for c in feature_cols) for r in new}
+            # Empty clusters keep their previous centroid (reference recalc
+            # only averages assigned points).
+            next_cents = [(cid, *(new_map.get(cid, tuple(vals)))) for cid, *vals in cents]
+            if eps is not None:
+                move = max(
+                    sum((a - b) ** 2 for a, b in zip(old[1:], nw[1:]))
+                    for old, nw in zip(cents, next_cents)
+                )
+                cents = next_cents
+                if move <= eps * eps:
+                    break
+            else:
+                cents = next_cents
 
-    final = spark.createDataFrame(cents, ["cluster_id", *feature_cols])
-    assigned = _assign(points, final, feature_cols)
-    return assigned.groupBy("cluster_id").agg(
-        *[F.avg(c).alias(f"c_{c}") for c in feature_cols],
-        F.count(F.lit(1)).alias("n_points"),
+        assigned = _with_nearest(points, cents, feature_cols)
+        return assigned.groupBy("cluster_id").agg(
+            *[F.avg(c).alias(f"c_{c}") for c in feature_cols],
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    finally:
+        # Lazy plans above already reference the cached data; unpersist is
+        # deferred to the caller's action completing (non-blocking).
+        points.unpersist(blocking=False)
+
+
+def _with_nearest(points: DataFrame, cents: list[tuple], feature_cols: list[str]) -> DataFrame:
+    """Add ``cluster_id`` = argmin over centroids.
+
+    Centroids travel as a broadcast 1-row array<struct> column (NOT as plan
+    literals) so every iteration reuses the same physical plan and compiled
+    codegen — centroid VALUES are data, the plan is constant. Assignment is
+    array_min over (distance, cluster_id) structs: deterministic ties, one
+    narrow map, zero shuffle.
+    """
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    spark = points.sparkSession
+    cent_rows = [(int(cid), *[float(v) for v in vals]) for cid, *vals in cents]
+    cent_schema = StructType(
+        [
+            StructField(
+                "__cents",
+                ArrayType(
+                    StructType(
+                        [StructField("cid", LongType())]
+                        + [StructField(c, DoubleType()) for c in feature_cols]
+                    )
+                ),
+            )
+        ]
     )
+    cdf = spark.createDataFrame([(cent_rows,)], cent_schema)
 
+    def dist(x):
+        d = None
+        for c in feature_cols:
+            t = (F.col(c) - x[c]) * (F.col(c) - x[c])
+            d = t if d is None else d + t
+        return d
 
-def _assign(points: DataFrame, centroids: DataFrame, feature_cols: list[str]) -> DataFrame:
-    """Nearest-centroid assignment via broadcast cross join + min_by."""
-    cen = centroids.select(
-        F.col("cluster_id"), *[F.col(c).alias(f"__m_{c}") for c in feature_cols]
-    )
-    joined = points.crossJoin(F.broadcast(cen))
-    dist = None
-    for c in feature_cols:
-        d = (F.col(c) - F.col(f"__m_{c}")) * (F.col(c) - F.col(f"__m_{c}"))
-        dist = d if dist is None else dist + d
-    # min_by with a (dist, cluster_id) struct → deterministic on ties.
-    return joined.groupBy(*points.columns).agg(
-        F.min_by("cluster_id", F.struct(dist.alias("d"), F.col("cluster_id"))).alias("cluster_id")
+    nearest = F.array_min(
+        F.transform(F.col("__cents"), lambda x: F.struct(dist(x).alias("d"), x["cid"].alias("cid")))
+    )["cid"]
+    return (
+        points.crossJoin(F.broadcast(cdf))
+        .withColumn("cluster_id", nearest)
+        .drop("__cents")
     )
 
 

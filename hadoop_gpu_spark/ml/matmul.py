@@ -31,8 +31,12 @@ def matmul_cells(cells: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFr
 def gram_matrix(vectors: DataFrame, id_col: str, vec_col: str, n: int) -> DataFrame:
     """Upper-triangular gram matrix over the first n vectors — the cell-form
     workload materialized from an embeddings table (i <= j)."""
-    a = vectors.filter(F.col(id_col) < n).select(
-        F.col(id_col).alias("i"), F.col(vec_col).alias("__a")
+    from hadoop_gpu_spark.utils import ensure_min_partitions
+
+    a = ensure_min_partitions(
+        vectors.filter(F.col(id_col) < n).select(
+            F.col(id_col).alias("i"), F.col(vec_col).alias("__a")
+        )
     )
     b = vectors.filter(F.col(id_col) < n).select(
         F.col(id_col).alias("j"), F.col(vec_col).alias("__b")

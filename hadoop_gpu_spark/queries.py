@@ -856,3 +856,200 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         agg_ops.exact_money_sum("value", "sum_value"),
     )
+
+
+# ===========================================================================
+# Batch 3 — remaining reference-surface coverage through the gate.
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# §2.2 InverseMapper (M/lib/InverseMapper.java:33).
+# ---------------------------------------------------------------------------
+@query(
+    "q_inverse_map",
+    oracle="SELECT n_name AS k, n_nationkey AS v FROM nation",
+)
+def q_inverse_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("v"), F.col("n_name").alias("k")
+    )
+    return field_ops.inverse(nation, key="v", value="k")
+
+
+# ---------------------------------------------------------------------------
+# §2.11 Grep phase 2: rank matches by count desc (X/Grep.java:71-82,
+# LongWritable.DecreasingComparator + single reducer).
+# ---------------------------------------------------------------------------
+@query(
+    "q_grep_ranked",
+    oracle="""
+    WITH counts AS (
+      SELECT match, COUNT(*) AS cnt
+      FROM (SELECT unnest(regexp_extract_all(text, 's[a-z]+', 0)) AS match FROM documents)
+      GROUP BY match)
+    SELECT match, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, match ASC) AS rank
+    FROM counts QUALIFY rank <= 20
+    """,
+)
+def q_grep_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = field_ops.regex_extract_counts(T(spark, sf_dir, "documents"), "text", "s[a-z]+")
+    w = Window.orderBy(F.col("cnt").desc(), F.col("match").asc())
+    return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+
+
+# ---------------------------------------------------------------------------
+# §2.11 PiEstimator (X/PiEstimator.java:66): Monte-Carlo with a
+# deterministic md5-derived point sequence (portable across engines).
+# ---------------------------------------------------------------------------
+_PI_N = 100_000
+
+
+@query(
+    "q_pi_estimator",
+    oracle=f"""
+    WITH pts AS (
+      SELECT ({bucket_sql('i', 1 << 20, seed=1)}) / 1048576.0 AS x,
+             ({bucket_sql('i', 1 << 20, seed=2)}) / 1048576.0 AS y
+      FROM range(0, {_PI_N}) t(i))
+    SELECT COUNT(*) AS n_total,
+           SUM(CASE WHEN (x - 0.5) * (x - 0.5) + (y - 0.5) * (y - 0.5) <= 0.25
+                    THEN 1 ELSE 0 END) AS n_inside
+    FROM pts
+    """,
+)
+def q_pi_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = spark.range(0, _PI_N).select(F.col("id").alias("i"))
+    x = bucket("i", 1 << 20, seed=1) / F.lit(float(1 << 20))
+    y = bucket("i", 1 << 20, seed=2) / F.lit(float(1 << 20))
+    pts = base.select(x.alias("x"), y.alias("y"))
+    inside = (F.col("x") - 0.5) * (F.col("x") - 0.5) + (F.col("y") - 0.5) * (F.col("y") - 0.5) <= 0.25
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(inside, 1).otherwise(0)).alias("n_inside"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 TeraSort pipeline (X/terasort): deterministic TeraGen → total-order
+# sort, verified as the global rank (TeraValidate's order invariant).
+# ---------------------------------------------------------------------------
+_TERA_N = 20_000
+
+
+@query(
+    "q_terasort",
+    oracle=f"""
+    WITH tera AS (
+      SELECT substr(md5('tera:42:' || i::VARCHAR), 1, 10) AS key
+      FROM range(0, {_TERA_N}) t(i))
+    SELECT key, ROW_NUMBER() OVER (ORDER BY key, key) AS rn FROM tera
+    """,
+)
+def q_terasort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.sources import gen_tera_records
+
+    tera = gen_tera_records(spark, _TERA_N).select("key")
+    w = Window.orderBy("key")
+    return tera.select("key", F.row_number().over(w).alias("rn"))
+
+
+# ---------------------------------------------------------------------------
+# §2.1 MapFile.getClosest (C/io/MapFile.java:539-555): for each probe key,
+# the greatest table key <= probe — an as-of join on the sorted key.
+# ---------------------------------------------------------------------------
+@query(
+    "q_mapfile_get_closest",
+    oracle="""
+    SELECT p.probe, o.o_orderkey AS closest_key
+    FROM (SELECT 1 + i * 37 AS probe FROM range(0, 200) t(i)) p
+    ASOF LEFT JOIN orders o ON p.probe >= o.o_orderkey
+    """,
+)
+def q_mapfile_get_closest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    probes = spark.range(0, 200).select((1 + F.col("id") * 37).alias("probe"))
+    # getClosest returns the matched key itself: carry it as a value column.
+    out = join_ops.asof_join(
+        probes.withColumnRenamed("probe", "k"),
+        orders.select(F.col("o_orderkey").alias("k"), F.col("o_orderkey").alias("closest_key")),
+        on="k",
+        by=[],
+        right_cols=["closest_key"],
+    )
+    return out.select(F.col("k").alias("probe"), "closest_key")
+
+
+# ---------------------------------------------------------------------------
+# §2.10 the full MR contract through the gate: WordCount via kv_job
+# (map → combine → shuffle → sort → reduce), same oracle as native.
+# ---------------------------------------------------------------------------
+@query(
+    "q_kvjob_wordcount",
+    oracle="""
+    SELECT k, COUNT(*)::BIGINT AS v FROM (
+      SELECT unnest(regexp_split_to_array(text, '\\s+')) AS k FROM documents)
+    WHERE k <> '' GROUP BY k
+    """,
+)
+def q_kvjob_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.operators.kvjob import wordcount_kvjob
+
+    return wordcount_kvjob(T(spark, sf_dir, "documents"), "text")
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming through the gate: drain the events stream with
+# availableNow; must equal the batch q_events_hourly oracle exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "q_stream_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.streaming import events_stream, windowed_counts
+
+    name = "q_stream_hourly_sink"
+    agg = windowed_counts(events_stream(spark, sf_dir))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference SQL surface: ROLLUP subtotals (SURVEY.md §2.4 'not
+# implemented' in the reference; free in Spark/DuckDB). Group keys are
+# sentinel-coalesced so the hash compare never sees subtotal NULLs.
+# ---------------------------------------------------------------------------
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS flag,
+           COALESCE(l_linestatus, '<all>') AS status,
+           SUM(l_quantity) AS sum_qty, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("status"),
+            "sum_qty",
+            "cnt",
+        )
+    )

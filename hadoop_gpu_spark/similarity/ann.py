@@ -35,10 +35,14 @@ def brute_force_topk(
     Self-matches (qid == nid) are excluded. Ties break on neighbor id so
     results are deterministic.
     """
+    from hadoop_gpu_spark.utils import ensure_min_partitions
+
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv")
     )
-    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("__cv"))
+    c = ensure_min_partitions(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("__cv"))
+    )
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("nid"))
     if metric == "cosine":
         score = cosine("__qv", "__cv")
