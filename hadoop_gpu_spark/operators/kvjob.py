@@ -59,6 +59,7 @@ def kv_job(
     out_value_type: str = "string",
     num_partitions: int | None = None,
     value_sort: bool = False,
+    skip_bad_records: bool = False,
 ) -> DataFrame:
     """Run a full MR-contract job over ``df``'s rows. Returns (key, value).
 
@@ -66,16 +67,30 @@ def kv_job(
     given, runs on map-side sorted runs (exactly the reference's spill
     combine). Values reach ``reduce_fn`` sorted when ``value_sort`` — the
     secondary-sort contract (M/JobConf.java:717-728).
+
+    ``skip_bad_records`` is the reference's skip mode (M/SkipBadRecords.java:51):
+    records whose map_fn raises are dropped and counted (accumulator
+    ``kvjob.skipped``) instead of failing the job. The reference narrows
+    bad ranges by binary-search re-execution; per-record granularity here
+    is strictly finer.
     """
     kv_schema = f"k {key_type}, v {value_type}"
+    skipped_acc = (
+        df.sparkSession.sparkContext.accumulator(0) if skip_bad_records else None
+    )
 
     def run_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_k, out_v = [], []
             for row in pdf.itertuples(index=False):
-                for k, v in map_fn(row):
-                    out_k.append(k)
-                    out_v.append(v)
+                try:
+                    for k, v in map_fn(row):
+                        out_k.append(k)
+                        out_v.append(v)
+                except Exception:
+                    if skipped_acc is None:
+                        raise
+                    skipped_acc.add(1)
             yield pd.DataFrame({"k": out_k, "v": out_v})
 
     mapped = df.mapInPandas(run_map, schema=kv_schema)

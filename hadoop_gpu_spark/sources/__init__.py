@@ -147,3 +147,29 @@ def gen_tera_records(spark: SparkSession, num_rows: int, seed: int = 42) -> Data
         F.substring(h, 1, 10).alias("key"),
         F.rpad(F.substring(h, 11, 22), 90, "x").alias("payload"),
     )
+
+
+def read_xml_records(
+    spark: SparkSession, path: str, record_tag: str, fields: list[str]
+) -> DataFrame:
+    """StreamXmlRecordReader (S/StreamXmlRecordReader.java): tag-delimited
+    records from text; each <record_tag>...</record_tag> block becomes a
+    row with the given child-element fields extracted.
+
+    Whole-file regex segmentation (wholetext per file) — matches the
+    reference's begin/end-mark scanning; for huge single XML files, split
+    upstream. Field extraction is regexp-based like the reference's
+    slow-match mode.
+    """
+    import pyspark.sql.functions as F_
+
+    raw = spark.read.text(path, wholetext=True)
+    rec = F_.explode(
+        F_.expr(f"regexp_extract_all(value, '<{record_tag}>(.*?)</{record_tag}>', 1)")
+    ).alias("__rec")
+    recs = raw.select(rec)
+    cols = [
+        F_.regexp_extract(F_.col("__rec"), f"<{f}>([^<]*)</{f}>", 1).alias(f)
+        for f in fields
+    ]
+    return recs.select(*cols)

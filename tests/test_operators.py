@@ -111,3 +111,69 @@ def test_secondary_sort_stream_order(spark):
 
     res = out.mapInPandas(check, schema="ok boolean").collect()
     assert all(r["ok"] for r in res)
+
+
+def test_join_expression_language(spark):
+    from hadoop_gpu_spark.operators.join_expr import compose_join, parse_join_expr
+
+    a = spark.createDataFrame([(0, "a0"), (1, "a1"), (2, "a2")], ["k", "val"])
+    b = spark.createDataFrame([(1, "b1"), (2, "b2"), (3, "b3")], ["k", "val"])
+    c = spark.createDataFrame([(2, "c2"), (4, "c4")], ["k", "val"])
+    srcs = {"a": a, "b": b, "c": c}
+
+    inner = compose_join("inner(a,b)", srcs, on="k")
+    assert sorted(r["k"] for r in inner.collect()) == [1, 2]
+    assert set(inner.columns) == {"k", "val_0", "val_1"}
+
+    outer = compose_join("outer(a,b)", srcs, on="k")
+    assert sorted(r["k"] for r in outer.collect()) == [0, 1, 2, 3]
+
+    # nested expression like TestDatamerge.java:288-295
+    nested = compose_join("outer(inner(a,b), override(b,c))", srcs, on="k")
+    rows = {r["k"]: r.asDict() for r in nested.collect()}
+    # inner(a,b) = {1,2}; override(b,c) = {1,2,3,4}; full outer = {1,2,3,4}
+    assert sorted(rows) == [1, 2, 3, 4]
+    # override(b,c): c wins at k=2 → 'c2', b elsewhere
+    assert rows[2]["val"] == "c2" and rows[3]["val"] == "b3" and rows[4]["val"] == "c4"
+
+    # parse errors
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_join_expr("bogus(a,b)")
+    with _pytest.raises(ValueError):
+        parse_join_expr("inner(a,")
+
+
+def test_kvjob_skip_bad_records(spark):
+    from hadoop_gpu_spark.operators.kvjob import kv_job
+
+    df = spark.createDataFrame([(1,), (2,), (3,), (4,)], ["x"])
+
+    def mapper(row):
+        if row.x == 3:
+            raise ValueError("poison record")
+        yield str(row.x), row.x
+
+    def reducer(k, vals):
+        yield k, sum(vals)
+
+    out = kv_job(
+        df, mapper, reducer, value_type="long", out_value_type="long",
+        skip_bad_records=True,
+    )
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {"1": 1, "2": 2, "4": 4}  # record 3 skipped, job survived
+
+
+def test_read_xml_records(spark, tmp_path):
+    from hadoop_gpu_spark.sources import read_xml_records
+
+    p = tmp_path / "recs.xml"
+    p.write_text(
+        "<root><rec><name>alpha</name><n>1</n></rec>"
+        "<rec><name>beta</name><n>2</n></rec></root>"
+    )
+    out = read_xml_records(spark, str(p), "rec", ["name", "n"])
+    rows = {r["name"]: r["n"] for r in out.collect()}
+    assert rows == {"alpha": "1", "beta": "2"}
