@@ -30,6 +30,9 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_ann_topk",
     "q_kmeans",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q_dedup_simhash",
 ]
 
 

@@ -1053,3 +1053,270 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+# ===========================================================================
+# Batch 4 — realistic analytics shapes + remaining dedup/similarity gate
+# coverage.
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: selective join + revenue agg + top-k (shipping priority).
+# ---------------------------------------------------------------------------
+@query(
+    "q03_shipping_priority",
+    oracle="""
+    WITH rev AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+             ANY_VALUE(o_orderdate) AS o_orderdate,
+             ANY_VALUE(o_orderpriority) AS o_orderpriority
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      GROUP BY l_orderkey)
+    SELECT l_orderkey, revenue, o_orderdate, o_orderpriority
+    FROM rev ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    j = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+    )
+    g = j.groupBy("l_orderkey").agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.any_value("o_orderdate").alias("o_orderdate"),
+        F.any_value("o_orderpriority").alias("o_orderpriority"),
+    )
+    return sort_ops.top_k(g, [F.col("revenue").desc(), F.col("l_orderkey").asc()], 10)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: 6-way join, revenue per nation within a region.
+# ---------------------------------------------------------------------------
+@query(
+    "q05_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    supplier = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    j = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supplier,
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(F.sum(revenue).cast("double").alias("revenue"))
+
+
+# ---------------------------------------------------------------------------
+# §2.5-beyond: window FRAME (rowsBetween moving sum) — no reference
+# counterpart (SURVEY.md §2.5), free in Spark.
+# ---------------------------------------------------------------------------
+@query(
+    "q_moving_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mv3
+    FROM orders
+    """,
+)
+def q_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("mv3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 composite join expression through the gate:
+# outer(inner(balances, order_counts), max_prices).
+# ---------------------------------------------------------------------------
+@query(
+    "q_join_expr_composite",
+    oracle="""
+    WITH a AS (SELECT c_custkey AS k, c_acctbal AS val FROM customer),
+         b AS (SELECT o_custkey AS k, COUNT(*)::DOUBLE AS val FROM orders GROUP BY 1),
+         c AS (SELECT o_custkey AS k, MAX(o_totalprice) AS val FROM orders GROUP BY 1),
+         ab AS (SELECT a.k, a.val AS val_0, b.val AS val_1
+                FROM a JOIN b ON a.k = b.k)
+    SELECT COALESCE(ab.k, c.k) AS k, ab.val_0, ab.val_1, c.val AS val_2
+    FROM ab FULL OUTER JOIN c ON ab.k = c.k
+    """,
+)
+def q_join_expr_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.operators.join_expr import compose_join
+
+    customer = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    a = customer.select(F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("val"))
+    b = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("double").alias("val")
+    )
+    c = orders.groupBy(F.col("o_custkey").alias("k")).agg(F.max("o_totalprice").alias("val"))
+    return compose_join("outer(inner(a,b), c)", {"a": a, "b": b, "c": c}, on="k")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs through the gate (chunk-bucketed + hamming verify).
+# ---------------------------------------------------------------------------
+def _simhash_pairs_sql() -> str:
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {c} AS chunk, (simhash >> {c * 15}) & 32767 AS chunk_val FROM sig"
+        for c in range(4)
+    )
+    return f"""
+    WITH sig AS ({_simhash_sql()}),
+         chunks AS ({chunk_selects}),
+         ok AS (SELECT chunk, chunk_val FROM chunks
+                GROUP BY chunk, chunk_val HAVING COUNT(*) BETWEEN 2 AND 256),
+         pairs AS (
+           SELECT DISTINCT c1.doc_id AS a, c2.doc_id AS b
+           FROM chunks c1
+           JOIN chunks c2 ON c1.chunk = c2.chunk AND c1.chunk_val = c2.chunk_val
+                         AND c1.doc_id < c2.doc_id
+           JOIN ok ON ok.chunk = c1.chunk AND ok.chunk_val = c1.chunk_val)
+    SELECT p.a, p.b, bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+    FROM pairs p JOIN sig sa ON sa.doc_id = p.a JOIN sig sb ON sb.doc_id = p.b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+    """
+
+
+@query("q_dedup_simhash_pairs", oracle=_simhash_pairs_sql())
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.dedup.simhash import simhash_near_dups
+
+    return simhash_near_dups(T(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (label-blocked to bound the candidate set;
+# the LSH/IVF variant is the scale path — similarity.ann).
+# ---------------------------------------------------------------------------
+_NEARDUP_COS_SQL = (
+    "list_dot_product(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) / "
+    "sqrt(list_dot_product(e1.embedding::DOUBLE[], e1.embedding::DOUBLE[]) * "
+    "list_dot_product(e2.embedding::DOUBLE[], e2.embedding::DOUBLE[]))"
+)
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+    SELECT e1.vec_id AS a, e2.vec_id AS b, round({_NEARDUP_COS_SQL}, 9) AS cos
+    FROM embeddings e1 JOIN embeddings e2
+      ON e1.label = e2.label AND e1.vec_id < e2.vec_id
+    WHERE e1.vec_id % 4 = 0 AND e2.vec_id % 4 = 0
+      AND {_NEARDUP_COS_SQL} >= 0.8
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.functions.vectors import cosine
+
+    emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    e1 = emb.select(
+        F.col("label"), F.col("vec_id").alias("a"), F.col("embedding").alias("__v1")
+    )
+    e2 = emb.select(
+        F.col("label"), F.col("vec_id").alias("b"), F.col("embedding").alias("__v2")
+    )
+    pairs = e1.join(e2, on="label").filter(F.col("a") < F.col("b"))
+    cos = cosine("__v1", "__v2")
+    return pairs.filter(cos >= 0.8).select("a", "b", F.round(cos, 9).alias("cos"))
+
+
+# ---------------------------------------------------------------------------
+# Rows-only entries (non-SQL-expressible; driver records the weaker check,
+# numeric parity lives in tests/): per-dataset k-means via applyInPandas,
+# blocked GEMM, IVF approximate search.
+# ---------------------------------------------------------------------------
+@query("q_kmeans_grouped")
+def q_kmeans_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.ml.kmeans import kmeans_grouped
+
+    emb = T(spark, sf_dir, "embeddings")
+    points = emb.select(
+        (F.col("vec_id") % 4).alias("dataset_id"),
+        F.col("vec_id").alias("point_id"),
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    return kmeans_grouped(points, "dataset_id", ["x", "y"], k=3, eps=1e-4)
+
+
+@query("q_matmul_blocked")
+def q_matmul_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.ml.matmul import matmul_blocked
+
+    emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 32)
+    m = 8  # 8x8 blocks from the first 64 dims
+    blocks_a = emb.select(
+        (F.col("vec_id") % 4).alias("i"),
+        (F.col("vec_id") % 2).alias("k"),
+        F.slice(F.col("embedding"), 1, m * m).cast("array<double>").alias("sa"),
+    )
+    blocks_b = emb.select(
+        (F.col("vec_id") % 2).alias("k"),
+        (F.col("vec_id") % 3).alias("j"),
+        F.slice(F.col("embedding"), 1, m * m).cast("array<double>").alias("sb"),
+    )
+    return matmul_blocked(blocks_a.limit(8), blocks_b.limit(8), m)
+
+
+@query("q_ann_ivf")
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.similarity.ann import assign_to_centroids, ivf_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    assigned = assign_to_centroids(emb, centroids, "embedding", "vec_id")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(assigned, centroids, queries_df, "embedding", "vec_id", k=5, nprobe=2)
