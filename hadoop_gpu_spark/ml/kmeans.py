@@ -189,3 +189,45 @@ def kmeans_grouped(
         return pd.DataFrame(rows, columns=[id_col, "cluster_id", *[f"c_{c}" for c in feature_cols], "n_points"])
 
     return points.groupBy(dataset_col).applyInPandas(run, schema=schema)
+
+
+def lloyd_cupy(pts, cents, max_iter: int = 100, eps: float = 1.0):
+    """GPU half of the k-means HybridOp pair — same semantics as
+    :func:`lloyd_numpy` on CuPy arrays (mirrors gpu-kmeans2D.cu:59-115:
+    assign + recalc kernels). Raises ImportError when no CUDA stack is
+    present; callers fall back to the CPU path (the reference's behavior
+    when a node has no GPU slot).
+    """
+    import cupy as cp  # gated: not present in CPU-only environments
+
+    pts_d = cp.asarray(pts, dtype=cp.float32)
+    cents_d = cp.asarray(cents, dtype=cp.float32)
+    assign = cp.zeros(len(pts), dtype=cp.int64)
+    for _ in range(max_iter):
+        d = ((pts_d[:, None, :] - cents_d[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        new = cents_d.copy()
+        for c in range(len(cents_d)):
+            mask = assign == c
+            if bool(mask.any()):
+                new[c] = pts_d[mask].mean(axis=0)
+        move = float(((new - cents_d) ** 2).sum(axis=1).max())
+        cents_d = new
+        if move <= eps:
+            break
+    return cp.asnumpy(cents_d), cp.asnumpy(assign)
+
+
+def select_lloyd_backend(backend: str = "auto"):
+    """cpubin/gpubin selection (SubmitterToAccels.java:145-149 analog):
+    'auto' prefers the GPU kernel when CuPy imports, else CPU."""
+    if backend == "numpy":
+        return lloyd_numpy
+    if backend == "cupy":
+        return lloyd_cupy
+    try:
+        import cupy  # noqa: F401
+
+        return lloyd_cupy
+    except Exception:
+        return lloyd_numpy

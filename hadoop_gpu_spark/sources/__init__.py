@@ -173,3 +173,26 @@ def read_xml_records(
         for f in fields
     ]
     return recs.select(*cols)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted managed table — the declarative equivalent of
+    CompositeInputFormat's physical precondition (identically partitioned,
+    key-sorted sources, M/join/CompositeInputFormat.java:48). Joins between
+    tables bucketed on the same key with the same bucket count plan as
+    shuffle-free sort-merge joins.
+
+    At 100 TB this is THE repeated-join strategy: pay the shuffle once at
+    write time, never again.
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)

@@ -109,3 +109,15 @@ def test_matmul_cells_and_blocked_match_numpy(spark):
     for i in range(grid):
         for j in range(grid):
             assert np.allclose(out_blocks[(i, j)], C[i * m:(i + 1) * m, j * m:(j + 1) * m], atol=1e-9)
+
+
+def test_lloyd_backend_selection_and_fallback():
+    import pytest as _pytest
+
+    from hadoop_gpu_spark.ml.kmeans import lloyd_numpy, select_lloyd_backend
+
+    # no CUDA in this container: auto falls back to the CPU kernel
+    assert select_lloyd_backend("auto") is lloyd_numpy
+    assert select_lloyd_backend("numpy") is lloyd_numpy
+    with _pytest.raises(ImportError):
+        select_lloyd_backend("cupy")(np.zeros((4, 2)), np.zeros((2, 2)))

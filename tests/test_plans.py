@@ -39,3 +39,33 @@ def test_q1_plans_hash_aggregate(spark, sf_dir):
     # partial/final HashAggregate = the reference's combiner pattern, free.
     df = QUERIES["q01_pricing_summary"](spark, sf_dir)
     assert "HashAggregate" in plans.formatted_plan(df)
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    # CompositeInputFormat parity: co-bucketed tables join with no Exchange
+    # on either side (zero-shuffle map-side merge join).
+    from hadoop_gpu_spark import sources
+    from hadoop_gpu_spark.tables import load_table
+
+    # managed tables land in ./spark-warehouse (gitignored)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    sources.write_bucketed_table(
+        orders.withColumnRenamed("o_custkey", "k"), "orders_bkt", ["k"], 4, ["k"]
+    )
+    sources.write_bucketed_table(
+        customer.withColumnRenamed("c_custkey", "k"), "customer_bkt", ["k"], 4, ["k"]
+    )
+    a = spark.table("orders_bkt")
+    b = spark.table("customer_bkt")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = a.join(b, "k")
+        plan = plans.formatted_plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS customer_bkt")

@@ -1,0 +1,71 @@
+"""Property-based tests (hypothesis) for the pure-Python engine pieces."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hadoop_gpu_spark.hybrid import makespan_split
+from hadoop_gpu_spark.operators.join_expr import parse_join_expr
+from hadoop_gpu_spark.operators.sort import key_field_sort_expr
+
+
+@given(
+    pending=st.integers(0, 200),
+    n_cpu=st.integers(1, 16),
+    n_gpu=st.integers(1, 4),
+    alpha=st.floats(0.1, 10.0),
+)
+@settings(max_examples=200, deadline=None)
+def test_makespan_split_is_optimal(pending, n_cpu, n_gpu, alpha):
+    x, y = makespan_split(pending, n_cpu, n_gpu, alpha)
+    assert x + y == pending and x >= 0 and y >= 0
+    if pending:
+        f = lambda a, b: max(math.ceil(a / n_cpu) * alpha, math.ceil(b / n_gpu))
+        best = min(f(i, pending - i) for i in range(pending + 1))
+        assert f(x, y) == best  # matches the reference's exhaustive scan
+
+
+_ident = st.sampled_from(["a", "b", "c", "d"])
+
+
+def _expr(depth: int) -> st.SearchStrategy[str]:
+    if depth == 0:
+        return _ident
+    sub = _expr(depth - 1)
+    return st.one_of(
+        _ident,
+        st.tuples(st.sampled_from(["inner", "outer", "override"]),
+                  st.lists(sub, min_size=2, max_size=3)).map(
+            lambda t: f"{t[0]}({','.join(t[1])})"
+        ),
+    )
+
+
+@given(expr=_expr(3))
+@settings(max_examples=100, deadline=None)
+def test_join_expr_parser_total_on_valid_grammar(expr):
+    node = parse_join_expr(expr)
+
+    def render(n):
+        if n.op == "tbl":
+            return n.args[0]
+        return f"{n.op}({','.join(render(a) for a in n.args)})"
+
+    assert render(node) == expr.replace(" ", "")
+
+
+@given(
+    f1=st.integers(1, 3),
+    f2=st.integers(1, 3),
+    flags=st.sampled_from(["", "n", "r", "nr"]),
+)
+@settings(max_examples=50, deadline=None)
+def test_key_field_spec_parser(spark, f1, f2, flags):
+    # Column construction needs an active SparkContext (classic pyspark).
+    lo, hi = min(f1, f2), max(f1, f2)
+    spec = f"-k{lo},{hi}{flags}"
+    cols = key_field_sort_expr(spec, ["a", "b", "c"])
+    assert len(cols) == hi - lo + 1
