@@ -60,3 +60,21 @@ def test_pipe_reduce_streaming_wc(spark):
     )
     out = {r["k"]: int(r["v"]) for r in pipe_reduce(kv, cmd, num_partitions=2).collect()}
     assert out == {"x": 9, "y": 6}
+
+
+def test_global_counters(spark, sf_dir):
+    # Counters (M/Counters.java:53): job-wide named counters in one pass.
+    from pyspark.sql import functions as F
+
+    from hadoop_gpu_spark.operators.aggregates import global_counters
+
+    li = load_table(spark, "lineitem", sf_dir)
+    c = global_counters(
+        li,
+        {
+            "records": F.count(F.lit(1)),
+            "high_qty": F.sum(F.when(F.col("l_quantity") > 40, 1).otherwise(0)),
+        },
+    )
+    assert c["records"] == li.count()
+    assert 0 < c["high_qty"] < c["records"]

@@ -177,3 +177,43 @@ def test_read_xml_records(spark, tmp_path):
     out = read_xml_records(spark, str(p), "rec", ["name", "n"])
     rows = {r["name"]: r["n"] for r in out.collect()}
     assert rows == {"alpha": "1", "beta": "2"}
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    from hadoop_gpu_spark.operators.skew import salted_agg
+    from hadoop_gpu_spark.tables import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    plain = {
+        (r["l_returnflag"],): (r["cnt"], r["sq"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("l_quantity").alias("sq"))
+        .collect()
+    }
+    salted = {
+        (r["l_returnflag"],): (r["cnt"], r["sq"])
+        for r in salted_agg(
+            li,
+            ["l_returnflag"],
+            n_salts=8,
+            salt_source="l_orderkey",
+            partials=[(F.count(F.lit(1)), "cnt"), (F.sum("l_quantity"), "sq")],
+            finals=[("sum", "cnt"), ("sum", "sq")],
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from hadoop_gpu_spark.operators.skew import salted_join
+    from hadoop_gpu_spark.tables import load_table
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("k"), "o_orderkey"
+    )
+    customer = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("k"), "c_name"
+    )
+    plain = orders.join(customer, "k").count()
+    salted = salted_join(orders, customer, "k", n_salts=4, big_salt_source="o_orderkey").count()
+    assert salted == plain

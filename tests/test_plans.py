@@ -69,3 +69,19 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS customer_bkt")
+
+
+def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
+    # MultipleOutputFormat write + partition-pruned read: the scan lists
+    # only the selected lang partition (PartitionFilters in the plan).
+    from hadoop_gpu_spark import sources
+    from hadoop_gpu_spark.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    path = str(tmp_path / "docs_by_lang")
+    sources.write_partitioned(docs, path, ["lang"])
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = plans.formatted_plan(back)
+    assert "PartitionFilters" in plan and "lang" in plan
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert back.count() == n_en
