@@ -1320,3 +1320,77 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = assign_to_centroids(emb, centroids, "embedding", "vec_id")
     queries_df = emb.filter(F.col("vec_id") < 8)
     return ivf_topk(assigned, centroids, queries_df, "embedding", "vec_id", k=5, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar-function subset (string/date/math) in one pass — the
+# reference does all of this in user code (SURVEY.md §2.8); here it is the
+# built-in expression library, exercised end-to-end.
+# ---------------------------------------------------------------------------
+@query(
+    "q_scalar_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           upper(l_returnflag) AS flag_u,
+           substr(l_linestatus, 1, 1) AS status_c,
+           concat(l_returnflag, '/', l_linestatus) AS tag,
+           length(l_returnflag) AS flag_len,
+           abs(l_quantity - 25.0) AS qty_dev,
+           floor(l_extendedprice / 1000) AS price_k,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+           power(l_quantity, 2) AS qty_sq,
+           year(l_shipdate) AS ship_year,
+           month(l_shipdate) AS ship_month,
+           day(l_shipdate) AS ship_day
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+)
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.upper("l_returnflag").alias("flag_u"),
+        F.substring("l_linestatus", 1, 1).alias("status_c"),
+        F.concat(F.col("l_returnflag"), F.lit("/"), F.col("l_linestatus")).alias("tag"),
+        F.length("l_returnflag").alias("flag_len"),
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.pow(F.col("l_quantity"), 2).alias("qty_sq"),
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+        F.dayofmonth("l_shipdate").alias("ship_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: CUBE over two dimensions (sentinel-coalesced like
+# q_rollup so subtotal NULLs never reach the hash compare).
+# ---------------------------------------------------------------------------
+@query(
+    "q_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            agg_ops.exact_money_sum("o_totalprice", "total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "cnt",
+            "total",
+        )
+    )

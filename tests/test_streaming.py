@@ -47,3 +47,22 @@ def test_sessionize_stateful_runs(spark, sf_dir):
     if len(out):
         assert (out["session_end"] >= out["session_start"]).all()
         assert (out["n_events"] >= 1).all()
+
+
+def test_sliding_window_avg_runs(spark, sf_dir):
+    from hadoop_gpu_spark.streaming import events_stream, sliding_window_avg
+
+    agg = sliding_window_avg(events_stream(spark, sf_dir))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("slide_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("slide_stream").toPandas()
+    assert len(out) > 0
+    # each event contributes to window/slide = 2 overlapping windows →
+    # slide rows ≈ 2x the hourly distinct (hour, type) combos, minus edges
+    assert out["avg_value"].notna().all()
