@@ -50,6 +50,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Partition sizing: the default 128 MB maxPartitionBytes packs this
+        # deployment's compressed test tables (10-100 MB) into ONE scan
+        # partition, serializing every query. 8 MB keeps local[32] busy; on
+        # a production cluster raise toward 128 MB as table sizes grow
+        # (rule: total-input / (cores * 2-3) per partition).
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
         # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as long nanos and convert in tables.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
