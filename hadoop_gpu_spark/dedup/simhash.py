@@ -100,7 +100,7 @@ def simhash_near_dups(
     verified = (
         pairs.join(sa, "a")
         .join(sb, "b")
-        .withColumn("hamming", F.bit_count(F.expr("__sa ^ __sb")))
+        .withColumn("hamming", F.bit_count(F.expr("__sa ^ __sb")).cast("long"))
         .filter(F.col("hamming") <= max_hamming)
     )
     return verified.select("a", "b", "hamming")

@@ -259,7 +259,9 @@ def q_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = sort_ops.ranked_within_group(
         customer, ["c_nationkey"], [F.col("c_acctbal").desc(), F.col("c_custkey").asc()]
     )
-    return ranked.filter(F.col("rn") <= 3).select("c_nationkey", "c_custkey", "rn")
+    return ranked.filter(F.col("rn") <= 3).select(
+        "c_nationkey", "c_custkey", F.col("rn").cast("long").alias("rn")
+    )
 
 
 @query(
@@ -293,7 +295,7 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_total_order_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = T(spark, sf_dir, "orders")
     w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    return orders.select("o_orderkey", F.row_number().over(w).alias("rn"))
+    return orders.select("o_orderkey", F.row_number().over(w).cast("long").alias("rn"))
 
 
 # ---------------------------------------------------------------------------
@@ -322,7 +324,7 @@ def q_field_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_extract",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
            COUNT(*) AS cnt
     FROM events GROUP BY event_type
     """,
@@ -531,8 +533,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        tx.token_count("text").alias("n_tokens"),
-        tx.char_count("text").alias("n_chars_ck"),
+        tx.token_count("text").cast("long").alias("n_tokens"),
+        tx.char_count("text").cast("long").alias("n_chars_ck"),
         tx.punct_ratio("text").alias("punct_ratio"),
         tx.mean_token_len("text").cast("double").alias("mean_tok_len"),
         tx.fingerprint("text").alias("fp"),
@@ -729,7 +731,9 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
     out = brute_force_topk(emb, queries_df, "embedding", "vec_id", k=5)
-    return out.select("qid", "nid", F.round("score", 9).alias("score"), "rank")
+    return out.select(
+        "qid", "nid", F.round("score", 9).alias("score"), F.col("rank").cast("long").alias("rank")
+    )
 
 
 @query(
@@ -810,8 +814,8 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS new_session
       FROM w)
     SELECT user_id, event_id,
-           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_no
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
     FROM flags
     """,
 )
@@ -894,7 +898,7 @@ def q_inverse_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_grep_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = field_ops.regex_extract_counts(T(spark, sf_dir, "documents"), "text", "s[a-z]+")
     w = Window.orderBy(F.col("cnt").desc(), F.col("match").asc())
-    return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+    return counts.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= 20)
 
 
 # ---------------------------------------------------------------------------
@@ -913,7 +917,7 @@ _PI_N = 100_000
       FROM range(0, {_PI_N}) t(i))
     SELECT COUNT(*) AS n_total,
            SUM(CASE WHEN (x - 0.5) * (x - 0.5) + (y - 0.5) * (y - 0.5) <= 0.25
-                    THEN 1 ELSE 0 END) AS n_inside
+                    THEN 1 ELSE 0 END)::BIGINT AS n_inside
     FROM pts
     """,
 )
@@ -950,7 +954,7 @@ def q_terasort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tera = gen_tera_records(spark, _TERA_N).select("key")
     w = Window.orderBy("key")
-    return tera.select("key", F.row_number().over(w).alias("rn"))
+    return tera.select("key", F.row_number().over(w).cast("long").alias("rn"))
 
 
 # ---------------------------------------------------------------------------
@@ -1222,7 +1226,7 @@ def _simhash_pairs_sql() -> str:
            JOIN chunks c2 ON c1.chunk = c2.chunk AND c1.chunk_val = c2.chunk_val
                          AND c1.doc_id < c2.doc_id
            JOIN ok ON ok.chunk = c1.chunk AND ok.chunk_val = c1.chunk_val)
-    SELECT p.a, p.b, bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+    SELECT p.a, p.b, bit_count(xor(sa.simhash, sb.simhash))::BIGINT AS hamming
     FROM pairs p JOIN sig sa ON sa.doc_id = p.a JOIN sig sb ON sb.doc_id = p.b
     WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
     """
@@ -1336,7 +1340,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            concat(l_returnflag, '/', l_linestatus) AS tag,
            length(l_returnflag) AS flag_len,
            abs(l_quantity - 25.0) AS qty_dev,
-           floor(l_extendedprice / 1000) AS price_k,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
            CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
            power(l_quantity, 2) AS qty_sq,
            year(l_shipdate) AS ship_year,
@@ -1353,14 +1357,14 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("l_returnflag").alias("flag_u"),
         F.substring("l_linestatus", 1, 1).alias("status_c"),
         F.concat(F.col("l_returnflag"), F.lit("/"), F.col("l_linestatus")).alias("tag"),
-        F.length("l_returnflag").alias("flag_len"),
+        F.length("l_returnflag").cast("long").alias("flag_len"),
         F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
         F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
         F.pow(F.col("l_quantity"), 2).alias("qty_sq"),
-        F.year("l_shipdate").alias("ship_year"),
-        F.month("l_shipdate").alias("ship_month"),
-        F.dayofmonth("l_shipdate").alias("ship_day"),
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        F.month("l_shipdate").cast("long").alias("ship_month"),
+        F.dayofmonth("l_shipdate").cast("long").alias("ship_day"),
     )
 
 
