@@ -78,3 +78,53 @@ def test_global_counters(spark, sf_dir):
     )
     assert c["records"] == li.count()
     assert 0 < c["high_qty"] < c["records"]
+
+
+def test_observed_counters(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hadoop_gpu_spark.operators.aggregates import observed_counters
+
+    li = load_table(spark, "lineitem", sf_dir)
+    observed, obs = observed_counters(
+        li, {"records": F.count(F.lit(1)), "max_qty": F.max("l_quantity")}
+    )
+    n = observed.count()  # the action the metrics ride on
+    got = obs.get
+    assert got["records"] == n and got["max_qty"] > 0
+
+
+def test_chain_and_multi_input_union(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hadoop_gpu_spark.operators.setops import chain, multi_input_union
+
+    li = load_table(spark, "lineitem", sf_dir)
+    out = chain(
+        li,
+        lambda d: d.filter(F.col("l_quantity") > 10),
+        lambda d: d.select("l_orderkey", "l_quantity"),
+        lambda d: d.withColumn("q2", F.col("l_quantity") * 2),
+    )
+    assert out.columns == ["l_orderkey", "l_quantity", "q2"]
+
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    u = multi_input_union(
+        [
+            (orders, lambda d: d.select(F.col("o_custkey").alias("k"), F.lit("o").alias("src"))),
+            (customer, lambda d: d.select(F.col("c_custkey").alias("k"), F.lit("c").alias("src"))),
+        ]
+    )
+    assert u.count() == orders.count() + customer.count()
+
+
+def test_near_dedup_pipeline(spark, sf_dir):
+    from hadoop_gpu_spark.dedup import near_dedup
+    from hadoop_gpu_spark.tables import load_table as lt
+
+    docs = lt(spark, "documents", sf_dir)
+    out = near_dedup(docs, jaccard_threshold=0.8)
+    assert 0 < out.count() <= docs.count()
+    # idempotent-ish: survivors contain no exact duplicate texts
+    assert out.select("text").distinct().count() == out.count()
