@@ -49,8 +49,10 @@ def kmeans_dataframe(
     iteration cost = one scan of the cached points + a k·P-row shuffle.
     """
     cents = [tuple(r) for r in init_centroids.select("cluster_id", *feature_cols).collect()]
+    spark = points.sparkSession
     points = points.persist()
     try:
+        counts: dict = {}
         for _ in range(max_iter):
             assigned = _with_nearest(points, cents, feature_cols)
             new = (
@@ -59,6 +61,7 @@ def kmeans_dataframe(
                 .collect()
             )
             new_map = {r["cluster_id"]: tuple(r[c] for c in feature_cols) for r in new}
+            counts = {r["cluster_id"]: r["n"] for r in new}
             # Empty clusters keep their previous centroid (reference recalc
             # only averages assigned points).
             next_cents = [(cid, *(new_map.get(cid, tuple(vals)))) for cid, *vals in cents]
@@ -73,14 +76,17 @@ def kmeans_dataframe(
             else:
                 cents = next_cents
 
-        assigned = _with_nearest(points, cents, feature_cols)
-        return assigned.groupBy("cluster_id").agg(
-            *[F.avg(c).alias(f"c_{c}") for c in feature_cols],
-            F.count(F.lit(1)).alias("n_points"),
+        # The final centroids ARE the last recalc result (reference
+        # semantics: output = recalc of the final iteration) — no extra
+        # assignment pass needed; counts come from that same iteration.
+        rows = [
+            (int(cid), *[float(v) for v in vals], int(counts.get(cid, 0)))
+            for cid, *vals in cents
+        ]
+        return spark.createDataFrame(
+            rows, ["cluster_id", *[f"c_{c}" for c in feature_cols], "n_points"]
         )
     finally:
-        # Lazy plans above already reference the cached data; unpersist is
-        # deferred to the caller's action completing (non-blocking).
         points.unpersist(blocking=False)
 
 

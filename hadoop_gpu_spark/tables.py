@@ -34,6 +34,9 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    # Timestamp semantics must not depend on who built the session: pin
+    # UTC (timestamp literals/formatting in queries assume it).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS); without this runtime conf
         # any externally-created session (e.g. the driver's) fails with

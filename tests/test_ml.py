@@ -50,13 +50,8 @@ def test_kmeans_dataframe_matches_numpy(spark, sf_dir):
     )
     out = kmeans_dataframe(points, init, ["x", "y"], k=k, max_iter=3).toPandas()
     got = out.sort_values("cluster_id")[["c_x", "c_y"]].to_numpy()
-    d = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-    final_assign = d.argmin(axis=1)
-    expect = np.stack([
-        pts[final_assign == c].mean(axis=0) if (final_assign == c).any() else cents[c]
-        for c in range(k)
-    ])
-    assert np.allclose(got, expect, atol=1e-6)
+    # output = centroids after the final recalc (reference semantics)
+    assert np.allclose(got, cents, atol=1e-6)
 
 
 def test_kmeans_grouped_reference_semantics(spark):
