@@ -163,3 +163,39 @@ def asof_join(
     for c in right_cols:
         out = out.withColumnRenamed(f"__r_{c}", c)
     return out
+
+
+def cogroup_tagged_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    fn=None,
+    schema: str | None = None,
+) -> DataFrame:
+    """The reference's reduce-side tagged join in literal form.
+
+    DataJoinReducerBase regroups per key by source tag and emits the
+    cross-product of tag groups (DJ/DataJoinReducerBase.java:174-214).
+    Spark's native equivalent is ``groupBy().cogroup().applyInPandas``:
+    ``fn(left_pdf, right_pdf) -> pdf`` sees both sides' whole key-groups —
+    the general hook for custom combine logic the reference exposed via
+    ``collect()`` overrides. Default fn = inner cross-product per key
+    (requires ``schema`` covering left+right non-key columns).
+    """
+    import pandas as pd
+
+    if fn is None:
+        l_cols = [c for c in left.columns]
+        r_cols = [c for c in right.columns if c != on]
+        schema = schema or ", ".join(
+            f"{c} {t}" for c, t in
+            [(f.name, f.dataType.simpleString()) for f in left.schema]
+            + [(f.name, f.dataType.simpleString()) for f in right.schema if f.name != on]
+        )
+
+        def fn(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+            if l.empty or r.empty:
+                return pd.DataFrame(columns=l_cols + r_cols)
+            return l.merge(r.drop(columns=[on]), how="cross")
+
+    return left.groupby(on).cogroup(right.groupby(on)).applyInPandas(fn, schema=schema)

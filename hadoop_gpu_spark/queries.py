@@ -1398,3 +1398,90 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 hybrid dual-implementation operator through the gate: per-doc token
+# stats computed by a HybridOp (CPU pandas path; identical-GPU contract).
+# Routing degrades to CPU here (no CUDA) — exactly the reference's
+# behavior on GPU-less nodes.
+# ---------------------------------------------------------------------------
+@query(
+    "q_hybrid_token_stats",
+    oracle=f"""
+    SELECT doc_id, len({_SQL_TOKS})::BIGINT AS n_tokens
+    FROM documents
+    """,
+)
+def q_hybrid_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from hadoop_gpu_spark.hybrid import HybridOp, run_hybrid
+
+    def count_tokens(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_tokens": pdf["text"].str.split().str.len()}
+            )
+
+    op = HybridOp(
+        "token_stats", count_tokens, "doc_id long, n_tokens long", gpu_fn=count_tokens
+    )
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return run_hybrid(op, docs)
+
+
+# ---------------------------------------------------------------------------
+# §2.10 subprocess (streaming/pipes) surface through the gate: documents
+# piped through `cat`, counted per language downstream.
+# ---------------------------------------------------------------------------
+@query(
+    "q_pipe_lang_counts",
+    oracle="SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang",
+)
+def q_pipe_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.operators.pipes import pipe_map
+
+    docs = T(spark, sf_dir, "documents").select(
+        F.col("lang").alias("k"), F.col("doc_id").cast("string").alias("v")
+    )
+    piped = pipe_map(docs, "cat")
+    return piped.groupBy(F.col("k").alias("lang")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Scale-path sketches (rows-only: sketch internals are engine-specific):
+# approx distinct + approx quantiles — the 100 TB replacements for exact
+# countDistinct / percentile.
+# ---------------------------------------------------------------------------
+@query("q_approx_stats")
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("approx_p99_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 reduce-side tagged join in literal cogroup form through the gate.
+# ---------------------------------------------------------------------------
+@query(
+    "q_cogroup_join",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q_cogroup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.operators.joins import cogroup_tagged_join
+
+    nation = T(spark, sf_dir, "nation").select(
+        F.col("n_regionkey").alias("rk"), "n_nationkey", "n_name"
+    )
+    region = T(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("rk"), "r_name"
+    )
+    out = cogroup_tagged_join(nation, region, "rk")
+    return out.select("n_nationkey", "n_name", "r_name")

@@ -217,3 +217,16 @@ def test_salted_join_matches_plain(spark, sf_dir):
     plain = orders.join(customer, "k").count()
     salted = salted_join(orders, customer, "k", n_salts=4, big_salt_source="o_orderkey").count()
     assert salted == plain
+
+
+def test_cogroup_tagged_join_equals_inner_join(spark):
+    from hadoop_gpu_spark.operators.joins import cogroup_tagged_join
+
+    a = spark.createDataFrame([(1, "a1"), (2, "a2"), (2, "a2b")], ["k", "va"])
+    b = spark.createDataFrame([(2, "b2"), (2, "b2b"), (3, "b3")], ["k", "vb"])
+    via_cogroup = cogroup_tagged_join(a, b, "k").toPandas()
+    via_join = a.join(b, "k").toPandas()
+    key = lambda d: sorted(map(tuple, d[["k", "va", "vb"]].values.tolist()))
+    # per-key cross product (2 a-rows x 2 b-rows at k=2) matches the join
+    assert key(via_cogroup) == key(via_join)
+    assert len(via_cogroup) == 4
