@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from hadoop_gpu_spark.operators.fields import token_counts
 from hadoop_gpu_spark.operators.kvjob import kv_job, wordcount_kvjob
 from hadoop_gpu_spark.operators.pipes import pipe_map, pipe_reduce
@@ -128,3 +130,32 @@ def test_near_dedup_pipeline(spark, sf_dir):
     assert 0 < out.count() <= docs.count()
     # idempotent-ish: survivors contain no exact duplicate texts
     assert out.select("text").distinct().count() == out.count()
+
+
+def test_kvjob_side_input_lookup(spark, sf_dir):
+    # DistributedCache idiom: broadcast dim probed inside map_fn.
+    from hadoop_gpu_spark.operators.kvjob import kv_job, side_input
+
+    nation = load_table(spark, "nation", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    lookup = side_input(nation, "n_nationkey", "n_name")
+
+    def mapper(row):
+        yield lookup.value.get(row.c_nationkey, "?"), 1
+
+    def reducer(k, vals):
+        yield k, sum(vals)
+
+    got = {
+        r["k"]: r["v"]
+        for r in kv_job(
+            customer.select("c_nationkey"), mapper, reducer,
+            value_type="long", out_value_type="long",
+        ).collect()
+    }
+    expect = {
+        r["n_name"]: r["cnt"]
+        for r in customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == expect
