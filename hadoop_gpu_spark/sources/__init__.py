@@ -72,12 +72,22 @@ def write_parquet(
     mode: str = "overwrite",
     sort_by: list[str] | None = None,
     compression: str = "zstd",
+    bloom_cols: list[str] | None = None,
+    **options: str,
 ) -> None:
     """SequenceFileOutputFormat successor; with sort_by, MapFileOutputFormat
     semantics (sorted runs + parquet min/max index = sparse index +
-    getClosest via row-group pruning, C/io/MapFile.java:49)."""
+    getClosest via row-group pruning, C/io/MapFile.java:49); with
+    bloom_cols, BloomMapFile semantics (fast negative point lookups,
+    C/io/BloomMapFile.java:45 — parquet bloom filters serve the same
+    reads-that-miss fast path)."""
     out = df.sortWithinPartitions(*sort_by) if sort_by else df
-    out.write.mode(mode).option("compression", compression).parquet(path)
+    w = out.write.mode(mode).option("compression", compression)
+    for c in bloom_cols or []:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.parquet(path)
 
 
 def write_partitioned(

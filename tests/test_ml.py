@@ -116,3 +116,28 @@ def test_lloyd_backend_selection_and_fallback():
     assert select_lloyd_backend("numpy") is lloyd_numpy
     with _pytest.raises(ImportError):
         select_lloyd_backend("cupy")(np.zeros((4, 2)), np.zeros((2, 2)))
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    # Approximate path quality: IVF with nprobe=4 over 16 cells must agree
+    # with exact brute force on most of the top-5 lists.
+    from pyspark.sql import functions as F2
+
+    from hadoop_gpu_spark.similarity.ann import (
+        assign_to_centroids,
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = emb.filter(F2.col("vec_id") < 16).select(
+        F2.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = assign_to_centroids(emb, centroids, "embedding", "vec_id")
+    queries_df = emb.filter(F2.col("vec_id") < 8)
+    exact = brute_force_topk(emb, queries_df, "embedding", "vec_id", k=5)
+    approx = ivf_topk(assigned, centroids, queries_df, "embedding", "vec_id", k=5, nprobe=4)
+    e = {(r["qid"], r["nid"]) for r in exact.collect()}
+    a = {(r["qid"], r["nid"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
