@@ -66,3 +66,13 @@ def test_sliding_window_avg_runs(spark, sf_dir):
     # each event contributes to window/slide = 2 overlapping windows →
     # slide rows ≈ 2x the hourly distinct (hour, type) combos, minus edges
     assert out["avg_value"].notna().all()
+
+
+def test_stream_query_reinvocable(spark, sf_dir):
+    # The driver may invoke a gate query more than once per session; the
+    # streaming-backed entry must tolerate repeated starts of its sink.
+    from hadoop_gpu_spark.queries import QUERIES
+
+    a = QUERIES["q_stream_hourly"](spark, sf_dir).count()
+    b = QUERIES["q_stream_hourly"](spark, sf_dir).count()
+    assert a == b > 0
