@@ -1485,3 +1485,124 @@ def q_cogroup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = cogroup_tagged_join(nation, region, "rk")
     return out.select("n_nationkey", "n_name", "r_name")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: order-priority checking — semi join (EXISTS) with a date
+# window.
+# ---------------------------------------------------------------------------
+@query(
+    "q04_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    matched = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: forecasting revenue — pure scan filter + single agg
+# (the canonical predicate-pushdown benchmark query).
+# ---------------------------------------------------------------------------
+@query(
+    "q06_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_discount").cast("decimal(12,2)")
+    return li.agg(
+        F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume customers — HAVING over a grouped sum,
+# re-joined to detail.
+# ---------------------------------------------------------------------------
+@query(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+    SELECT c_custkey, o_orderkey, total_qty,
+           o_totalprice
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    customer = T(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    j = big.join(orders, big.l_orderkey == orders.o_orderkey).join(
+        customer, orders.o_custkey == customer.c_custkey
+    )
+    return j.select("c_custkey", "o_orderkey", "total_qty", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy dedup metric: edit distance over LSH candidate-pair prefixes
+# (levenshtein — identical classical semantics in both engines).
+# ---------------------------------------------------------------------------
+@query(
+    "q_dedup_edit_distance",
+    oracle=f"""
+    WITH pairs AS ({_minhash_pairs_sql()})
+    SELECT p.a, p.b,
+           levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80))::BIGINT AS edit_dist
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.a
+    JOIN documents db ON db.doc_id = p.b
+    """,
+)
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.dedup.minhash import lsh_candidate_pairs
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "text", "doc_id")
+    da = docs.select(F.col("doc_id").alias("a"), F.substring("text", 1, 80).alias("__ta"))
+    db = docs.select(F.col("doc_id").alias("b"), F.substring("text", 1, 80).alias("__tb"))
+    return (
+        pairs.join(da, "a")
+        .join(db, "b")
+        .select("a", "b", F.levenshtein("__ta", "__tb").cast("long").alias("edit_dist"))
+    )
