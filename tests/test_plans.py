@@ -85,3 +85,12 @@ def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "lang" in plan
     n_en = docs.filter(F.col("lang") == "en").count()
     assert back.count() == n_en
+
+
+def test_q06_filters_pushed_to_scan(spark, sf_dir):
+    # Q6 is the canonical pushdown query: every predicate must reach the
+    # parquet scan as PushedFilters.
+    df = QUERIES["q06_forecast_revenue"](spark, sf_dir)
+    pf = plans.pushed_filters(df)
+    for col in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert col in pf, f"{col} not pushed: {pf}"
