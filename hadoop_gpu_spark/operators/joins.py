@@ -133,6 +133,11 @@ def asof_join(
     the as-of key within each ``by`` group — one shuffle on (by, on), no
     cross product. This matches DuckDB's ASOF JOIN semantics for the
     backward direction (lossy: left rows with no prior right row keep NULL).
+
+    Scale caveat: with ``by=[]`` the window is global (single partition) —
+    fine for small lookup tables (MapFile.getClosest); for large un-keyed
+    as-ofs, range-partition on ``on`` and run per-partition with boundary
+    rows replicated.
     """
     if direction != "backward":
         raise NotImplementedError("only backward as-of is implemented")
