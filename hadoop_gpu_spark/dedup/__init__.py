@@ -28,34 +28,37 @@ def near_dedup(
     jaccard_threshold: float = 0.8,
 ):
     """End-to-end near-duplicate removal: exact dedup + MinHash/LSH
-    candidates + n-gram Jaccard verification; survivors keep the min id
-    per duplicate group (connected via a union over verified pairs is
-    approximated by direct min — adequate for the common chain-free case).
+    candidates + n-gram Jaccard verification + transitive grouping via
+    connected components (a~b, b~c ⇒ one group); survivors keep the min
+    id per component.
 
     Returns the deduplicated DataFrame. Scale shape: two text scans
-    (hashing), shuffles carry only ids/hashes.
+    (hashing); every shuffle carries only ids/hashes; the CC loop runs
+    over the (small) verified-pair graph.
     """
     from pyspark.sql import functions as F
 
+    from hadoop_gpu_spark.dedup.components import dedup_survivors
     from hadoop_gpu_spark.dedup.ngram import ngram_jaccard_pairs
 
     exact = exact_dedup(df, text_col, id_col)
-    exact_losers = (
+    exact_pairs = (
         exact.filter(F.col("copies") > 1)
         .join(
             df.select(md5_col(text_col).alias("text_hash"), F.col(id_col)),
             "text_hash",
         )
         .filter(F.col(id_col) != F.col("keep_id"))
-        .select(id_col)
+        .select(F.col("keep_id").alias("a"), F.col(id_col).alias("b"))
     )
-    pairs = lsh_candidate_pairs(df, text_col, id_col)
-    verified = ngram_jaccard_pairs(pairs, df, id_col, text_col).filter(
-        F.col("jaccard") >= jaccard_threshold
+    cand = lsh_candidate_pairs(df, text_col, id_col)
+    near_pairs = (
+        ngram_jaccard_pairs(cand, df, id_col, text_col)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b")
     )
-    near_losers = verified.select(F.col("b").alias(id_col)).distinct()
-    losers = exact_losers.unionByName(near_losers).distinct()
-    return df.join(losers, on=id_col, how="left_anti")
+    all_pairs = exact_pairs.unionByName(near_pairs).distinct()
+    return dedup_survivors(df, all_pairs, id_col)
 
 
 def md5_col(text_col: str):

@@ -230,3 +230,26 @@ def test_cogroup_tagged_join_equals_inner_join(spark):
     # per-key cross product (2 a-rows x 2 b-rows at k=2) matches the join
     assert key(via_cogroup) == key(via_join)
     assert len(via_cogroup) == 4
+
+
+def test_connected_components_transitive_groups(spark):
+    from hadoop_gpu_spark.dedup.components import connected_components, dedup_survivors
+
+    # chain 1-2, 2-3 plus separate pair 10-11 plus isolated node via df
+    pairs = spark.createDataFrame([(2, 1), (2, 3), (10, 11)], ["a", "b"])
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in [1, 2, 3, 10, 11, 99]], ["doc_id", "text"])
+    surv = sorted(r["doc_id"] for r in dedup_survivors(docs, pairs, "doc_id").collect())
+    assert surv == [1, 10, 99]
+
+
+def test_connected_components_long_chain(spark):
+    from hadoop_gpu_spark.dedup.components import connected_components
+
+    # a 12-node path exercises multi-round convergence
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], ["a", "b"])
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert set(comp.values()) == {0}
