@@ -60,6 +60,7 @@ def kv_job(
     num_partitions: int | None = None,
     value_sort: bool = False,
     skip_bad_records: bool = False,
+    partition_expr=None,
 ) -> DataFrame:
     """Run a full MR-contract job over ``df``'s rows. Returns (key, value).
 
@@ -73,6 +74,12 @@ def kv_job(
     ``kvjob.skipped``) instead of failing the job. The reference narrows
     bad ranges by binary-search re-execution; per-record granularity here
     is strictly finer.
+
+    ``partition_expr`` is the custom Partitioner hook
+    (M/Partitioner.java:35 getPartition(k, v, n)): a Column over (k, v)
+    whose hash decides the shuffle target — e.g.
+    ``F.substring(F.col("k"), 1, 1)`` reproduces a first-letter
+    partitioner. Default: hash of k (M/lib/HashPartitioner.java:29-34).
     """
     kv_schema = f"k {key_type}, v {value_type}"
     skipped_acc = (
@@ -106,7 +113,7 @@ def kv_job(
         mapped = mapped.mapInPandas(run_combine, schema=kv_schema)
 
     n_parts = num_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    shuffled = mapped.repartition(n_parts, "k")
+    shuffled = mapped.repartition(n_parts, partition_expr if partition_expr is not None else F.col("k"))
     sort_cols = ["k", "v"] if value_sort else ["k"]
     sorted_parts = shuffled.sortWithinPartitions(*sort_cols)
 

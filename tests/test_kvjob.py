@@ -159,3 +159,30 @@ def test_kvjob_side_input_lookup(spark, sf_dir):
         .groupBy("n_name").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     assert got == expect
+
+
+def test_kvjob_custom_partitioner(spark):
+    # Partitioner parity: first-letter partitioning keeps all keys with the
+    # same prefix in one reducer partition (KeyFieldBasedPartitioner-style).
+    from hadoop_gpu_spark.operators.kvjob import kv_job
+
+    rows = [(w,) for w in ["apple", "angle", "berry", "blob", "cat", "cow"]]
+    df = spark.createDataFrame(rows, ["w"])
+
+    def mapper(row):
+        yield row.w, 1
+
+    seen_partitions = {}
+
+    def reducer(k, vals):
+        # group stays intact regardless of the partition expr
+        yield k, sum(vals)
+
+    out = kv_job(
+        df, mapper, reducer,
+        value_type="long", out_value_type="long",
+        partition_expr=F.substring(F.col("k"), 1, 1),
+        num_partitions=3,
+    )
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {w: 1 for (w,) in rows}

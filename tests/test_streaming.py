@@ -76,3 +76,31 @@ def test_stream_query_reinvocable(spark, sf_dir):
     a = QUERIES["q_stream_hourly"](spark, sf_dir).count()
     b = QUERIES["q_stream_hourly"](spark, sf_dir).count()
     assert a == b > 0
+
+
+def test_foreach_batch_partitioned_sink(spark, sf_dir, tmp_path):
+    # Streaming MultipleOutputs analog: foreachBatch routing each
+    # micro-batch into a lang-partitioned parquet table... for events,
+    # partition by event_type.
+    import os
+
+    from hadoop_gpu_spark.streaming import events_stream
+
+    out_dir = str(tmp_path / "by_type")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").partitionBy("event_type").parquet(out_dir)
+
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    dirs = {d for d in os.listdir(out_dir) if d.startswith("event_type=")}
+    assert len(dirs) == 5  # signup/click/error/view/purchase
+    back = spark.read.parquet(out_dir)
+    from hadoop_gpu_spark.tables import load_table
+    assert back.count() == load_table(spark, "events", sf_dir).count()
