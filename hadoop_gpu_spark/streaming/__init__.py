@@ -163,3 +163,21 @@ def drain_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def exact_dedup_stream(
+    stream: DataFrame, text_col: str = "props", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: md5 content hash + watermarked
+    dropDuplicates — state holds one hash per distinct document inside the
+    watermark horizon (bounded; the batch near_dedup handles historical
+    cross-horizon dupes).
+    """
+    hashed = stream.withColumn(
+        "__h", F.md5(F.encode(F.col(text_col).cast("string"), "UTF-8"))
+    )
+    return (
+        hashed.withWatermark("ts", watermark)
+        .dropDuplicates(["__h"])
+        .drop("__h")
+    )

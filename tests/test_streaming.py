@@ -104,3 +104,23 @@ def test_foreach_batch_partitioned_sink(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out_dir)
     from hadoop_gpu_spark.tables import load_table
     assert back.count() == load_table(spark, "events", sf_dir).count()
+
+
+def test_exact_dedup_stream(spark, sf_dir):
+    from hadoop_gpu_spark.streaming import events_stream, exact_dedup_stream
+    from hadoop_gpu_spark.tables import load_table
+
+    dedup = exact_dedup_stream(events_stream(spark, sf_dir), text_col="props")
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream").count()
+    distinct_props = (
+        load_table(spark, "events", sf_dir).select("props").distinct().count()
+    )
+    assert got == distinct_props
