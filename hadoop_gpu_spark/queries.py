@@ -1606,3 +1606,93 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(db, "b")
         .select("a", "b", F.levenshtein("__ta", "__tb").cast("long").alias("edit_dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-mitigation machinery under the gate: two-level salted aggregation
+# must equal the plain GROUP BY (oracle IS the plain form).
+# ---------------------------------------------------------------------------
+@query(
+    "q_salted_agg",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.operators.skew import salted_agg
+
+    li = T(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        ["l_returnflag"],
+        n_salts=8,
+        salt_source="l_orderkey",
+        partials=[(F.count(F.lit(1)), "cnt"), (F.sum("l_quantity"), "sum_qty")],
+        finals=[("sum", "cnt"), ("sum", "sum_qty")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (iterative label propagation) vs a recursive-CTE
+# transitive-closure oracle — the distributed iterative algorithm under
+# the exact-match gate.
+# ---------------------------------------------------------------------------
+def _cc_oracle_sql(pairs_sql: str) -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(src, dst) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src
+    """
+
+
+@query("q_connected_components", oracle=_cc_oracle_sql(_minhash_pairs_sql()))
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.dedup.components import connected_components
+    from hadoop_gpu_spark.dedup.minhash import lsh_candidate_pairs
+
+    pairs = lsh_candidate_pairs(T(spark, sf_dir, "documents"), "text", "doc_id")
+    return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# The flagship LLM-pipeline op end-to-end under the gate: near_dedup
+# survivors (exact + LSH + Jaccard-verified + transitive components) vs a
+# fully SQL-expressed oracle of the same pipeline.
+# ---------------------------------------------------------------------------
+def _near_dedup_oracle_sql(threshold: float = 0.8) -> str:
+    return f"""
+    WITH RECURSIVE
+    g AS (SELECT doc_id, md5(text) AS h FROM documents),
+    keep AS (SELECT h, MIN(doc_id) AS k FROM g GROUP BY h),
+    exact_pairs AS (
+      SELECT keep.k AS a, g.doc_id AS b
+      FROM g JOIN keep ON g.h = keep.h WHERE g.doc_id <> keep.k),
+    near_pairs AS (
+      SELECT a, b FROM ({_ngram_jaccard_sql()}) WHERE jaccard >= {threshold}),
+    dup_pairs AS (SELECT a, b FROM exact_pairs UNION SELECT a, b FROM near_pairs),
+    edges AS (SELECT a, b FROM dup_pairs UNION SELECT b AS a, a AS b FROM dup_pairs),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(src, dst) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src),
+    losers AS (SELECT node FROM comp WHERE node <> component)
+    SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
+    """
+
+
+@query("q_near_dedup_survivors", oracle=_near_dedup_oracle_sql())
+def q_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.dedup import near_dedup
+
+    docs = T(spark, sf_dir, "documents")
+    return near_dedup(docs, jaccard_threshold=0.8).select("doc_id")
