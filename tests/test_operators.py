@@ -253,3 +253,15 @@ def test_connected_components_long_chain(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], ["a", "b"])
     comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
     assert set(comp.values()) == {0}
+
+
+def test_parse_field_spec():
+    import pytest as _pytest
+
+    from hadoop_gpu_spark.operators.fields import parse_field_spec
+
+    assert parse_field_spec("0-2:4") == [0, 1, 2, 4]
+    assert parse_field_spec("3") == [3]
+    assert parse_field_spec("1:0") == [1, 0]  # reorder preserved
+    with _pytest.raises(ValueError):
+        parse_field_spec("3-")
