@@ -1696,3 +1696,73 @@ def q_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = T(spark, sf_dir, "documents")
     return near_dedup(docs, jaccard_threshold=0.8).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item reporting — revenue lost to returns per
+# customer+nation, top 20.
+# ---------------------------------------------------------------------------
+@query(
+    "q10_returned_items",
+    oracle="""
+    WITH rev AS (
+      SELECT c_custkey, ANY_VALUE(c_name) AS c_name, ANY_VALUE(n_name) AS n_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey)
+    SELECT c_custkey, c_name, n_name, revenue
+    FROM rev ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = T(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    j = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    g = j.groupBy("c_custkey").agg(
+        F.any_value("c_name").alias("c_name"),
+        F.any_value("n_name").alias("n_name"),
+        F.sum(revenue).cast("double").alias("revenue"),
+    )
+    return sort_ops.top_k(g, [F.col("revenue").desc(), F.col("c_custkey").asc()], 20)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promotion effect — conditional aggregation ratio.
+# ---------------------------------------------------------------------------
+@query(
+    "q14_promo_effect",
+    oracle="""
+    SELECT
+      CAST(SUM(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+               ELSE 0 END) AS DOUBLE) AS promo_revenue,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").select("p_partkey", "p_type")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0).cast("decimal(12,2)")))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum(revenue).cast("double").alias("total_revenue"),
+    )
