@@ -1766,3 +1766,558 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("promo_revenue"),
         F.sum(revenue).cast("double").alias("total_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H remainder: the full relational-shape suite (Q2/Q7/Q8/Q9/Q11/Q12/Q13/
+# Q15/Q16/Q17/Q19/Q20/Q21/Q22 adapted to the driver schema — no partsupp
+# table, no shipmode/commitdate columns, so each query keeps the *plan shape*
+# (correlated aggregates, scalar subqueries, exists/anti, OR-of-ANDs
+# pushdown) against the columns that exist).
+#
+# Scale notes (100 TB): nation/region are O(10²) rows → always broadcast;
+# one-row scalar aggregates (totals, maxima, averages) are crossJoin-broadcast
+# so the threshold compare runs map-side with no extra shuffle; every
+# correlated-aggregate rewrite (Q17's per-part avg, Q20's per-supplier sum)
+# is a groupBy re-joined on its own key, which AQE plans as a shuffle that
+# reuses the join's hash partitioning.
+# ---------------------------------------------------------------------------
+@query(
+    "q02_min_cost_supplier",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    cand AS (
+      SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+      FROM part JOIN ps ON p_partkey = l_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+      WHERE p_size <= 10)
+    SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+    FROM cand
+    QUALIFY row_number() OVER (
+      PARTITION BY p_partkey ORDER BY s_acctbal ASC, s_suppkey ASC) = 1
+    """,
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per part (correlated-min rewritten
+    as a window argmin; reference analog: reduce-side secondary sort,
+    X/SecondarySort.java:51)."""
+    part = T(spark, sf_dir, "part").filter(F.col("p_size") <= 10).select(
+        "p_partkey", "p_name"
+    )
+    ps = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    supplier = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    cand = part.join(ps, part.p_partkey == ps.l_partkey).join(
+        supplier, ps.l_suppkey == supplier.s_suppkey
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("s_acctbal").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+@query(
+    "q07_volume_shipping",
+    oracle="""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+       OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume by year — double nation join
+    with a symmetric pair predicate."""
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(F.sum(revenue).cast("double").alias("revenue"))
+
+
+@query(
+    "q08_market_share",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
+                    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                    ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS mkt_share
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    GROUP BY 1
+    """,
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional revenue per year —
+    conditional-aggregation ratio over an 8-way star join."""
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    customer = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey")
+    )
+    n2 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = T(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    j = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    nation_rev = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", revenue).otherwise(
+            F.lit(0).cast("decimal(12,2)")
+        )
+    ).cast("double")
+    return j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        (nation_rev / F.sum(revenue).cast("double")).alias("mkt_share")
+    )
+
+
+@query(
+    "q09_product_type_profit",
+    oracle="""
+    SELECT n_name AS nation, CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year for parts matching
+    a name pattern (LIKE filter feeding a multi-join agg)."""
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select("p_partkey")
+    supplier = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    j = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("l_shipdate").cast("long").alias("o_year"),
+    ).agg(F.sum(revenue).cast("double").alias("profit"))
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS part_value
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_value
+      FROM lineitem)
+    SELECT l_partkey, part_value FROM pv, tot
+    WHERE part_value > 0.0008 * total_value
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose value exceeds a fraction of the global
+    total — scalar-subquery threshold. The global total is computed as an
+    order-independent decimal sum directly over lineitem (NOT by re-summing
+    the per-part doubles, which would be order-dependent) and broadcast as a
+    one-row frame so the filter is map-side."""
+    li = T(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    pv = li.groupBy("l_partkey").agg(F.sum(revenue).cast("double").alias("part_value"))
+    tot = li.agg(F.sum(revenue).cast("double").alias("total_value"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") > F.lit(0.0008) * F.col("total_value"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@query(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late-shipment priority counts — non-equi date
+    predicate between the two join sides + conditional counts."""
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey)
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer histogram — left outer join with
+    an extra join-side predicate, then a two-level aggregation."""
+    customer = T(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with maximum quarterly revenue — scalar
+    MAX subquery over a derived aggregate, equality on exact doubles."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(revenue).cast("double").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supplier = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q16_parts_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    excluding a supplier denylist — anti join + COUNT(DISTINCT)."""
+    part = T(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = T(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    li = li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+    j = part.join(li, part.p_partkey == li.l_partkey)
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pa AS (SELECT l_partkey AS pk, AVG(l_quantity) AS avg_qty
+                FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+                  JOIN pa ON pk = l_partkey
+    WHERE p_brand = 'Brand#3' AND l_quantity < 0.5 * avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue of below-half-average-quantity lineitems —
+    correlated per-part AVG rewritten as a self-agg re-join. l_quantity is
+    integer-valued so the fp sum inside AVG is exact and the threshold is
+    bit-deterministic in both engines."""
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    j = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(pa, li.l_partkey == pa.pk)
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+    )
+    return j.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+            / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs mixed-table predicate. Catalyst extracts
+    the common part-side disjunction (brand/size) below the join while the
+    mixed brand×quantity conjuncts stay in the post-join filter."""
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#2") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#3") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#4") & s.between(1, 15) & q.between(20, 30))
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    j = li.join(part, li.l_partkey == part.p_partkey).filter(cond)
+    return j.agg(F.sum(revenue).cast("double").alias("revenue"))
+
+
+@query(
+    "q20_potential_promotion",
+    oracle="""
+    WITH sq AS (
+      SELECT l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'red%'
+      GROUP BY l_suppkey),
+    thr AS (SELECT 1.2 * (SUM(qty) / COUNT(*)) AS cut FROM sq)
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM sq, thr WHERE qty > cut)
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved above-average volume of
+    name-matched parts — nested aggregate subquery feeding a semi join. The
+    threshold is relative (1.2× mean per-supplier quantity) so selectivity
+    is stable across scale factors; per-supplier sums of integer-valued
+    quantities are fp-exact, making the mean bit-deterministic."""
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    red = T(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    sq = (
+        li.join(red, li.l_partkey == red.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    thr = sq.agg((F.lit(1.2) * (F.sum("qty") / F.count("*"))).alias("cut"))
+    hot = sq.crossJoin(F.broadcast(thr)).filter(F.col("qty") > F.col("cut"))
+    supplier = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return supplier.join(
+        hot, supplier.s_suppkey == hot.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "q21_waiting_orders",
+    oracle="""
+    WITH l1 AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R' AND o_orderstatus = 'F'),
+    la AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    lr AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE EXISTS (SELECT 1 FROM la
+                  WHERE la.l_orderkey = l1.l_orderkey AND la.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lr
+                      WHERE lr.l_orderkey = l1.l_orderkey AND lr.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC LIMIT 20
+    """,
+)
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: sole-returning supplier on multi-supplier finished
+    orders — EXISTS + NOT EXISTS as left_semi / left_anti self-joins on
+    (same order, different supplier)."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    la = li.select(
+        F.col("l_orderkey").alias("a_orderkey"), F.col("l_suppkey").alias("a_suppkey")
+    ).distinct()
+    lr = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("r_orderkey"), F.col("l_suppkey").alias("r_suppkey")
+        )
+        .distinct()
+    )
+    cand = l1.join(
+        la,
+        (l1.l_orderkey == la.a_orderkey) & (l1.l_suppkey != la.a_suppkey),
+        "left_semi",
+    ).join(
+        lr,
+        (l1.l_orderkey == F.col("r_orderkey")) & (l1.l_suppkey != F.col("r_suppkey")),
+        "left_anti",
+    )
+    supplier = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    g = (
+        cand.join(F.broadcast(supplier), cand.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+    return sort_ops.top_k(g, [F.col("numwait").desc(), F.col("s_name").asc()], 20)
+
+
+@query(
+    "q22_global_sales",
+    oracle="""
+    WITH recent AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'),
+    avgbal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS cut
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT CAST(c_custkey % 7 AS BIGINT) AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer, avgbal
+    WHERE c_acctbal > cut
+      AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+    GROUP BY 1
+    """,
+)
+def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich-but-dormant customers per derived country code —
+    scalar AVG subquery (decimal-exact mean over positive balances) + anti
+    join against recent purchasers. All customers have *some* order in this
+    dataset, so dormancy is defined against a recent-order window."""
+    customer = T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    recent = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    pos = customer.filter(F.col("c_acctbal") > 0.0)
+    avgbal = pos.agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("cut")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avgbal))
+        .filter(F.col("c_acctbal") > F.col("cut"))
+        .join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy((F.col("c_custkey") % 7).cast("long").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("totacctbal"),
+        )
+    )
