@@ -33,6 +33,9 @@ HEADLINE = [
     "q03_shipping_priority",
     "q05_local_supplier_volume",
     "q_dedup_simhash",
+    "q09_product_type_profit",
+    "q13_customer_distribution",
+    "q21_waiting_orders",
 ]
 
 

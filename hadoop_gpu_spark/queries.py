@@ -1976,18 +1976,22 @@ def q09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose value exceeds a fraction of the global
-    total — scalar-subquery threshold. The global total is computed as an
-    order-independent decimal sum directly over lineitem (NOT by re-summing
-    the per-part doubles, which would be order-dependent) and broadcast as a
-    one-row frame so the filter is map-side."""
+    total — scalar-subquery threshold. The per-part sums stay decimal
+    (exact and associative), so the global total is re-aggregated from the
+    persisted per-part frame rather than a second pass over the fact table
+    — one lineitem scan instead of two, and the persisted intermediate is
+    only |parts| rows. Re-summing *doubles* would be order-dependent; the
+    decimal re-sum is bit-identical to DuckDB's direct total. The one-row
+    total is broadcast so the threshold filter runs map-side."""
     li = T(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
         F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
     )
-    pv = li.groupBy("l_partkey").agg(F.sum(revenue).cast("double").alias("part_value"))
-    tot = li.agg(F.sum(revenue).cast("double").alias("total_value"))
+    pv_dec = li.groupBy("l_partkey").agg(F.sum(revenue).alias("rev_dec")).persist()
+    tot = pv_dec.agg(F.sum("rev_dec").cast("double").alias("total_value"))
     return (
-        pv.crossJoin(F.broadcast(tot))
+        pv_dec.select("l_partkey", F.col("rev_dec").cast("double").alias("part_value"))
+        .crossJoin(F.broadcast(tot))
         .filter(F.col("part_value") > F.lit(0.0008) * F.col("total_value"))
         .select("l_partkey", "part_value")
     )
