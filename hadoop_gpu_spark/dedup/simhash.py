@@ -33,7 +33,11 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, simhash BIGINT). Explode-free: one pass of array expressions.
 
     Bit j of the result = sign of sum over tokens of (+1 if token-hash bit
-    j set else -1).
+    j set else -1). The token array is folded ONCE into a 60-element
+    per-bit ones-count accumulator (zip_with inside a single F.aggregate),
+    then the sign word is assembled from that array — O(tokens * 60) bit
+    ops total instead of 60 full re-traversals of the hash array, and one
+    small expression tree instead of 60 independent aggregates.
     """
     from hadoop_gpu_spark.utils import ensure_min_partitions
 
@@ -41,18 +45,30 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     toks = tokenize(text_col)
     hashes = F.transform(toks, _token_hash60)
     df2 = df.select(F.col(id_col), hashes.alias("__th"), F.size(toks).alias("__n"))
-    # ones_j = number of tokens with bit j set; sign positive iff 2*ones > n.
-    def bit_adder(j: int):
-        # exactly-two-arg lambda required by F.aggregate
-        return lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1))
-
-    bit_terms = []
-    for j in range(BITS):
-        ones = F.aggregate(F.col("__th"), F.lit(0).cast("long"), bit_adder(j))
-        bit_terms.append(F.when(ones * 2 > F.col("__n"), F.lit(1 << j).cast("long")).otherwise(F.lit(0)))
-    total = bit_terms[0]
-    for t in bit_terms[1:]:
-        total = total + t
+    # masks[j] = 1 << j; ones[j] = number of tokens with bit j set.
+    masks = F.array(*[F.lit(1 << j).cast("long") for j in range(BITS)])
+    ones = F.aggregate(
+        F.col("__th"),
+        F.array_repeat(F.lit(0).cast("long"), BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+    )
+    # Sign positive iff 2*ones > n; the word is the sum of the set masks.
+    total = F.aggregate(
+        F.zip_with(
+            ones,
+            masks,
+            lambda c, m: F.when(c * 2 > F.col("__n"), m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return df2.select(id_col, total.alias("simhash"))
 
 

@@ -217,12 +217,20 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT')
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Restricted to urgent orders so the anti side is non-empty at every SF
+    # (every customer has *some* order in this dataset — an unfiltered anti
+    # join would pass vacuously on 0 rows).
     customer = T(spark, sf_dir, "customer")
-    orders = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    orders = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return join_ops.anti_join(customer, orders, on="c_custkey").select("c_custkey", "c_name")
 
 
@@ -434,12 +442,14 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey FROM customer
     EXCEPT
-    SELECT o_custkey AS c_custkey FROM orders
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
     """,
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Subtrahend restricted to finished orders so the difference is
+    # non-empty at every SF (see q_join_anti note).
     customer = T(spark, sf_dir, "customer")
-    orders = T(spark, sf_dir, "orders")
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return customer.select("c_custkey").exceptAll(
         orders.select(F.col("o_custkey").alias("c_custkey"))
     ).distinct()
@@ -1256,14 +1266,16 @@ _NEARDUP_COS_SQL = (
     SELECT e1.vec_id AS a, e2.vec_id AS b, round({_NEARDUP_COS_SQL}, 9) AS cos
     FROM embeddings e1 JOIN embeddings e2
       ON e1.label = e2.label AND e1.vec_id < e2.vec_id
-    WHERE e1.vec_id % 4 = 0 AND e2.vec_id % 4 = 0
-      AND {_NEARDUP_COS_SQL} >= 0.8
+    WHERE {_NEARDUP_COS_SQL} >= 0.3
     """,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Threshold 0.3 (not the production-typical 0.8): the synthetic
+    # embeddings max out at ~0.38 within-label cosine, and a gate that
+    # returns 0 rows proves nothing. 82 pairs at sf0.001, 111 at sf0.01.
     from hadoop_gpu_spark.functions.vectors import cosine
 
-    emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    emb = T(spark, sf_dir, "embeddings")
     e1 = emb.select(
         F.col("label"), F.col("vec_id").alias("a"), F.col("embedding").alias("__v1")
     )
@@ -1272,7 +1284,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = e1.join(e2, on="label").filter(F.col("a") < F.col("b"))
     cos = cosine("__v1", "__v2")
-    return pairs.filter(cos >= 0.8).select("a", "b", F.round(cos, 9).alias("cos"))
+    return pairs.filter(cos >= 0.3).select("a", "b", F.round(cos, 9).alias("cos"))
 
 
 # ---------------------------------------------------------------------------
@@ -2237,40 +2249,34 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: sole-returning supplier on multi-supplier finished
-    orders — EXISTS + NOT EXISTS as left_semi / left_anti self-joins on
-    (same order, different supplier)."""
+    orders.
+
+    The EXISTS / NOT-EXISTS pair collapses to one per-order aggregation:
+    an order qualifies iff it has >= 2 distinct suppliers AND exactly one
+    distinct returning supplier (who is then the waiting one). ONE scan of
+    lineitem + one orderkey-keyed aggregation replaces the three
+    scan+distinct self-joins of the literal formulation — the shape that
+    survives 100 TB (the oracle keeps the EXISTS form as the semantic
+    spec). Round-1 plan had 3 lineitem scans / 4 shuffles; this has 1 / 2.
+    """
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    r_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(r_supp).alias("n_r_supp"),
+        F.min(r_supp).alias("r_suppkey"),
+    )
     orders = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey"
     )
-    l1 = (
-        li.filter(F.col("l_returnflag") == "R")
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    la = li.select(
-        F.col("l_orderkey").alias("a_orderkey"), F.col("l_suppkey").alias("a_suppkey")
-    ).distinct()
-    lr = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select(
-            F.col("l_orderkey").alias("r_orderkey"), F.col("l_suppkey").alias("r_suppkey")
-        )
-        .distinct()
-    )
-    cand = l1.join(
-        la,
-        (l1.l_orderkey == la.a_orderkey) & (l1.l_suppkey != la.a_suppkey),
-        "left_semi",
-    ).join(
-        lr,
-        (l1.l_orderkey == F.col("r_orderkey")) & (l1.l_suppkey != F.col("r_suppkey")),
-        "left_anti",
+    cand = (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+        .join(orders, per_order.l_orderkey == orders.o_orderkey)
+        .select("r_suppkey")
     )
     supplier = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     g = (
-        cand.join(F.broadcast(supplier), cand.l_suppkey == supplier.s_suppkey)
+        cand.join(F.broadcast(supplier), cand.r_suppkey == supplier.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
