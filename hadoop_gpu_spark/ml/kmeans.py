@@ -132,14 +132,22 @@ def _with_nearest(points: DataFrame, cents: list[tuple], feature_cols: list[str]
 
 
 def lloyd_numpy(
-    pts: np.ndarray, cents: np.ndarray, max_iter: int = 100, eps: float = 1.0
+    pts: np.ndarray,
+    cents: np.ndarray,
+    max_iter: int = 100,
+    eps: float = 1.0,
+    dtype=np.float32,
 ) -> tuple[np.ndarray, np.ndarray]:
     """The reference's in-map Lloyd loop (cpu-kmeans2D.cc:172-299) in numpy.
 
     float32 math like the C binary; returns (final centroids, assignments).
+    ``dtype=np.float64`` gives the exact mode: with integer-quantized
+    inputs every mean is an exact-sum/count and every distance decision is
+    bit-deterministic, so results are reproducible in SQL (the gate-query
+    construction — see queries.q_kmeans_grouped).
     """
-    pts = pts.astype(np.float32)
-    cents = cents.astype(np.float32).copy()
+    pts = pts.astype(dtype)
+    cents = cents.astype(dtype).copy()
     assign = np.zeros(len(pts), dtype=np.int64)
     for _ in range(max_iter):
         d = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -163,6 +171,7 @@ def kmeans_grouped(
     k: int,
     max_iter: int = 100,
     eps: float = 1.0,
+    dtype=np.float32,
 ) -> DataFrame:
     """Per-dataset k-means via applyInPandas (reference NLine model:
     one dataset = one task). Initial centroids = first k points by point
@@ -181,7 +190,7 @@ def kmeans_grouped(
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="mergesort")
         pts = pdf[feature_cols].to_numpy()
-        cents, assign = lloyd_numpy(pts, pts[:k], max_iter=max_iter, eps=eps)
+        cents, assign = lloyd_numpy(pts, pts[:k], max_iter=max_iter, eps=eps, dtype=dtype)
         rows = []
         for c in range(k):
             mask = assign == c

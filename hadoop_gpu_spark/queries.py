@@ -764,19 +764,61 @@ def q_matmul_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# k-means (ml.kmeans) — the reference's flagship GPU workload. Float
-# iteration order makes exact hashes meaningless → rows-only check (driver
-# records the weaker check; numeric parity vs numpy is covered in tests/).
+# k-means (ml.kmeans) — the reference's flagship GPU workload
+# (apps/pipes/kmeans/cpu-kmeans2D/cpu-kmeans2D.cc:100-170: assign by
+# squared euclidean, recalc = mean of assigned, fixed iteration budget).
+#
+# The gate runs on integer-quantized coordinates (floor(x * 1e6)): every
+# per-cluster SUM is then exact in fp regardless of accumulation order, the
+# centroid update is a single deterministic IEEE division, and each
+# distance/argmin decision is bit-identical across engines — so the full
+# 5-iteration Lloyd loop is SQL-expressible and hash-checkable (unrolled
+# DuckDB CTEs below). Ties in the argmin break on cluster id in both
+# engines (struct-min in Spark, ORDER BY d, cid in SQL).
 # ---------------------------------------------------------------------------
-@query("q_kmeans")
+def _kmeans_oracle_sql(k: int = 8, iters: int = 5, scale: int = 1_000_000) -> str:
+    parts = [
+        f"""
+    WITH pts AS (
+      SELECT vec_id,
+             floor(CAST(embedding[1] AS DOUBLE) * {scale}) AS x,
+             floor(CAST(embedding[2] AS DOUBLE) * {scale}) AS y
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, x, y FROM pts WHERE vec_id < {k})"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""
+    a{i} AS (
+      SELECT p.vec_id, p.x, p.y, c.cid
+      FROM pts p CROSS JOIN c{i - 1} c
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY p.vec_id
+          ORDER BY (p.x-c.x)*(p.x-c.x)+(p.y-c.y)*(p.y-c.y), c.cid) = 1),
+    c{i} AS (
+      SELECT c.cid,
+             COALESCE(SUM(a.x)/COUNT(a.vec_id), c.x) AS x,
+             COALESCE(SUM(a.y)/COUNT(a.vec_id), c.y) AS y,
+             COUNT(a.vec_id) AS n
+      FROM c{i - 1} c LEFT JOIN a{i} a ON a.cid = c.cid
+      GROUP BY c.cid, c.x, c.y)"""
+        )
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT cid AS cluster_id, x AS c_x, y AS c_y, CAST(n AS BIGINT) AS n_points
+    FROM c{iters}"""
+    )
+
+
+@query("q_kmeans", oracle=_kmeans_oracle_sql())
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_gpu_spark.ml.kmeans import kmeans_dataframe
 
     emb = T(spark, sf_dir, "embeddings")
     points = emb.select(
         "vec_id",
-        F.col("embedding")[0].cast("double").alias("x"),
-        F.col("embedding")[1].cast("double").alias("y"),
+        F.floor(F.col("embedding")[0].cast("double") * 1_000_000).cast("double").alias("x"),
+        F.floor(F.col("embedding")[1].cast("double") * 1_000_000).cast("double").alias("y"),
     )
     init = points.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").cast("long").alias("cluster_id"), "x", "y"
@@ -1288,44 +1330,179 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Rows-only entries (non-SQL-expressible; driver records the weaker check,
-# numeric parity lives in tests/): per-dataset k-means via applyInPandas,
-# blocked GEMM, IVF approximate search.
+# Per-dataset k-means via applyInPandas (reference NLine-dispatch model:
+# one whole dataset per map call). Same quantized-exact construction as
+# q_kmeans (floor(x*1e6) + float64 kernel → bit-deterministic), so the
+# per-dataset numpy Lloyd loop is hash-checkable against unrolled SQL.
+# eps=0.0 early-exit is SQL-equivalent: once centroids are exactly fixed,
+# further iterations are the identity.
 # ---------------------------------------------------------------------------
-@query("q_kmeans_grouped")
+def _kmeans_grouped_oracle_sql(
+    k: int = 3, iters: int = 4, ds: int = 4, scale: int = 1_000_000
+) -> str:
+    parts = [
+        f"""
+    WITH pts AS (
+      SELECT CAST(vec_id % {ds} AS BIGINT) AS dataset_id, vec_id AS point_id,
+             floor(CAST(embedding[1] AS DOUBLE) * {scale}) AS x,
+             floor(CAST(embedding[2] AS DOUBLE) * {scale}) AS y
+      FROM embeddings),
+    c0 AS (
+      SELECT dataset_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY dataset_id ORDER BY point_id) - 1
+                  AS BIGINT) AS cid, x, y
+      FROM pts QUALIFY cid < {k})"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""
+    a{i} AS (
+      SELECT p.dataset_id, p.point_id, p.x, p.y, c.cid
+      FROM pts p JOIN c{i - 1} c USING (dataset_id)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY p.dataset_id, p.point_id
+          ORDER BY (p.x-c.x)*(p.x-c.x)+(p.y-c.y)*(p.y-c.y), c.cid) = 1),
+    c{i} AS (
+      SELECT c.dataset_id, c.cid,
+             COALESCE(SUM(a.x)/COUNT(a.point_id), c.x) AS x,
+             COALESCE(SUM(a.y)/COUNT(a.point_id), c.y) AS y,
+             COUNT(a.point_id) AS n
+      FROM c{i - 1} c LEFT JOIN a{i} a
+        ON a.dataset_id = c.dataset_id AND a.cid = c.cid
+      GROUP BY c.dataset_id, c.cid, c.x, c.y)"""
+        )
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT dataset_id, cid AS cluster_id, x AS c_x, y AS c_y,
+           CAST(n AS BIGINT) AS n_points
+    FROM c{iters}"""
+    )
+
+
+@query("q_kmeans_grouped", oracle=_kmeans_grouped_oracle_sql())
 def q_kmeans_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     from hadoop_gpu_spark.ml.kmeans import kmeans_grouped
 
     emb = T(spark, sf_dir, "embeddings")
     points = emb.select(
         (F.col("vec_id") % 4).alias("dataset_id"),
         F.col("vec_id").alias("point_id"),
-        F.col("embedding")[0].cast("double").alias("x"),
-        F.col("embedding")[1].cast("double").alias("y"),
+        F.floor(F.col("embedding")[0].cast("double") * 1_000_000).cast("double").alias("x"),
+        F.floor(F.col("embedding")[1].cast("double") * 1_000_000).cast("double").alias("y"),
     )
-    return kmeans_grouped(points, "dataset_id", ["x", "y"], k=3, eps=1e-4)
+    return kmeans_grouped(
+        points, "dataset_id", ["x", "y"], k=3, max_iter=4, eps=0.0, dtype=np.float64
+    )
 
 
-@query("q_matmul_blocked")
+# ---------------------------------------------------------------------------
+# Blocked GEMM (cpu-submatmul.cc:33-176): 8x8 blocks from quantized
+# embedding slices (floor(v*1000) → integer-valued doubles, so every
+# product and block-sum is exact in fp and the groupBy accumulation order
+# cannot matter). Output flattened to scalar cells so the value-hash
+# compares plain doubles, not array columns. The fixed vec_id<8 key set
+# yields duplicate (i,k)/(k,j) block coordinates on purpose — the
+# elementwise sum over k must fold them, as the reference's reduce does.
+# ---------------------------------------------------------------------------
+_MATMUL_QUANT = "list_transform(embedding[1:64], v -> floor(CAST(v AS DOUBLE) * 1000))"
+
+
+@query(
+    "q_matmul_blocked",
+    oracle=f"""
+    WITH a AS (
+      SELECT CAST(vec_id % 4 AS BIGINT) AS i, vec_id % 2 AS k,
+             {_MATMUL_QUANT} AS sa
+      FROM embeddings WHERE vec_id < 8),
+    b AS (
+      SELECT vec_id % 2 AS k, CAST(vec_id % 3 AS BIGINT) AS j,
+             {_MATMUL_QUANT} AS sb
+      FROM embeddings WHERE vec_id < 8)
+    SELECT a.i, b.j, r.r, c.c,
+           SUM(sa[r.r * 8 + m.m + 1] * sb[m.m * 8 + c.c + 1]) AS val
+    FROM a JOIN b USING (k)
+    CROSS JOIN range(8) r(r) CROSS JOIN range(8) c(c) CROSS JOIN range(8) m(m)
+    GROUP BY a.i, b.j, r.r, c.c
+    """,
+)
 def q_matmul_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_gpu_spark.ml.matmul import matmul_blocked
 
-    emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 32)
+    emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
     m = 8  # 8x8 blocks from the first 64 dims
+    quant = F.transform(
+        F.slice(F.col("embedding"), 1, m * m),
+        lambda v: F.floor(v.cast("double") * 1000).cast("double"),
+    )
     blocks_a = emb.select(
         (F.col("vec_id") % 4).alias("i"),
         (F.col("vec_id") % 2).alias("k"),
-        F.slice(F.col("embedding"), 1, m * m).cast("array<double>").alias("sa"),
+        quant.alias("sa"),
     )
     blocks_b = emb.select(
         (F.col("vec_id") % 2).alias("k"),
         (F.col("vec_id") % 3).alias("j"),
-        F.slice(F.col("embedding"), 1, m * m).cast("array<double>").alias("sb"),
+        quant.alias("sb"),
     )
-    return matmul_blocked(blocks_a.limit(8), blocks_b.limit(8), m)
+    out = matmul_blocked(blocks_a, blocks_b, m)
+    flat = out.select("i", "j", F.posexplode("c"))
+    return flat.select(
+        "i",
+        "j",
+        F.floor(F.col("pos") / m).cast("long").alias("r"),
+        (F.col("pos") % m).cast("long").alias("c"),
+        F.col("col").alias("val"),
+    )
 
 
-@query("q_ann_ivf")
+# ---------------------------------------------------------------------------
+# IVF approximate search — deterministic end to end (fixed centroids =
+# vec_id<16, argmin ties on centroid_id, ranking ties on nid), so the full
+# assign → probe(nprobe=2) → cosine-top-5 chain is SQL-expressible.
+# ---------------------------------------------------------------------------
+def _eucl_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]), "
+        "p -> (p[1]-p[2])*(p[1]-p[2])))"
+    )
+
+
+_IVF_COS_SQL = (
+    "list_dot_product(p.qv::DOUBLE[], a.embedding::DOUBLE[]) / "
+    "sqrt(list_dot_product(p.qv::DOUBLE[], p.qv::DOUBLE[]) * "
+    "list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+)
+
+
+@query(
+    "q_ann_ivf",
+    oracle=f"""
+    WITH cen AS (
+      SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < 16),
+    assigned AS (
+      SELECT e.vec_id AS nid, e.embedding, c.centroid_id
+      FROM embeddings e CROSS JOIN cen c
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+          ORDER BY {_eucl_sql('e.embedding', 'c.embedding')}, c.centroid_id) = 1),
+    probes AS (
+      SELECT q.vec_id AS qid, q.embedding AS qv, c.centroid_id
+      FROM embeddings q CROSS JOIN cen c
+      WHERE q.vec_id < 8
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+          ORDER BY {_eucl_sql('q.embedding', 'c.embedding')}, c.centroid_id) <= 2),
+    scored AS (
+      SELECT p.qid, a.nid, {_IVF_COS_SQL} AS score
+      FROM probes p JOIN assigned a USING (centroid_id)
+      WHERE p.qid <> a.nid),
+    ranked AS (
+      SELECT qid, nid, score,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank
+      FROM scored)
+    SELECT qid, nid, round(score, 9) AS score, rank FROM ranked WHERE rank <= 5
+    """,
+)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_gpu_spark.similarity.ann import assign_to_centroids, ivf_topk
 
@@ -1335,7 +1512,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = assign_to_centroids(emb, centroids, "embedding", "vec_id")
     queries_df = emb.filter(F.col("vec_id") < 8)
-    return ivf_topk(assigned, centroids, queries_df, "embedding", "vec_id", k=5, nprobe=2)
+    out = ivf_topk(assigned, centroids, queries_df, "embedding", "vec_id", k=5, nprobe=2)
+    return out.select(
+        "qid", "nid", F.round("score", 9).alias("score"), F.col("rank").cast("long").alias("rank")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1462,17 +1642,42 @@ def q_pipe_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Scale-path sketches (rows-only: sketch internals are engine-specific):
-# approx distinct + approx quantiles — the 100 TB replacements for exact
-# countDistinct / percentile.
+# Scale-path sketches: approx distinct + approx quantiles — the 100 TB
+# replacements for exact countDistinct / percentile. Sketch values are not
+# bit-portable across engines, so the gate asserts exact BOUNDS instead:
+# each approx value is compared Spark-side against the exact answer and
+# exported as a boolean; the oracle carries the exact counts plus literal
+# TRUEs. A sketch drifting out of tolerance fails the hash like any other
+# wrong value.
 # ---------------------------------------------------------------------------
-@query("q_approx_stats")
+@query(
+    "q_approx_stats",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS suppliers_exact,
+           TRUE AS approx_distinct_ok,
+           TRUE AS approx_median_ok,
+           TRUE AS approx_p99_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", 0.99).alias("approx_p99_price"),
+    g = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("suppliers_exact"),
+        F.approx_count_distinct("l_suppkey").alias("__ad"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("__med"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("__med_a"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("__p99"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("__p99_a"),
+    )
+    tol = lambda a, b, rt: F.abs(F.col(a) - F.col(b)) <= rt * F.abs(F.col(b))  # noqa: E731
+    return g.select(
+        "l_returnflag",
+        "suppliers_exact",
+        tol("__ad", "suppliers_exact", 0.1).alias("approx_distinct_ok"),
+        tol("__med_a", "__med", 0.02).alias("approx_median_ok"),
+        tol("__p99_a", "__p99", 0.02).alias("approx_p99_ok"),
     )
 
 

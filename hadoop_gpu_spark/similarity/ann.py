@@ -63,15 +63,31 @@ def brute_force_topk(
 def assign_to_centroids(
     corpus: DataFrame, centroids: DataFrame, vec_col: str, id_col: str
 ) -> DataFrame:
-    """Assign each corpus vector to its nearest centroid (broadcast join +
-    min_by — one scan, no shuffle of the corpus)."""
-    c = centroids.select(F.col("centroid_id"), F.col(vec_col).alias("__mv"))
-    joined = corpus.crossJoin(F.broadcast(c))
-    d = euclidean_sq(vec_col, "__mv")
-    return (
-        joined.groupBy(id_col, vec_col)
-        .agg(F.min_by("centroid_id", d).alias("centroid_id"))
+    """Assign each corpus vector to its nearest centroid.
+
+    The centroid table (small by construction — IVF coarse lists) is
+    collapsed to ONE array-of-structs row and broadcast; assignment is an
+    array_min over (distance, centroid_id) structs — a single narrow map
+    over the corpus with NO shuffle at all (the previous min_by/groupBy
+    formulation shuffled one row per corpus vector) and deterministic
+    ties (lowest centroid_id, struct ordering).
+    """
+    cen_arr = centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("centroid_id"), F.col(vec_col).alias("__mv")))
+        ).alias("__cents")
     )
+    with_c = corpus.crossJoin(F.broadcast(cen_arr))
+    nearest = F.array_min(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                euclidean_sq(F.col(vec_col), c["__mv"]).alias("d"),
+                c["centroid_id"].alias("cid"),
+            ),
+        )
+    )["cid"]
+    return with_c.withColumn("centroid_id", nearest).drop("__cents")
 
 
 def ivf_topk(
