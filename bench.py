@@ -17,11 +17,15 @@ import time
 from hadoop_gpu_spark import get_spark
 from hadoop_gpu_spark.queries import QUERIES
 
+# Invariant (kept in sync with queries._DRIVER_WINDOW): every HEADLINE
+# query is inside the driver's 50-query correctness window the same round
+# it is benched — a time for an unverified answer is not a result.
+# q_join_broadcast was retired from HEADLINE for that budget (its timing
+# was redundant with q_join_star; the query itself remains registered).
 HEADLINE = [
     "q01_pricing_summary",
     "q_wordcount",
     "q_join_star",
-    "q_join_broadcast",
     "q_value_histogram",
     "q_total_order_sort",
     "q_topk",

@@ -2536,3 +2536,92 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ===========================================================================
+# Driver-window ordering.
+#
+# The driver correctness-checks the FIRST 50 registered queries each round
+# (observed: CORRECTNESS_r01 stopped at exactly the first 50 insertions).
+# With 82 registered queries, full driver coverage is achieved by rotating
+# the window: each round the first 50 slots hold (a) every query with no
+# green CORRECTNESS row yet, (b) every query whose implementation changed
+# since its last green row, (c) every bench.py HEADLINE query (a benched
+# time without a same-round correctness row is not a result). Queries
+# outside the window were all green in a previous round and are unchanged
+# since. New queries land AFTER the window and rotate in next round.
+#
+# Round 2 window: the 32 queries r01 never checked (TPC-H q02-q22 suite,
+# near-dedup pipeline, connected components, salted agg, hybrid/pipes,
+# cogroup, cube, scalar funcs, edit distance + the 5 newly-oracled ML/ANN
+# queries), the 6 changed this round (q_kmeans, simhash pair after the
+# fold rewrite, de-vacuated anti/except/embedding), and the 12 remaining
+# HEADLINE queries.
+# ===========================================================================
+_DRIVER_WINDOW = [
+    # (c) flagship + HEADLINE re-checks
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q_wordcount",
+    "q_join_star",
+    "q_value_histogram",
+    "q_total_order_sort",
+    "q_topk",
+    "q_events_hourly",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_ann_topk",
+    # (b) changed this round
+    "q_kmeans",
+    "q_dedup_simhash",
+    "q_dedup_simhash_pairs",
+    "q_dedup_embedding",
+    "q_join_anti",
+    "q_except",
+    # (a) never driver-checked: TPC-H shape suite
+    "q02_min_cost_supplier",
+    "q04_order_priority",
+    "q06_forecast_revenue",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_type_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_orders",
+    "q22_global_sales",
+    # (a) never driver-checked: pipeline / operator gates
+    "q_near_dedup_survivors",
+    "q_connected_components",
+    "q_dedup_edit_distance",
+    "q_salted_agg",
+    "q_cogroup_join",
+    "q_cube",
+    "q_scalar_funcs",
+    "q_hybrid_token_stats",
+    "q_pipe_lang_counts",
+    # (a) newly oracled this round
+    "q_kmeans_grouped",
+    "q_matmul_blocked",
+    "q_ann_ivf",
+    "q_approx_stats",
+]
+
+assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
+assert len(set(_DRIVER_WINDOW)) == 50
+_missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
+assert not _missing, _missing
+
+QUERIES = {
+    n: QUERIES[n]
+    for n in [*_DRIVER_WINDOW, *[m for m in QUERIES if m not in set(_DRIVER_WINDOW)]]
+}
