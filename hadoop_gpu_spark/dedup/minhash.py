@@ -81,19 +81,22 @@ def minhash_signatures(
 def band_hashes(
     sig_df: DataFrame, id_col: str, num_hashes: int = NUM_HASHES, rows_per_band: int = ROWS_PER_BAND
 ) -> DataFrame:
-    """(id, band, band_hash) — one row per band per doc."""
+    """(id, band, band_hash) — one row per band per doc.
+
+    One explode of an inline (band, band_hash) array — NOT a union of
+    per-band projections: each union branch re-evaluates its parent plan,
+    so the union form re-scanned the corpus and recomputed the full
+    minhash signature set once per band (4x waste, caught by plan audit
+    in round 2)."""
     bands = num_hashes // rows_per_band
-    pieces = []
+    entries = []
     for b in range(bands):
         cols = [F.col(f"m{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
         bh = F.md5(F.encode(F.concat_ws(":", *cols), "UTF-8"))
-        pieces.append(
-            sig_df.select(F.col(id_col), F.lit(b).alias("band"), bh.alias("band_hash"))
-        )
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out
+        entries.append(F.struct(F.lit(b).alias("band"), bh.alias("band_hash")))
+    return sig_df.select(F.col(id_col), F.explode(F.array(*entries)).alias("__e")).select(
+        id_col, F.col("__e.band").alias("band"), F.col("__e.band_hash").alias("band_hash")
+    )
 
 
 def lsh_candidate_pairs(

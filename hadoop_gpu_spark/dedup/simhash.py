@@ -73,50 +73,65 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_chunks(sig_df: DataFrame, id_col: str) -> DataFrame:
-    """(id, chunk, chunk_val) — 4 rows per doc for candidate bucketing."""
-    pieces = []
+    """(id, chunk, chunk_val) — 4 rows per doc for candidate bucketing.
+
+    One explode of an inline array (the union-of-projections form would
+    re-evaluate the whole simhash computation once per chunk — see
+    minhash.band_hashes)."""
+    entries = []
     for c in range(CHUNKS):
         val = F.shiftright(F.col("simhash"), c * CHUNK_BITS).bitwiseAND(F.lit((1 << CHUNK_BITS) - 1))
-        pieces.append(sig_df.select(F.col(id_col), F.lit(c).alias("chunk"), val.alias("chunk_val")))
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out
+        entries.append(F.struct(F.lit(c).alias("chunk"), val.alias("chunk_val")))
+    return sig_df.select(F.col(id_col), F.explode(F.array(*entries)).alias("__e")).select(
+        id_col, F.col("__e.chunk").alias("chunk"), F.col("__e.chunk_val").alias("chunk_val")
+    )
 
 
 def simhash_near_dups(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, max_bucket: int = 256
 ) -> DataFrame:
-    """Distinct (a, b, hamming) pairs with hamming(simhash) <= max_hamming."""
+    """Distinct (a, b, hamming) pairs with hamming(simhash) <= max_hamming.
+
+    The 60-bit signature rides along through the chunk explode and the
+    bucket collect (8 bytes per row), so verification is a pure array
+    expression over each bucket — signatures are computed ONCE and there
+    is no join-back (the join-back form re-evaluated the whole simhash
+    fold once per join side; caught by plan audit in round 2)."""
     sig = simhash64(df, text_col, id_col)
-    chunks = simhash_chunks(sig, id_col)
-    buckets = chunks.groupBy("chunk", "chunk_val").agg(
-        F.array_sort(F.collect_list(id_col)).alias("ids")
-    )
-    bounded = buckets.filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-    pairs = (
-        bounded.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                            lambda y: F.struct(x.alias("a"), y.alias("b")),
-                        ),
-                    )
-                )
-            ).alias("p")
+    entries = []
+    for c in range(CHUNKS):
+        val = F.shiftright(F.col("simhash"), c * CHUNK_BITS).bitwiseAND(
+            F.lit((1 << CHUNK_BITS) - 1)
         )
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .distinct()
+        entries.append(F.struct(F.lit(c).alias("chunk"), val.alias("chunk_val")))
+    chunked = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*entries)).alias("__e")
+    ).select(id_col, "simhash", F.col("__e.chunk").alias("chunk"), F.col("__e.chunk_val").alias("chunk_val"))
+    buckets = chunked.groupBy("chunk", "chunk_val").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")))
+        ).alias("items")
     )
-    sa = sig.select(F.col(id_col).alias("a"), F.col("simhash").alias("__sa"))
-    sb = sig.select(F.col(id_col).alias("b"), F.col("simhash").alias("__sb"))
-    verified = (
-        pairs.join(sa, "a")
-        .join(sb, "b")
-        .withColumn("hamming", F.bit_count(F.expr("__sa ^ __sb")).cast("long"))
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    bounded = buckets.filter((F.size("items") >= 2) & (F.size("items") <= max_bucket))
+    pairs = bounded.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("items"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                        lambda y: F.struct(
+                            x["id"].alias("a"),
+                            y["id"].alias("b"),
+                            x["sh"].alias("sa"),
+                            y["sh"].alias("sb"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b", "p.sa", "p.sb").distinct()
+    verified = pairs.withColumn(
+        "hamming", F.bit_count(F.expr("sa ^ sb")).cast("long")
+    ).filter(F.col("hamming") <= max_hamming)
     return verified.select("a", "b", "hamming")

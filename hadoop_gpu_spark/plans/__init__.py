@@ -37,6 +37,42 @@ def wholestage_codegen_ids(df: DataFrame) -> int:
     return formatted_plan(df).count("WholeStageCodegen")
 
 
+def shuffled_columns(df: DataFrame, keyed_only: bool = True) -> set[str]:
+    """Attribute names crossing Exchanges (shuffle or broadcast).
+
+    Parsed from the formatted plan: each ``(N) Exchange`` /
+    ``(N) BroadcastExchange`` node is followed by ``Input [n]: [...]`` /
+    ``Arguments:`` lines listing exactly what moves and how. With
+    ``keyed_only`` (default), RoundRobinPartitioning exchanges are
+    ignored: those are explicit compute-spreading repartitions
+    (utils.ensure_min_partitions) that only fire when the scan has fewer
+    partitions than cores — a no-op on real multi-file data — while
+    hash/range/broadcast exchanges are the data-proportional movements
+    that decide 100 TB viability. The dedup invariant — document text
+    never crosses a keyed shuffle, only hashes/ids do — is assertable as
+    ``'text' not in shuffled_columns(q)``.
+    """
+    import re
+
+    lines = formatted_plan(df).splitlines()
+    out: set[str] = set()
+    for i, line in enumerate(lines):
+        if re.match(r"^\(\d+\) (Exchange|BroadcastExchange)\b", line.strip()):
+            attrs: set[str] = set()
+            keyed = "BroadcastExchange" in line
+            for nxt in lines[i + 1 : i + 4]:
+                nxt = nxt.strip()
+                if nxt.startswith("Input ["):
+                    raw = nxt.split(":", 1)[1].strip().strip("[]")
+                    attrs = {a.strip().split("#")[0] for a in raw.split(",") if a.strip()}
+                elif nxt.startswith("Arguments:"):
+                    if "RoundRobinPartitioning" not in nxt:
+                        keyed = True
+            if attrs and (keyed or not keyed_only):
+                out |= attrs
+    return out
+
+
 def read_schema_columns(df: DataFrame) -> list[str]:
     """Columns actually read from parquet (ReadSchema) — column-pruning check."""
     plan = formatted_plan(df)

@@ -2539,6 +2539,56 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Batch 7 (round 2) — queries registered AFTER the driver window; they get
+# their driver CORRECTNESS row when the window rotates next round (locally
+# sf0.01-verified this round, like everything else).
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# §2.1/§2.11 JDBC end-to-end (DBCountPageView, X/DBCountPageView.java:72):
+# an access log is WRITTEN to a real embedded-Derby database via the JDBC
+# sink (DBOutputFormat, M/lib/db/DBOutputFormat.java:44), READ back through
+# the chunked JDBC source (DBInputFormat, M/lib/db/DBInputFormat.java:49,
+# 4 range-partitioned reading tasks), and aggregated into per-url pageview
+# counts. Derby ships inside Spark's own jars, so the path runs wherever
+# Spark does. The DB roundtrip is an identity, so the oracle aggregates the
+# source rows directly.
+# ---------------------------------------------------------------------------
+@query(
+    "q_db_count_pageview",
+    oracle="""
+    SELECT event_type AS url, CAST(COUNT(*) AS BIGINT) AS pageview
+    FROM events WHERE user_id % 20 = 0
+    GROUP BY event_type
+    """,
+)
+def q_db_count_pageview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_gpu_spark.sources import DERBY_DRIVER, derby_url, read_jdbc, write_jdbc
+
+    access = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 20 == 0)
+        .select(F.col("user_id"), F.col("event_type").alias("url"))
+    )
+    url = derby_url(tempfile.mkdtemp(prefix="hgs_derby_"))
+    write_jdbc(access, url, "access", mode="overwrite", driver=DERBY_DRIVER)
+    hi = access.agg(F.max("user_id")).first()[0] or 1
+    back = read_jdbc(
+        spark,
+        url,
+        "access",
+        num_partitions=4,
+        driver=DERBY_DRIVER,
+        partitionColumn="user_id",
+        lowerBound="0",
+        upperBound=str(int(hi) + 1),
+    )
+    return back.groupBy("url").agg(F.count(F.lit(1)).alias("pageview"))
+
+
+# ===========================================================================
 # Driver-window ordering.
 #
 # The driver correctness-checks the FIRST 50 registered queries each round

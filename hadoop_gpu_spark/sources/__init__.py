@@ -41,7 +41,14 @@ def read_text_nline(spark: SparkSession, path: str, n: int) -> DataFrame:
     """NLineInputFormat (M/lib/NLineInputFormat.java:59): N lines per task →
     here, partition count = ceil(lines / n) so each partition is one 'work
     item batch' (used by the reference to dispatch one k-means dataset per
-    mapper)."""
+    mapper).
+
+    CAVEAT — eager: the exact-N contract needs the line count, so this
+    runs a count() scan at build time (the reference pays the same full
+    read in getSplitsForFile). Reserve it for the NLine dispatch-file
+    compat case (small driver files), never for bulk data; for
+    size-proportional splitting of big text use plain read_text + the
+    session's maxPartitionBytes tuning, which needs no pre-scan."""
     lines = read_text(spark, path)
     total = lines.count()
     parts = max(1, -(-total // n))
@@ -103,9 +110,24 @@ def write_noop(df: DataFrame) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: Embedded Derby (ships in Spark's own jars/ — derby-10.16) is the
+#: container's JDBC engine; 10.16 registers this autoloaded driver class.
+DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+def derby_url(directory: str, create: bool = True) -> str:
+    """Embedded-Derby JDBC url rooted at ``directory`` (single-JVM engine —
+    the analog of the reference's HSQLDB-backed DBCountPageView test,
+    X/DBCountPageView.java:72)."""
+    return f"jdbc:derby:{directory}/db{';create=true' if create else ''}"
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, num_partitions: int = 1, **opts) -> DataFrame:
     """DBInputFormat (M/lib/db/DBInputFormat.java:49): chunked JDBC scan.
-    (No JDBC driver ships in this container — surface kept for parity.)"""
+    Pass partitionColumn/lowerBound/upperBound + num_partitions for the
+    reference's LIMIT/OFFSET split behavior (:142) done right (range
+    predicates, not offsets). Exercised end-to-end against embedded Derby
+    (q_db_count_pageview, tests/test_sources.py)."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     reader = reader.option("numPartitions", num_partitions)
     for k, v in opts.items():

@@ -94,3 +94,18 @@ def test_q06_filters_pushed_to_scan(spark, sf_dir):
     pf = plans.pushed_filters(df)
     for col in ["l_shipdate", "l_discount", "l_quantity"]:
         assert col in pf, f"{col} not pushed: {pf}"
+
+
+def test_dedup_pipeline_never_shuffles_text(spark, sf_dir):
+    # The ARCHITECTURE.md claim, pinned: in every dedup gate the document
+    # text is consumed at the scan (hashing/shingling) and only ids,
+    # hashes, and band keys cross an Exchange. A regression that shuffles
+    # `text` would silently 100x the shuffle volume at corpus scale.
+    for name in [
+        "q_near_dedup_survivors",
+        "q_dedup_minhash_pairs",
+        "q_dedup_simhash_pairs",
+        "q_dedup_exact",
+    ]:
+        cols = plans.shuffled_columns(QUERIES[name](spark, sf_dir))
+        assert "text" not in cols, f"{name} shuffles text: {sorted(cols)}"

@@ -78,3 +78,23 @@ def test_write_parquet_bloom_and_sorted(spark, sf_dir, tmp_path):
     assert keys == sorted(keys)
     # (this pyarrow build does not expose bloom_filter_offset; the option
     # plumbing is exercised by the write itself — bad options would throw)
+
+
+def test_jdbc_derby_roundtrip(spark, tmp_path):
+    # DBOutputFormat -> embedded Derby -> DBInputFormat (chunked read):
+    # written rows survive the roundtrip exactly, including the
+    # range-partitioned (4-task) scan path.
+    url = sources.derby_url(str(tmp_path))
+    df = spark.range(100).selectExpr(
+        "id", "concat('page', cast(id % 7 as string)) as url"
+    )
+    sources.write_jdbc(df, url, "access", mode="overwrite", driver=sources.DERBY_DRIVER)
+    back = sources.read_jdbc(
+        spark, url, "access", num_partitions=4, driver=sources.DERBY_DRIVER,
+        partitionColumn="id", lowerBound="0", upperBound="100",
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 100
+    got = {(r["id"], r["url"]) for r in back.collect()}
+    want = {(i, f"page{i % 7}") for i in range(100)}
+    assert got == want
