@@ -2588,6 +2588,274 @@ def q_db_count_pageview(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("url").agg(F.count(F.lit(1)).alias("pageview"))
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document — the classic two-level corpus statistic:
+# term frequencies at scan, document frequencies as a second (tiny,
+# broadcastable) aggregate, per-doc top-3 via window. Scores are rounded
+# BEFORE ranking so cross-engine libm drift in ln() cannot flip a rank
+# (ties then break on term).
+# ---------------------------------------------------------------------------
+@query(
+    "q_tfidf_topterms",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, round(tf.tf * ln(n_docs / df), 9) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored)
+    SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.operators.fields import tokenize
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 9),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling: 10% per language, selected by md5
+# order (portable, seedless, reproducible on any engine — the sampling
+# idiom for training-data splits where sample membership must be stable
+# across reruns and engines).
+# ---------------------------------------------------------------------------
+@query(
+    "q_stratified_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents)
+    SELECT doc_id, lang, rn AS sample_rank FROM t WHERE rn <= ceil(n_lang * 0.1)
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    key = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    w = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
+    wc = Window.partitionBy("lang")
+    return (
+        docs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("n_lang", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") <= F.ceil(F.col("n_lang") * 0.1))
+        .select("doc_id", "lang", F.col("rn").alias("sample_rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate detection: per-document fraction of word-5-grams that are
+# corpus-frequent (appear in >= 5 distinct documents). Scale shape: grams
+# move as u32 hashes only; the frequent-gram set (tiny by construction)
+# broadcasts back for the per-doc ratio — text itself never shuffles.
+# ---------------------------------------------------------------------------
+_GRAM5_JOIN = " || ' ' || ".join(f"{_SQL_TOKS}[i+{o}]" for o in range(5))
+_GRAM5_SQL = (
+    f"list_distinct(list_transform(range(1, greatest(len({_SQL_TOKS}) - 4, 0) + 1), "
+    f"i -> ('0x' || substr(md5({_GRAM5_JOIN}), 1, 8))::BIGINT))"
+)
+
+
+@query(
+    "q_boilerplate_ratio",
+    oracle=f"""
+    WITH gr AS (SELECT doc_id, unnest({_GRAM5_SQL}) AS gh FROM documents),
+    freq AS (SELECT gh, CAST(COUNT(*) AS BIGINT) AS nd FROM gr GROUP BY gh),
+    hits AS (
+      SELECT gr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN freq.nd >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+      FROM gr JOIN freq USING (gh) GROUP BY gr.doc_id)
+    SELECT doc_id, n_grams, n_boiler,
+           round(n_boiler / CAST(n_grams AS DOUBLE), 9) AS boiler_ratio
+    FROM hits
+    """,
+)
+def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.operators.fields import tokenize
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokenize("text")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + o) for o in range(5)]
+    )
+    ghash = lambda g: F.conv(  # noqa: E731
+        F.substring(F.md5(F.encode(g, "UTF-8")), 1, 8), 16, 10
+    ).cast("long")
+    grams = F.when(
+        F.size(toks) >= 5,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.size(toks) - 4), lambda i: ghash(gram(i)))
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    gr = docs.select("doc_id", F.explode(grams).alias("gh"))
+    freq = gr.groupBy("gh").agg(F.count(F.lit(1)).alias("nd"))
+    frequent = freq.filter(F.col("nd") >= 5).select("gh")
+    n_grams = gr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    boiler = (
+        gr.join(F.broadcast(frequent), "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        n_grams.join(boiler, "doc_id", "left")
+        .na.fill(0, ["n_boiler"])
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_grams").cast("double"), 9).alias(
+                "boiler_ratio"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-language quality gate: keep the top half of each language's documents
+# by quality score (integer rank logic — rank by rounded score with doc_id
+# tie-break, keep rn <= ceil(n/2) — so the cut is engine-portable).
+# ---------------------------------------------------------------------------
+_QUALITY_SQL = f"""
+      SELECT doc_id, lang,
+             round(CASE WHEN mtl >= 2 AND mtl <= 12
+                   THEN least(n, 256.0) / 256.0 * (1.0 - pr)
+                   ELSE least(n, 256.0) / 256.0 * (1.0 - pr) / 2 END, 9) AS q
+      FROM (SELECT doc_id, lang,
+                   len({_SQL_TOKS})::DOUBLE AS n,
+                   length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) / length(text) AS pr,
+                   list_sum(list_transform({_SQL_TOKS}, t -> length(t))) / len({_SQL_TOKS}) AS mtl
+            FROM documents)"""
+
+
+@query(
+    "q_quality_filter",
+    oracle=f"""
+    WITH s AS ({_QUALITY_SQL}),
+    r AS (
+      SELECT doc_id, lang, q,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM s)
+    SELECT doc_id, lang, q AS quality FROM r WHERE rn <= ceil(n_lang / 2.0)
+    """,
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.functions import text as tx
+
+    docs = T(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", F.round(tx.quality_score("text"), 9).alias("quality")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    wc = Window.partitionBy("lang")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_lang", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") <= F.ceil(F.col("n_lang") / 2.0))
+        .select("doc_id", "lang", "quality")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram frequency top-20 (n-gram LM statistics over the corpus —
+# explode word bigrams, count, unique-tie top-k).
+# ---------------------------------------------------------------------------
+@query(
+    "q_ngram_freq",
+    oracle=f"""
+    WITH t AS (SELECT {_SQL_TOKS} AS toks FROM documents),
+    bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1])) AS bigram
+           FROM t),
+    counts AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY bigram)
+    SELECT bigram, cnt FROM counts ORDER BY cnt DESC, bigram ASC LIMIT 20
+    """,
+)
+def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.operators.fields import tokenize
+
+    docs = T(spark, sf_dir, "documents").select("text")
+    toks = tokenize("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return sort_ops.top_k(counts, [F.col("cnt").desc(), F.col("bigram").asc()], 20)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (the MOSS algorithm): per document, slide a
+# w-window over the char-5-gram hash sequence and keep each window's
+# minimum — a position-robust fingerprint set guaranteed to share entries
+# between documents with sufficiently long common substrings. Pure array
+# expressions; fingerprints are u32 ints (engine-portable md5 derivation
+# shared with dedup.minhash).
+# ---------------------------------------------------------------------------
+def _winnow_oracle_sql(w: int = 4) -> str:
+    from hadoop_gpu_spark.dedup.minhash import _sql_shingle_hashes
+
+    h = _sql_shingle_hashes()
+    return f"""
+    WITH hs AS (SELECT doc_id, {h} AS h FROM documents),
+    sel AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(h) - {w - 1}, 1) + 1),
+                 j -> list_min(h[j:j+{w - 1}]))) AS fps
+      FROM hs)
+    SELECT doc_id, unnest(fps) AS fp FROM sel
+    """
+
+
+@query("q_winnow_fingerprint", oracle=_winnow_oracle_sql())
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.dedup.minhash import _shingle_hashes
+
+    w = 4
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    hs = _shingle_hashes("text")
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(hs) - (w - 1), F.lit(1))),
+            lambda j: F.array_min(F.slice(hs, j, w)),
+        )
+    )
+    return docs.select("doc_id", F.explode(fps).alias("fp"))
+
+
 # ===========================================================================
 # Driver-window ordering.
 #
