@@ -2465,11 +2465,17 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec). Round-1 plan had 3 lineitem scans / 4 shuffles; this has 1 / 2.
     """
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
-    r_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(r_supp).alias("n_r_supp"),
-        F.min(r_supp).alias("r_suppkey"),
+    # Two plain aggregations (pair-level then order-level) instead of two
+    # countDistinct over one groupBy: distinct-aggregate pairs would plan
+    # an Expand (2x the scan rows through the shuffle); this shape moves
+    # each distinct (order, supplier) pair exactly once.
+    per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_r").alias("n_r_supp"),
+        F.min(F.when(F.col("has_r") == 1, F.col("l_suppkey"))).alias("r_suppkey"),
     )
     orders = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey"
