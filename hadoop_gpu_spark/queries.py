@@ -2862,6 +2862,132 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.explode(fps).alias("fp"))
 
 
+# ---------------------------------------------------------------------------
+# Multimodal columns through the gate (multimodal/__init__.py): binary
+# media + typed metadata, decoded via Arrow-batched mapInPandas. The
+# deterministic fake corpus derives metadata from md5(payload), so the
+# decode path RUNS end-to-end in the driver and its deterministic outputs
+# (identity, dimensions) hash-check against SQL; only the RNG pixel stats
+# are excluded from the compare (not SQL-expressible by design).
+# ---------------------------------------------------------------------------
+_MEDIA_H_SQL = "('0x' || substr(md5(text), 1, 4))::BIGINT"
+
+
+@query(
+    "q_multimodal_decode",
+    oracle=f"""
+    WITH m AS (SELECT doc_id AS media_id, {_MEDIA_H_SQL} AS h FROM documents)
+    SELECT media_id,
+           CAST(h % 640 + 16 AS BIGINT) AS width,
+           CAST(h % 480 + 16 AS BIGINT) AS height
+    FROM m WHERE h % 3 = 0
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.multimodal import attach_fake_media, decode_image
+
+    docs = T(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "doc_id", "text")
+    dec = decode_image(media, fake=True)
+    return dec.select(
+        "media_id", F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video frame sampling (multimodal.frame_sample): one row per sampled
+# timestamp, frame identity = md5(bytes || ms) — all JVM expressions, so
+# the whole operator (including the hash) is SQL-checkable. Spark-side
+# md5(concat(data, ms-as-ascii-bytes)) == DuckDB md5(text || ms::VARCHAR)
+# because utf8(text)||ascii(ms) is the same byte string.
+# ---------------------------------------------------------------------------
+@query(
+    "q_frame_sample",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text, {_MEDIA_H_SQL} AS h FROM documents),
+    v AS (SELECT media_id, text, CAST(h % 10000 AS BIGINT) AS meta_ms
+          FROM m WHERE h % 3 = 2),
+    fr AS (
+      SELECT media_id, text,
+             unnest(range(0, greatest(meta_ms - 1, 0) + 1, 1000)) AS frame_ms
+      FROM v)
+    SELECT media_id, frame_ms,
+           substr(md5(text || frame_ms::VARCHAR), 1, 16) AS frame_hash
+    FROM fr
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.multimodal import attach_fake_media, frame_sample
+
+    docs = T(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "doc_id", "text")
+    return frame_sample(media, every_ms=1000, fake=True).select(
+        "media_id", F.col("frame_ms").cast("long").alias("frame_ms"), "frame_hash"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator through the gate:
+# applyInPandasWithState sessionizer (streaming/__init__.py:84). With an
+# availableNow drain, exactly the CLOSED sessions emit (open sessions stay
+# in state; the processing-time timeout never fires in a single pass), so
+# the streaming result == batch sessionization minus each user's last
+# session — fully SQL-expressible. Timestamps exported as epoch micros
+# (events.parquet is nano-precision; micros is the cross-engine meeting
+# point).
+# ---------------------------------------------------------------------------
+@query(
+    "q_stream_sessionize",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    f AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts::TIMESTAMP) - epoch_us(prev_ts::TIMESTAMP) > 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM w),
+    n AS (
+      SELECT user_id, ts,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sno
+      FROM f),
+    s AS (
+      SELECT user_id, sno,
+             min(epoch_us(ts::TIMESTAMP)) AS start_us,
+             max(epoch_us(ts::TIMESTAMP)) AS end_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM n GROUP BY user_id, sno),
+    l AS (SELECT user_id, max(sno) AS mx FROM s GROUP BY user_id)
+    SELECT s.user_id, s.start_us, s.end_us, s.n_events
+    FROM s JOIN l USING (user_id) WHERE s.sno < l.mx
+    """,
+)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.streaming import events_stream, sessionize_stateful
+
+    name = "q_stream_sessionize_sink"
+    st = sessionize_stateful(events_stream(spark, sf_dir), gap_minutes=30, use_timeout=False)
+    q = (
+        st.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+    )
+
+
 # ===========================================================================
 # Driver-window ordering.
 #

@@ -81,12 +81,23 @@ def sliding_window_avg(
     )
 
 
-def sessionize_stateful(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def sessionize_stateful(
+    stream: DataFrame, gap_minutes: int = 30, use_timeout: bool = True
+) -> DataFrame:
     """Custom stateful sessionizer via applyInPandasWithState: per user,
     emit a row per closed session (session_start, session_end, n_events).
 
     State = (open session start/end/count); a session closes when the gap
-    to the next event exceeds ``gap_minutes`` or the watermark passes.
+    to the next event exceeds ``gap_minutes`` or (with ``use_timeout``)
+    the processing-time timeout flushes it.
+
+    ``use_timeout=False`` disables the timeout machinery entirely
+    (GroupStateTimeout.NoTimeout): only in-batch closed sessions are
+    emitted and an availableNow drain terminates deterministically —
+    required for the correctness gate, because with ProcessingTimeTimeout
+    an availableNow query loops 'no new data but cleaning up state'
+    batches indefinitely and emits timing-dependent rows (observed on
+    Spark 4.1: 99 cleanup batches, never terminating).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -131,7 +142,8 @@ def sessionize_stateful(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
             state.remove()
         else:
             state.update((start_us, end_us, n))
-            state.setTimeoutDuration(60_000)
+            if use_timeout:
+                state.setTimeoutDuration(60_000)
         if closed:
             yield pd.DataFrame(
                 {
@@ -147,7 +159,11 @@ def sessionize_stateful(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
