@@ -2676,22 +2676,44 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Boilerplate detection: per-document fraction of word-5-grams that are
-# corpus-frequent (appear in >= 5 distinct documents). Scale shape: grams
-# move as u32 hashes only; the frequent-gram set (tiny by construction)
-# broadcasts back for the per-doc ratio — text itself never shuffles.
+# Boilerplate detection: per-document fraction of word-3-grams that are
+# corpus-frequent (appear in >= 5 distinct documents). 3-grams, not
+# 5-grams: in this synthetic corpus no 5-gram reaches 5 documents (the
+# gate would pass vacuously with every ratio 0); 151 3-grams do, giving
+# 339+ docs a nonzero ratio at sf0.01. Scale shape: grams move as u32
+# hashes only; the frequent-gram set (tiny by construction) broadcasts
+# back for the per-doc ratio — text itself never shuffles.
 # ---------------------------------------------------------------------------
-_GRAM5_JOIN = " || ' ' || ".join(f"{_SQL_TOKS}[i+{o}]" for o in range(5))
-_GRAM5_SQL = (
-    f"list_distinct(list_transform(range(1, greatest(len({_SQL_TOKS}) - 4, 0) + 1), "
-    f"i -> ('0x' || substr(md5({_GRAM5_JOIN}), 1, 8))::BIGINT))"
-)
+def _gram_hash_sql(n: int) -> str:
+    join = " || ' ' || ".join(f"{_SQL_TOKS}[i+{o}]" for o in range(n))
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({_SQL_TOKS}) - {n - 1}, 0) + 1), "
+        f"i -> ('0x' || substr(md5({join}), 1, 8))::BIGINT))"
+    )
+
+
+def _gram_hashes(toks, n: int):
+    """Distinct u32 hashes of word n-grams over a token-array column."""
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + o) for o in range(n)]
+    )
+    ghash = lambda g: F.conv(  # noqa: E731
+        F.substring(F.md5(F.encode(g, "UTF-8")), 1, 8), 16, 10
+    ).cast("long")
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)), lambda i: ghash(gram(i))
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
 
 
 @query(
     "q_boilerplate_ratio",
     oracle=f"""
-    WITH gr AS (SELECT doc_id, unnest({_GRAM5_SQL}) AS gh FROM documents),
+    WITH gr AS (SELECT doc_id, unnest({_gram_hash_sql(3)}) AS gh FROM documents),
     freq AS (SELECT gh, CAST(COUNT(*) AS BIGINT) AS nd FROM gr GROUP BY gh),
     hits AS (
       SELECT gr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
@@ -2706,20 +2728,7 @@ def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_gpu_spark.operators.fields import tokenize
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = tokenize("text")
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + o) for o in range(5)]
-    )
-    ghash = lambda g: F.conv(  # noqa: E731
-        F.substring(F.md5(F.encode(g, "UTF-8")), 1, 8), 16, 10
-    ).cast("long")
-    grams = F.when(
-        F.size(toks) >= 5,
-        F.array_distinct(
-            F.transform(F.sequence(F.lit(1), F.size(toks) - 4), lambda i: ghash(gram(i)))
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    gr = docs.select("doc_id", F.explode(grams).alias("gh"))
+    gr = docs.select("doc_id", F.explode(_gram_hashes(tokenize("text"), 3)).alias("gh"))
     freq = gr.groupBy("gh").agg(F.count(F.lit(1)).alias("nd"))
     frequent = freq.filter(F.col("nd") >= 5).select("gh")
     n_grams = gr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
@@ -2985,6 +2994,72 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("session_start").alias("start_us"),
         F.unix_micros("session_end").alias("end_us"),
         "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Eval-contamination check: split the corpus train/eval (doc_id parity —
+# deterministic), flag eval documents sharing any word-8-gram with the
+# train side, with the shared-gram count as evidence strength. The shape
+# every training pipeline needs before publishing eval numbers. Scale:
+# grams travel as u32 hashes; the join is hash-keyed; non-vacuous here
+# because the corpus contains near-duplicate documents that straddle the
+# split (11-12 contaminated eval docs at both SFs).
+# ---------------------------------------------------------------------------
+@query(
+    "q_contamination",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, doc_id % 2 AS part, unnest({_gram_hash_sql(8)}) AS gh
+               FROM documents),
+    tr AS (SELECT DISTINCT gh FROM g WHERE part = 0),
+    ev AS (SELECT doc_id, gh FROM g WHERE part = 1)
+    SELECT ev.doc_id AS eval_doc, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM ev JOIN tr USING (gh)
+    GROUP BY ev.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.operators.fields import tokenize
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    g = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 2).alias("part"),
+        F.explode(_gram_hashes(tokenize("text"), 8)).alias("gh"),
+    )
+    train = g.filter(F.col("part") == 0).select("gh").distinct()
+    ev = g.filter(F.col("part") == 1).select("doc_id", "gh")
+    return (
+        ev.join(train, "gh", "left_semi")
+        .groupBy(F.col("doc_id").alias("eval_doc"))
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted join through the gate (operators.skew.salted_join): the big side
+# fans each key over n_salts partitions, the small side replicates per
+# salt — the manual treatment for hot keys that AQE's skew-join handles
+# adaptively. Results must be identical to the plain join (the oracle).
+# ---------------------------------------------------------------------------
+@query(
+    "q_salted_join",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS cnt, SUM(l_quantity) AS sum_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.operators.skew import salted_join
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_quantity", "l_orderkey"
+    )
+    supplier = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    j = salted_join(li, supplier, on="s_suppkey", n_salts=8, big_salt_source="l_orderkey")
+    return j.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("l_quantity").alias("sum_qty")
     )
 
 
