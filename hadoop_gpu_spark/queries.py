@@ -2692,22 +2692,40 @@ def _gram_hash_sql(n: int) -> str:
     )
 
 
+def _bind_once(expr, build):
+    """Evaluate ``expr`` once per row and pass the VALUE into ``build``.
+
+    Higher-order-function lambdas run interpreted (no common-subexpression
+    elimination), so an array expression referenced inside a transform
+    lambda is re-computed on every lambda invocation — e.g. re-splitting
+    the document text once per n-gram position (measured 19.5s for
+    q_boilerplate_ratio at sf0.1; 0.7s after binding). Wrapping the value
+    in a 1-element array and transforming over it binds it to a lambda
+    variable, which IS evaluated once.
+    """
+    return F.transform(F.array(expr), build)[0]
+
+
 def _gram_hashes(toks, n: int):
     """Distinct u32 hashes of word n-grams over a token-array column."""
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + o) for o in range(n)]
-    )
     ghash = lambda g: F.conv(  # noqa: E731
         F.substring(F.md5(F.encode(g, "UTF-8")), 1, 8), 16, 10
     ).cast("long")
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)), lambda i: ghash(gram(i))
-            )
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+
+    def build(t):
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(t, i + o) for o in range(n)]
+        )
+        return F.when(
+            F.size(t) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - (n - 1)), lambda i: ghash(gram(i))
+                )
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    return _bind_once(toks, build)
 
 
 @query(
@@ -2816,14 +2834,16 @@ def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_gpu_spark.operators.fields import tokenize
 
     docs = T(spark, sf_dir, "documents").select("text")
-    toks = tokenize("text")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = _bind_once(
+        tokenize("text"),
+        lambda t: F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     counts = (
         docs.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
@@ -2861,12 +2881,14 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = 4
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
-    hs = _shingle_hashes("text")
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(hs) - (w - 1), F.lit(1))),
-            lambda j: F.array_min(F.slice(hs, j, w)),
-        )
+    fps = _bind_once(
+        _shingle_hashes("text"),
+        lambda h: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(h) - (w - 1), F.lit(1))),
+                lambda j: F.array_min(F.slice(h, j, w)),
+            )
+        ),
     )
     return docs.select("doc_id", F.explode(fps).alias("fp"))
 
