@@ -3085,6 +3085,65 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Sequence packing: concatenate the tokenized corpus (doc_id order) and
+# chunk it into fixed 128-token training sequences — the
+# pretraining-batch layout op. Verified by CONTENT: each sequence row
+# carries md5 of its space-joined tokens, so a single out-of-place token
+# fails the hash. Scale note: the prefix-sum window runs over DOC-level
+# rows (one row per document, not per token) — at 100 TB replace with the
+# standard two-pass partition-offset prefix sum; token rows themselves
+# shuffle once, keyed by sequence id.
+# ---------------------------------------------------------------------------
+@query(
+    "q_sequence_pack",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    off AS (
+      SELECT doc_id, t,
+             COALESCE(SUM(len(t)) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start0
+      FROM d),
+    tok AS (
+      SELECT unnest(list_transform(range(1, len(t) + 1),
+                    i -> {{'g': start0 + i - 1, 'tok': t[i]}})) AS u
+      FROM off),
+    seq AS (SELECT u.g // 128 AS seq_id, u.g AS gpos, u.tok AS tok FROM tok)
+    SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(tok, ' ' ORDER BY gpos)) AS seq_hash
+    FROM seq GROUP BY seq_id
+    """,
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.operators.fields import tokenize
+
+    L = 128
+    d = T(spark, sf_dir, "documents").select("doc_id", tokenize("text").alias("t"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    off = d.withColumn("start0", F.coalesce(F.sum(F.size("t")).over(w), F.lit(0)))
+    tok = off.select("start0", F.posexplode("t").alias("pos", "tok")).select(
+        (F.col("start0") + F.col("pos")).alias("gpos"), "tok"
+    )
+    seq = tok.groupBy(F.floor(F.col("gpos") / L).cast("long").alias("seq_id")).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.md5(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("gpos"), F.col("tok")))
+                        ),
+                        lambda x: x["tok"],
+                    ),
+                    " ",
+                ),
+                "UTF-8",
+            )
+        ).alias("seq_hash"),
+    )
+    return seq
+
+
 # ===========================================================================
 # Driver-window ordering.
 #
