@@ -3144,6 +3144,69 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq
 
 
+# ---------------------------------------------------------------------------
+# Fingerprint (bag-of-words) dedup via functions.text.fingerprint: dedup
+# on md5 of the sorted distinct token set — catches token-order and
+# repetition variants that byte-exact dedup misses (raw-text and
+# token-multiset dedup are both vacuous on this corpus: 0 groups; the
+# bag-of-words key finds 21-25 duplicate groups). Output = duplicate
+# groups only (survivor = min doc_id, copy count).
+# ---------------------------------------------------------------------------
+@query(
+    "q_dedup_fingerprint",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             substr(md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')),
+                    1, 16) AS ck
+      FROM documents)
+    SELECT min(doc_id) AS survivor, CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM c GROUP BY ck HAVING COUNT(*) >= 2
+    """,
+)
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.functions import text as tx
+
+    docs = T(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", tx.fingerprint("text").alias("ck"))
+        .groupBy("ck")
+        .agg(F.min("doc_id").alias("survivor"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") >= 2)
+        .select("survivor", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture weighting: per-language sampling weight to rebalance the
+# corpus to a uniform language mix (weight = target_share / actual_share)
+# — the knob every pretraining data recipe turns.
+# ---------------------------------------------------------------------------
+@query(
+    "q_mixture_weights",
+    oracle="""
+    WITH s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY lang),
+    t AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS total,
+                 CAST(COUNT(*) AS DOUBLE) AS n_langs FROM s)
+    SELECT lang, n_docs, round(total / (n_langs * n_docs), 9) AS weight
+    FROM s, t
+    """,
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = s.agg(
+        F.sum("n_docs").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("n_langs"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        F.round(F.col("total") / (F.col("n_langs") * F.col("n_docs")), 9).alias("weight"),
+    )
+
+
 # ===========================================================================
 # Driver-window ordering.
 #

@@ -106,6 +106,16 @@ def test_dedup_pipeline_never_shuffles_text(spark, sf_dir):
         "q_dedup_minhash_pairs",
         "q_dedup_simhash_pairs",
         "q_dedup_exact",
+        "q_dedup_fingerprint",
+        "q_boilerplate_ratio",
+        "q_contamination",
+        "q_winnow_fingerprint",
     ]:
         cols = plans.shuffled_columns(QUERIES[name](spark, sf_dir))
         assert "text" not in cols, f"{name} shuffles text: {sorted(cols)}"
+
+
+def test_tfidf_broadcasts_corpus_stats(spark, sf_dir):
+    # The df table and corpus count must broadcast back to the tf rows —
+    # a shuffle join against the tiny stats side would be a scale bug.
+    assert plans.has_broadcast_join(QUERIES["q_tfidf_topterms"](spark, sf_dir))
