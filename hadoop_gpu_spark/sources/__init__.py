@@ -105,6 +105,26 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def write_sequence_file(df: DataFrame, path: str, key_col: str, value_col: str) -> None:
+    """SequenceFileOutputFormat (M/SequenceFileOutputFormat.java:38) — the
+    REAL on-disk format, not a parquet substitute: (key, value) pairs as a
+    Hadoop SequenceFile of Text/Text (Writable marshalling handled by
+    Spark's sequenceFile RDD support). Interchange path for users with
+    existing SequenceFile data; columnar workloads should prefer
+    write_parquet (the analytics-native successor)."""
+    rdd = df.select(
+        F.col(key_col).cast("string"), F.col(value_col).cast("string")
+    ).rdd.map(tuple)
+    rdd.saveAsSequenceFile(path)
+
+
+def read_sequence_file(spark: SparkSession, path: str) -> DataFrame:
+    """SequenceFileInputFormat (M/SequenceFileInputFormat.java:35): read a
+    Hadoop SequenceFile of Text/Text back as a (k, v) DataFrame."""
+    rdd = spark.sparkContext.sequenceFile(path)
+    return spark.createDataFrame(rdd, schema="k string, v string")
+
+
 def write_noop(df: DataFrame) -> None:
     """NullOutputFormat (M/lib/NullOutputFormat.java): run, discard."""
     df.write.format("noop").mode("overwrite").save()

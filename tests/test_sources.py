@@ -98,3 +98,23 @@ def test_jdbc_derby_roundtrip(spark, tmp_path):
     got = {(r["id"], r["url"]) for r in back.collect()}
     want = {(i, f"page{i % 7}") for i in range(100)}
     assert got == want
+
+
+def test_sequence_file_roundtrip(spark, tmp_path):
+    # Real Hadoop SequenceFile (Text/Text) in and out - format-level
+    # interchange with existing SequenceFile corpora, not a substitute.
+    df = spark.range(50).selectExpr(
+        "cast(id as string) as k", "concat('v', cast(id as string)) as v"
+    )
+    p = str(tmp_path / "seq")
+    sources.write_sequence_file(df, p, "k", "v")
+    back = sources.read_sequence_file(spark, p)
+    assert back.count() == 50
+    got = {(r["k"], r["v"]) for r in back.collect()}
+    assert got == {(str(i), f"v{i}") for i in range(50)}
+    # on-disk magic: SequenceFiles start with 'SEQ'
+    import glob
+
+    part = sorted(glob.glob(p + "/part-*"))[0]
+    with open(part, "rb") as f:
+        assert f.read(3) == b"SEQ"
