@@ -119,3 +119,20 @@ def test_tfidf_broadcasts_corpus_stats(spark, sf_dir):
     # The df table and corpus count must broadcast back to the tf rows —
     # a shuffle join against the tiny stats side would be a scale bug.
     assert plans.has_broadcast_join(QUERIES["q_tfidf_topterms"](spark, sf_dir))
+
+
+def test_driver_window_invariants():
+    # The driver correctness-checks the first 50 registered queries; the
+    # rotation policy requires (a) exactly 50 window slots, (b) every
+    # bench HEADLINE query inside the window (a benched time without a
+    # same-round correctness row is not a result), (c) oracles for every
+    # registered query.
+    from bench import HEADLINE
+    from hadoop_gpu_spark.queries import ORACLES, QUERIES, _DRIVER_WINDOW
+
+    assert len(_DRIVER_WINDOW) == 50
+    window = list(QUERIES)[:50]
+    assert window == _DRIVER_WINDOW
+    missing = [q for q in HEADLINE if q not in window]
+    assert not missing, f"HEADLINE outside driver window: {missing}"
+    assert set(ORACLES) == set(QUERIES)
