@@ -202,17 +202,22 @@ def kmeans_grouped(
     return points.groupBy(dataset_col).applyInPandas(run, schema=schema)
 
 
-def lloyd_cupy(pts, cents, max_iter: int = 100, eps: float = 1.0):
+def lloyd_cupy(pts, cents, max_iter: int = 100, eps: float = 1.0, dtype="float32"):
     """GPU half of the k-means HybridOp pair — same semantics as
     :func:`lloyd_numpy` on CuPy arrays (mirrors gpu-kmeans2D.cu:59-115:
     assign + recalc kernels). Raises ImportError when no CUDA stack is
     present; callers fall back to the CPU path (the reference's behavior
     when a node has no GPU slot).
+
+    ``dtype`` mirrors lloyd_numpy's parameter so the float64 exact mode
+    (the bit-deterministic oracle path) is preserved whichever backend
+    ``select_lloyd_backend('auto')`` picks.
     """
     import cupy as cp  # gated: not present in CPU-only environments
 
-    pts_d = cp.asarray(pts, dtype=cp.float32)
-    cents_d = cp.asarray(cents, dtype=cp.float32)
+    fp = cp.float64 if str(dtype) in ("float64", "f8", "double") else cp.float32
+    pts_d = cp.asarray(pts, dtype=fp)
+    cents_d = cp.asarray(cents, dtype=fp)
     assign = cp.zeros(len(pts), dtype=cp.int64)
     for _ in range(max_iter):
         d = ((pts_d[:, None, :] - cents_d[None, :, :]) ** 2).sum(axis=2)

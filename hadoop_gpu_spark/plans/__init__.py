@@ -54,22 +54,42 @@ def shuffled_columns(df: DataFrame, keyed_only: bool = True) -> set[str]:
     """
     import re
 
-    lines = formatted_plan(df).splitlines()
+    plan = formatted_plan(df)
+    lines = plan.splitlines()
     out: set[str] = set()
+    parsed_any = False
     for i, line in enumerate(lines):
         if re.match(r"^\(\d+\) (Exchange|BroadcastExchange)\b", line.strip()):
             attrs: set[str] = set()
             keyed = "BroadcastExchange" in line
-            for nxt in lines[i + 1 : i + 4]:
+            # Scan the node's whole detail block — everything up to the
+            # next "(N) <node>" header — not a fixed 3-line window, so a
+            # formatted-plan layout change cannot silently drop the Input
+            # line and make callers' assertions pass vacuously.
+            for nxt in lines[i + 1 :]:
                 nxt = nxt.strip()
+                if re.match(r"^\(\d+\) ", nxt):
+                    break
                 if nxt.startswith("Input ["):
                     raw = nxt.split(":", 1)[1].strip().strip("[]")
                     attrs = {a.strip().split("#")[0] for a in raw.split(",") if a.strip()}
                 elif nxt.startswith("Arguments:"):
                     if "RoundRobinPartitioning" not in nxt:
                         keyed = True
+            if attrs:
+                parsed_any = True
             if attrs and (keyed or not keyed_only):
                 out |= attrs
+    # Non-vacuous guard: a plan that contains exchange nodes but yields
+    # zero parsed attribute sets means the parser lost track of the plan
+    # format — fail loudly instead of letting "never shuffles X" tests
+    # pass on an empty set. (ReusedExchange is fine: its source Exchange
+    # node is always present in the same plan and parses above.)
+    if not parsed_any and re.search(r"^\(\d+\) (Exchange|BroadcastExchange)\b", plan, re.M):
+        raise RuntimeError(
+            "shuffled_columns: plan contains Exchange nodes but none parsed — "
+            "formatted-plan layout changed; update the parser:\n" + plan[:2000]
+        )
     return out
 
 

@@ -2569,6 +2569,15 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_db_count_pageview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Registry-contract note: this query has EAGER side effects at
+    # DataFrame-construction time (a JDBC write plus a 1-row max() read) —
+    # the DB roundtrip IS the operator under test, so the write cannot be
+    # deferred into the returned plan. The Derby database lives at ONE
+    # fixed per-process scratch path (not a fresh mkdtemp per call) and the
+    # table is written with mode="overwrite", so repeated gate/bench
+    # invocations reuse the same directory instead of accumulating
+    # orphaned databases.
+    import os
     import tempfile
 
     from hadoop_gpu_spark.sources import DERBY_DRIVER, derby_url, read_jdbc, write_jdbc
@@ -2578,7 +2587,8 @@ def q_db_count_pageview(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") % 20 == 0)
         .select(F.col("user_id"), F.col("event_type").alias("url"))
     )
-    url = derby_url(tempfile.mkdtemp(prefix="hgs_derby_"))
+    scratch = os.path.join(tempfile.gettempdir(), f"hgs_derby_scratch_{os.getpid()}")
+    url = derby_url(scratch)
     write_jdbc(access, url, "access", mode="overwrite", driver=DERBY_DRIVER)
     hi = access.agg(F.max("user_id")).first()[0] or 1
     back = read_jdbc(
@@ -2999,9 +3009,13 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hadoop_gpu_spark.streaming import events_stream, sessionize_stateful
+    import uuid
 
-    name = "q_stream_sessionize_sink"
+    from hadoop_gpu_spark.streaming import events_stream, progress_dicts, sessionize_stateful
+
+    # Unique per invocation: a fixed queryName fails to start if two
+    # invocations overlap in one session (duplicate streaming query name).
+    name = f"q_stream_sessionize_sink_{uuid.uuid4().hex[:8]}"
     st = sessionize_stateful(events_stream(spark, sf_dir), gap_minutes=30, use_timeout=False)
     q = (
         st.writeStream.format("memory")
@@ -3011,6 +3025,18 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # Parity guard: the batch-equivalence oracle (streaming result ==
+    # batch sessions minus each user's last) holds only when the whole
+    # event log arrives as ONE in-order micro-batch. Multi-file event data
+    # interleaved across files would close sessions differently — assert
+    # the assumption instead of trusting it.
+    data_batches = [p for p in progress_dicts(q) if p.get("numInputRows", 0) > 0]
+    if len(data_batches) != 1:
+        raise AssertionError(
+            f"q_stream_sessionize parity oracle requires exactly 1 data "
+            f"micro-batch; saw {len(data_batches)} — event data is no "
+            f"longer a single file, re-derive the oracle"
+        )
     return spark.table(name).select(
         "user_id",
         F.unix_micros("session_start").alias("start_us"),
@@ -3182,6 +3208,13 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("seq_hash"),
     )
+    # Cut lineage so the persist above can be released before returning:
+    # localCheckpoint(eager=True) materializes the (small — one row per
+    # 128-token sequence) result, after which the cached tokenized table
+    # is no longer referenced by the returned plan. Without this every
+    # invocation leaked cached partitions for the session lifetime.
+    seq = seq.localCheckpoint(eager=True)
+    d.unpersist()
     return seq
 
 

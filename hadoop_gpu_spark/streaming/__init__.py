@@ -167,6 +167,21 @@ def sessionize_stateful(
     )
 
 
+def progress_dicts(query) -> list[dict]:
+    """StreamingQuery.recentProgress as plain dicts across PySpark
+    versions (3.x returns dicts; 4.x returns StreamingQueryProgress
+    objects carrying .json)."""
+    import json
+
+    out = []
+    for p in query.recentProgress:
+        if isinstance(p, dict):
+            out.append(p)
+        else:
+            out.append(json.loads(p.json))
+    return out
+
+
 def drain_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     """Run an availableNow pass into a memory sink; return the result table
     (test/bench utility — batch parity checks)."""
