@@ -55,21 +55,30 @@ def main() -> None:
     # query, not session startup.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # Noise discrimination (round-2 lesson: a +11.6% uniform drift was
+    # indistinguishable from machine load with n=1): after one warmup pass
+    # (plan analysis + whole-stage codegen), take THREE timed passes and
+    # report the MINIMUM — the right estimator under contention noise,
+    # since load only ever adds time — plus the max/min spread so a
+    # cross-round jump on one query can be classified as signal
+    # (spread small, min moved) vs environment (spread large).
+    # noop sink materializes every output column (count() would let
+    # Catalyst prune the projection and under-report work).
     times: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        # Warmup pass absorbs one-time plan analysis + whole-stage codegen
-        # compilation; the timed pass measures steady-state execution (what
-        # repeated production runs cost). noop sink materializes every
-        # output column (count() would let Catalyst prune the projection
-        # and under-report work).
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]}s", file=sys.stderr)
+        passes = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            passes.append(time.perf_counter() - t0)
+        times[name] = round(min(passes), 3)
+        spread[name] = round(max(passes) / min(passes), 2)
+        print(f"# {name}: min {times[name]}s  spread x{spread[name]}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     print(
@@ -79,6 +88,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
                 "sf": sf,
             }
         )

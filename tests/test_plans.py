@@ -136,3 +136,33 @@ def test_driver_window_invariants():
     missing = [q for q in HEADLINE if q not in window]
     assert not missing, f"HEADLINE outside driver window: {missing}"
     assert set(ORACLES) == set(QUERIES)
+
+
+def test_changed_queries_are_windowed():
+    # Mechanized rotation-policy category (b): a query whose implementation
+    # changed since its last driver-green row — detected by comparing its
+    # source-closure fingerprint against the checked-in last-green manifest
+    # — MUST be inside the driver window, or its new behavior never touches
+    # the hard signal (this exact failure happened in round 2: the
+    # band_hashes rewrite left q_dedup_minhash_pairs / q_dedup_ngram_jaccard
+    # outside the window with stale green rows). New queries (absent from
+    # the manifest) must be windowed for the same reason. Refresh the
+    # manifest after each round's CORRECTNESS lands:
+    #   python -m hadoop_gpu_spark.fingerprint refresh CORRECTNESS_rNN.json
+    import json
+
+    from hadoop_gpu_spark.fingerprint import all_fingerprints, manifest_path
+    from hadoop_gpu_spark.queries import QUERIES, _DRIVER_WINDOW
+
+    with open(manifest_path()) as f:
+        manifest = json.load(f)
+    fps = all_fingerprints()
+    offenders = [
+        n for n in QUERIES
+        if manifest.get(n) != fps[n] and n not in _DRIVER_WINDOW
+    ]
+    assert not offenders, (
+        f"queries changed since last driver-green but outside _DRIVER_WINDOW: "
+        f"{offenders} — add them to the window (hadoop_gpu_spark/queries.py) "
+        f"or, if they are in the latest CORRECTNESS file, refresh the manifest"
+    )
