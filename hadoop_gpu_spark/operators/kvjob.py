@@ -50,8 +50,8 @@ def _group_stream(rows: Iterable[KV], fn: Callable[[Any, Iterator[Any]], Iterabl
 
 def kv_job(
     df: DataFrame,
-    map_fn: Callable[[Any], Iterable[KV]],
-    reduce_fn: Callable[[Any, Iterator[Any]], Iterable[KV]],
+    map_fn: Callable[[Any], Iterable[KV]] | None = None,
+    reduce_fn: Callable[[Any, Iterator[Any]], Iterable[KV]] | None = None,
     combine_fn: Callable[[Any, Iterator[Any]], Iterable[KV]] | None = None,
     key_type: str = "string",
     value_type: str = "string",
@@ -61,6 +61,9 @@ def kv_job(
     value_sort: bool = False,
     skip_bad_records: bool = False,
     partition_expr=None,
+    map_fn_pandas: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    combine_fn_pandas: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    reduce_fn_pandas: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
 ) -> DataFrame:
     """Run a full MR-contract job over ``df``'s rows. Returns (key, value).
 
@@ -80,14 +83,34 @@ def kv_job(
     whose hash decides the shuffle target — e.g.
     ``F.substring(F.col("k"), 1, 1)`` reproduces a first-letter
     partitioner. Default: hash of k (M/lib/HashPartitioner.java:29-34).
+
+    **Vectorized fast path** (reference analog: ``M/MapRunner.java`` vs
+    ``MultithreadedMapRunner`` — same contract, faster runner): pass
+    ``map_fn_pandas`` (whole Arrow batch in, (k, v) frame out — 0..n rows
+    per input row via explode-style ops) instead of ``map_fn``, and
+    optionally ``combine_fn_pandas`` / ``reduce_fn_pandas`` (key-sorted
+    (k, v) frame in — every k group complete — reduced frame out, e.g.
+    ``pdf.groupby("k", sort=False).sum()``). Each phase picks its pandas
+    variant when given, so tokenize/project/aggregate workloads run
+    whole-batch in Arrow instead of row-at-a-time Python (~10-100x).
+    ``skip_bad_records`` applies only to the per-record path — a batch
+    function is all-or-nothing by construction.
     """
     kv_schema = f"k {key_type}, v {value_type}"
+    if (map_fn is None) == (map_fn_pandas is None):
+        raise ValueError("exactly one of map_fn / map_fn_pandas required")
+    if (reduce_fn is None) == (reduce_fn_pandas is None):
+        raise ValueError("exactly one of reduce_fn / reduce_fn_pandas required")
     skipped_acc = (
         df.sparkSession.sparkContext.accumulator(0) if skip_bad_records else None
     )
 
     def run_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if map_fn_pandas is not None:
+                out = map_fn_pandas(pdf)
+                yield out if len(out) else pd.DataFrame({"k": [], "v": []})
+                continue
             out_k, out_v = [], []
             for row in pdf.itertuples(index=False):
                 try:
@@ -102,10 +125,14 @@ def kv_job(
 
     mapped = df.mapInPandas(run_map, schema=kv_schema)
 
-    if combine_fn is not None:
+    if combine_fn is not None or combine_fn_pandas is not None:
         def run_combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 pdf = pdf.sort_values(["k", "v"] if value_sort else ["k"], kind="mergesort")
+                if combine_fn_pandas is not None:
+                    out = combine_fn_pandas(pdf)
+                    yield out if len(out) else pd.DataFrame({"k": [], "v": []})
+                    continue
                 rows = zip(pdf["k"], pdf["v"])
                 out = list(_group_stream(rows, combine_fn))
                 yield pd.DataFrame(out, columns=["k", "v"]) if out else pd.DataFrame({"k": [], "v": []})
@@ -118,6 +145,25 @@ def kv_job(
     sorted_parts = shuffled.sortWithinPartitions(*sort_cols)
 
     out_schema = f"k {out_key_type}, v {out_value_type}"
+
+    def run_reduce_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Batches arrive key-sorted within the partition, but the last key
+        # of a batch may continue into the next — hold that group back and
+        # prepend it, so reduce_fn_pandas always sees complete key groups.
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            tail_mask = pdf["k"] == pdf["k"].iloc[-1]
+            carry = pdf[tail_mask]
+            body = pdf[~tail_mask]
+            if len(body):
+                yield reduce_fn_pandas(body)
+        if carry is not None and len(carry):
+            yield reduce_fn_pandas(carry)
 
     def run_reduce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Batches within a partition arrive in sorted order, but a key group
@@ -139,7 +185,35 @@ def kv_job(
             if out:
                 yield pd.DataFrame(out, columns=["k", "v"])
 
-    return sorted_parts.mapInPandas(run_reduce, schema=out_schema)
+    return sorted_parts.mapInPandas(
+        run_reduce_pandas if reduce_fn_pandas is not None else run_reduce,
+        schema=out_schema,
+    )
+
+
+def wordcount_kvjob_pandas(df: DataFrame, text_col: str) -> DataFrame:
+    """WordCount through the vectorized kv_job contract: whole-batch
+    tokenize (str.split + explode) for map, groupby-sum for combine and
+    reduce — same (k, v) output as :func:`wordcount_kvjob`, Arrow-speed."""
+
+    def map_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        toks = pdf[text_col].astype(str).str.split().explode()
+        toks = toks[toks.notna() & (toks != "")]
+        return pd.DataFrame({"k": toks.to_numpy(), "v": 1}).astype({"v": "int64"})
+
+    def sum_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby("k", sort=False, as_index=False)["v"].sum()
+
+    return kv_job(
+        df,
+        map_fn_pandas=map_batch,
+        combine_fn_pandas=sum_batch,
+        reduce_fn_pandas=sum_batch,
+        key_type="string",
+        value_type="long",
+        out_key_type="string",
+        out_value_type="long",
+    )
 
 
 def wordcount_kvjob(df: DataFrame, text_col: str) -> DataFrame:

@@ -1053,6 +1053,24 @@ def q_kvjob_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordcount_kvjob(T(spark, sf_dir, "documents"), "text")
 
 
+# Same job through kv_job's vectorized fast path (map_fn_pandas /
+# reduce_fn_pandas — whole Arrow batches, no per-row Python): identical
+# oracle, so the gate proves contract equivalence of the two runners
+# (reference analog: MapRunner vs MultithreadedMapRunner, same Mapper).
+@query(
+    "q_kvjob_wordcount_pandas",
+    oracle="""
+    SELECT k, COUNT(*)::BIGINT AS v FROM (
+      SELECT unnest(regexp_split_to_array(text, '\\s+')) AS k FROM documents)
+    WHERE k <> '' GROUP BY k
+    """,
+)
+def q_kvjob_wordcount_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.operators.kvjob import wordcount_kvjob_pandas
+
+    return wordcount_kvjob_pandas(T(spark, sf_dir, "documents"), "text")
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming through the gate: drain the events stream with
 # availableNow; must equal the batch q_events_hourly oracle exactly.
@@ -3358,7 +3376,8 @@ _DRIVER_WINDOW = [
     "q_md5_sample",
     "q_grep",
     "q_field_selection",
-    "q_descriptor_agg",
+    # new this round (manifest check forces window membership for new queries)
+    "q_kvjob_wordcount_pandas",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -17,6 +17,58 @@ def test_wordcount_kvjob_matches_native(spark, sf_dir):
     assert via_kv == native
 
 
+def test_wordcount_pandas_path_matches_row_path(spark, sf_dir):
+    # The vectorized runner must produce bit-identical (k, v) output to the
+    # per-record runner — same Mapper contract, different MapRunner.
+    from hadoop_gpu_spark.operators.kvjob import wordcount_kvjob_pandas
+
+    docs = load_table(spark, "documents", sf_dir).limit(80)
+    row_path = {(r["k"], r["v"]) for r in wordcount_kvjob(docs, "text").collect()}
+    pandas_path = {(r["k"], r["v"]) for r in wordcount_kvjob_pandas(docs, "text").collect()}
+    assert pandas_path == row_path
+
+
+def test_reduce_pandas_carry_across_batches(spark):
+    # A key group spanning Arrow batch boundaries must reach
+    # reduce_fn_pandas as ONE complete group. Force 1-row batches so every
+    # multi-row group spans a boundary; a missing carry would double-emit.
+    import pandas as pd
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        rows = [("a", 1)] * 5 + [("b", 2)] * 3 + [("c", 7)]
+        df = spark.createDataFrame(rows, ["w", "n"])
+
+        def map_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"k": pdf["w"].to_numpy(), "v": pdf["n"].to_numpy()})
+
+        def reduce_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pdf.groupby("k", sort=False, as_index=False)["v"].sum()
+
+        out = kv_job(
+            df,
+            map_fn_pandas=map_batch,
+            reduce_fn_pandas=reduce_batch,
+            value_type="long",
+            out_value_type="long",
+            num_partitions=2,
+        )
+        got = {r["k"]: r["v"] for r in out.collect()}
+        assert got == {"a": 5, "b": 6, "c": 7}, got
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+
+
+def test_kvjob_rejects_ambiguous_runner_choice(spark):
+    import pytest
+
+    df = spark.createDataFrame([("x",)], ["w"])
+    with pytest.raises(ValueError):
+        kv_job(df, map_fn=lambda r: [], map_fn_pandas=lambda p: p, reduce_fn=lambda k, v: [])
+    with pytest.raises(ValueError):
+        kv_job(df, map_fn=lambda r: [(r.w, 1)])
+
+
 def test_kvjob_value_sort_secondary_contract(spark):
     rows = [(1, 30), (1, 10), (2, 5), (1, 20), (2, 1)]
     df = spark.createDataFrame(rows, ["g", "v"])
