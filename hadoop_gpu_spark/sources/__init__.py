@@ -105,17 +105,57 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
-def write_sequence_file(df: DataFrame, path: str, key_col: str, value_col: str) -> None:
+#: SequenceFile codec shorthand → Hadoop codec class (all three ship in
+#: Spark's Hadoop client jars and need no native libs in this container).
+SEQFILE_CODECS = {
+    "deflate": "org.apache.hadoop.io.compress.DefaultCodec",
+    "gzip": "org.apache.hadoop.io.compress.GzipCodec",
+    "bzip2": "org.apache.hadoop.io.compress.BZip2Codec",
+}
+
+
+def write_sequence_file(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    value_col: str,
+    compression: str | None = None,
+    block: bool = False,
+) -> None:
     """SequenceFileOutputFormat (M/SequenceFileOutputFormat.java:38) — the
     REAL on-disk format, not a parquet substitute: (key, value) pairs as a
     Hadoop SequenceFile of Text/Text (Writable marshalling handled by
     Spark's sequenceFile RDD support). Interchange path for users with
     existing SequenceFile data; columnar workloads should prefer
-    write_parquet (the analytics-native successor)."""
+    write_parquet (the analytics-native successor).
+
+    All three of the reference's on-disk layouts (C/io/SequenceFile.java —
+    uncompressed Writer, record-compressed RecordCompressWriter,
+    block-compressed BlockCompressWriter) are supported:
+    ``compression`` picks a codec from :data:`SEQFILE_CODECS` (None =
+    uncompressed), ``block=True`` selects the block layout (the codec's
+    compression-type knob, SequenceFileOutputFormat.getOutputCompressionType).
+    """
     rdd = df.select(
         F.col(key_col).cast("string"), F.col(value_col).cast("string")
     ).rdd.map(tuple)
-    rdd.saveAsSequenceFile(path)
+    if compression is None:
+        rdd.saveAsSequenceFile(path)
+        return
+    # Not saveAsSequenceFile(path, codec): Spark's codec overload hardcodes
+    # compress.type=BLOCK, which would silently ignore the record layout.
+    # Driving the old-API output format with an explicit job conf honors it.
+    rdd.saveAsHadoopFile(
+        path,
+        "org.apache.hadoop.mapred.SequenceFileOutputFormat",
+        "org.apache.hadoop.io.Text",
+        "org.apache.hadoop.io.Text",
+        conf={
+            "mapreduce.output.fileoutputformat.compress": "true",
+            "mapreduce.output.fileoutputformat.compress.codec": SEQFILE_CODECS[compression],
+            "mapreduce.output.fileoutputformat.compress.type": "BLOCK" if block else "RECORD",
+        },
+    )
 
 
 def read_sequence_file(spark: SparkSession, path: str) -> DataFrame:

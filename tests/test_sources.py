@@ -118,3 +118,44 @@ def test_sequence_file_roundtrip(spark, tmp_path):
     part = sorted(glob.glob(p + "/part-*"))[0]
     with open(part, "rb") as f:
         assert f.read(3) == b"SEQ"
+
+
+def test_sequence_file_compressed_roundtrips(spark, tmp_path):
+    # The reference's other two on-disk layouts (C/io/SequenceFile.java:
+    # RecordCompressWriter and BlockCompressWriter): same (k, v) set back,
+    # and the header flags must actually show the layout — the v6 header is
+    # SEQ, version, keyClass, valueClass, compressed?, blockCompressed?,
+    # codecClass — so we assert bytes, not just successful reads.
+    import glob
+
+    df = spark.range(200).selectExpr(
+        "cast(id as string) as k", "repeat(concat('v', cast(id as string)), 20) as v"
+    )
+    expect = {(r["k"], r["v"]) for r in df.collect()}
+
+    def header_flags(path):
+        part = sorted(glob.glob(path + "/part-*"))[0]
+        with open(part, "rb") as f:
+            head = f.read(400)
+        assert head[:3] == b"SEQ"
+        # after magic+version and the two class-name strings come the two
+        # boolean bytes: valueCompressed, blockCompressed
+        i = 4
+        for _ in range(2):  # skip key/value class names (vint len + bytes)
+            n = head[i]
+            i += 1 + n
+        return bool(head[i]), bool(head[i + 1]), head
+
+    for name, (codec, block) in {
+        "rec_gzip": ("gzip", False),
+        "blk_gzip": ("gzip", True),
+        "rec_bzip2": ("bzip2", False),
+    }.items():
+        p = str(tmp_path / name)
+        sources.write_sequence_file(df, p, "k", "v", compression=codec, block=block)
+        compressed, block_flag, head = header_flags(p)
+        assert compressed, name
+        assert block_flag == block, (name, head[:120])
+        assert sources.SEQFILE_CODECS[codec].encode() in head, name
+        back = sources.read_sequence_file(spark, p)
+        assert {(r["k"], r["v"]) for r in back.collect()} == expect, name
