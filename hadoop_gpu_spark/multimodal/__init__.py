@@ -6,11 +6,14 @@ metadata struct; all decode/feature work runs as Arrow-batched Pandas UDFs
 via mapInPandas, sized by ``spark.sql.execution.arrow.maxRecordsPerBatch``
 so a batch of frames fits executor memory.
 
-The decode kernels themselves are STUBBED (no image/audio libs in this
-container): ``decode_image`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder (md5-seeded
-dimensions/pixels) exercises the full Spark-side plumbing — schema,
-partitioning, UDF signature, batch shape — which is the real, tested part.
+Decode kernels: PNG decodes FOR REAL via the pure-stdlib codec in
+:mod:`hadoop_gpu_spark.multimodal.png` (struct + zlib — 8-bit gray/RGB/
+RGBA, all five scanline filters). Other formats (JPEG, audio, video) have
+no dependency-free codec in this container: ``decode_image`` raises
+NotImplementedError on non-PNG bytes unless ``fake=True``, in which case a
+deterministic fake decoder (md5-seeded dimensions/pixels) exercises the
+full Spark-side plumbing — schema, partitioning, UDF signature, batch
+shape — which is production-real either way.
 """
 
 from __future__ import annotations
@@ -51,22 +54,30 @@ def _fake_decode(data: bytes, width: int, height: int) -> np.ndarray:
 def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode → (media_id, width, height, mean_pixel, pixel_hash).
 
-    Real decode requires an image library (not in this container):
-    NotImplementedError unless ``fake=True`` (deterministic fake decoder).
-    The mapInPandas plumbing below is the production shape either way.
+    ``fake=False`` (default): REAL decode via the stdlib PNG codec
+    (:mod:`.png`); non-PNG bytes raise NotImplementedError (JPEG/WebP need
+    libraries this container lacks). ``fake=True``: deterministic stub
+    decoder over the md5-seeded fake corpus. The mapInPandas plumbing is
+    the production shape either way.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires an image library (e.g. Pillow/opencv) — "
-            "not available in this environment; pass fake=True for the "
-            "deterministic stub decoder"
-        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hadoop_gpu_spark.multimodal import png as png_codec
+
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                px = _fake_decode(bytes(r.data), int(r.meta_width), int(r.meta_height))
+                data = bytes(r.data)
+                if fake:
+                    px = _fake_decode(data, int(r.meta_width), int(r.meta_height))
+                elif data[:8] == png_codec.PNG_MAGIC:
+                    px = png_codec.decode_png(data)
+                else:
+                    raise NotImplementedError(
+                        "no in-engine codec for this image format (PNG is "
+                        "decoded natively; JPEG/WebP need external libraries "
+                        "absent from this environment) — or pass fake=True"
+                    )
                 rows.append(
                     (
                         r.media_id,
