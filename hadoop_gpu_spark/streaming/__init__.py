@@ -82,7 +82,10 @@ def sliding_window_avg(
 
 
 def sessionize_stateful(
-    stream: DataFrame, gap_minutes: int = 30, use_timeout: bool = True
+    stream: DataFrame,
+    gap_minutes: int = 30,
+    use_timeout: bool = True,
+    timeout_ms: int = 60_000,
 ) -> DataFrame:
     """Custom stateful sessionizer via applyInPandasWithState: per user,
     emit a row per closed session (session_start, session_end, n_events).
@@ -98,6 +101,13 @@ def sessionize_stateful(
     an availableNow query loops 'no new data but cleaning up state'
     batches indefinitely and emits timing-dependent rows (observed on
     Spark 4.1: 99 cleanup batches, never terminating).
+
+    The timeout path IS testable, just not under availableNow: with a
+    processing-time trigger the engine keeps running (empty) batches while
+    timeouts are registered, so a short ``timeout_ms`` + a bounded poll on
+    the sink gives a test that is deterministic in OUTCOME (which sessions
+    are flushed) even though the flush batch index is timing-dependent —
+    see tests/test_streaming.py::test_sessionize_processing_time_timeout_flushes.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -143,7 +153,7 @@ def sessionize_stateful(
         else:
             state.update((start_us, end_us, n))
             if use_timeout:
-                state.setTimeoutDuration(60_000)
+                state.setTimeoutDuration(timeout_ms)
         if closed:
             yield pd.DataFrame(
                 {

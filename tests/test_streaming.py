@@ -124,3 +124,63 @@ def test_exact_dedup_stream(spark, sf_dir):
         load_table(spark, "events", sf_dir).select("props").distinct().count()
     )
     assert got == distinct_props
+
+
+def test_sessionize_processing_time_timeout_flushes(spark, tmp_path):
+    # The PRODUCTION timeout path (ProcessingTimeTimeout), deterministically:
+    # availableNow can't terminate with timeouts registered (Spark 4.1 loops
+    # 'cleaning up state' batches forever — see sessionize_stateful's note),
+    # but a processing-time trigger keeps running empty batches while
+    # timeouts are pending, so a short timeout + a bounded poll is
+    # deterministic in OUTCOME: every session, including each user's last
+    # open one, must eventually be emitted exactly once.
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from hadoop_gpu_spark.streaming import sessionize_stateful
+
+    t0 = 1_600_000_000  # seconds
+    rows = [
+        # user 1: two events 10 min apart (one session), then a 2 h gap
+        # (second session) -> first closes in-batch, second by timeout
+        (1, t0), (1, t0 + 600), (1, t0 + 7200),
+        # user 2: a single event -> only the timeout can flush it
+        (2, t0 + 42),
+    ]
+    src = str(tmp_path / "events_src")
+    spark.createDataFrame(rows, "user_id long, epoch long").select(
+        "user_id", F.timestamp_seconds("epoch").alias("ts")
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    sess = sessionize_stateful(stream, gap_minutes=30, use_timeout=True, timeout_ms=200)
+    name = f"sessionize_timeout_{uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        expect = {
+            (1, t0, t0 + 600, 2),
+            (1, t0 + 7200, t0 + 7200, 1),
+            (2, t0 + 42, t0 + 42, 1),
+        }
+        deadline = time.time() + 120
+        got = set()
+        while time.time() < deadline:
+            got = {
+                (r["user_id"], int(r["session_start"].timestamp()),
+                 int(r["session_end"].timestamp()), r["n_events"])
+                for r in spark.table(name).collect()
+            }
+            if len(got) >= len(expect):
+                break
+            time.sleep(0.5)
+        assert got == expect, got
+    finally:
+        q.stop()
