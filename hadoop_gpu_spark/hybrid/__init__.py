@@ -70,6 +70,19 @@ class AlphaEstimator:
         )
 
 
+def cpu_gate(pending: int, alpha: float, n_gpu: int) -> bool:
+    """The reference scheduler's CPU-assignment gate
+    (JobQueueTaskScheduler.java:265-267): CPU slots are offered work only
+    when ``pendingMapLoad >= alpha * trackerGPUMapCapacity`` — below that,
+    the backlog is small enough that the GPU finishes it before a single
+    CPU task (cost α) would complete, so CPU assignment is skipped
+    ("DO NOT try to assign to CPU", :303). :func:`makespan_split`'s scan
+    subsumes this (x=0 wins whenever the gate is closed) — the function
+    exists so the equivalence is testable against the reference rule.
+    """
+    return pending >= alpha * n_gpu
+
+
 def makespan_split(pending: int, n_cpu: int, n_gpu: int, alpha: float) -> tuple[int, int]:
     """The reference's min-makespan scan (JobQueueTaskScheduler.java:177-193).
 

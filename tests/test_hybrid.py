@@ -102,3 +102,71 @@ def test_resource_profile_helpers(spark):
     assert cluster_supports_gpu_scheduling(spark) is False
     df = spark.range(10)
     assert apply_profile(df, profile).count() == 10
+
+
+def test_cpu_gate_matches_reference_condition():
+    # JobQueueTaskScheduler.java:265: CPU assignment happens iff
+    # pendingMapLoad >= alpha * trackerGPUMapCapacity.
+    from hadoop_gpu_spark.hybrid import cpu_gate
+
+    assert cpu_gate(8, 4.0, 2)      # 8 >= 8
+    assert not cpu_gate(7, 4.0, 2)  # 7 < 8 -> "DO NOT try to assign to CPU"
+    assert cpu_gate(1, 0.5, 1)      # 1 >= 0.5
+    assert not cpu_gate(3, 4.0, 1)  # 3 < 4
+
+
+def test_makespan_scan_subsumes_cpu_gate():
+    # Whenever the reference gate is closed (pending < alpha * n_gpu), the
+    # min-makespan scan must independently conclude x=0 (pure GPU): a
+    # single CPU task costs ceil(1/n_cpu)*alpha = alpha while the whole
+    # backlog on GPU costs ceil(pending/n_gpu) < alpha. In every case the
+    # chosen split must be makespan-optimal (brute-force check).
+    # Sweeps alpha in {0.5, 1, 4} x capacities x backlog.
+    import math
+
+    from hadoop_gpu_spark.hybrid import cpu_gate, makespan_split
+
+    def f(x, pending, n_cpu, n_gpu, alpha):
+        return max(math.ceil(x / n_cpu) * alpha, math.ceil((pending - x) / n_gpu))
+
+    for alpha in (0.5, 1.0, 4.0):
+        for n_cpu in (1, 4, 8):
+            for n_gpu in (1, 2):
+                for pending in range(1, 33):
+                    x, y = makespan_split(pending, n_cpu, n_gpu, alpha)
+                    assert x + y == pending
+                    if not cpu_gate(pending, alpha, n_gpu):
+                        assert x == 0, (
+                            f"gate closed (pending={pending} < {alpha}*{n_gpu}) "
+                            f"but scan assigned {x} CPU tasks"
+                        )
+                    best = min(f(c, pending, n_cpu, n_gpu, alpha) for c in range(pending + 1))
+                    assert f(x, pending, n_cpu, n_gpu, alpha) == best, (alpha, n_cpu, n_gpu, pending, x)
+
+
+def test_skewed_batch_times_drive_split():
+    # Feed skewed measured batch times through the estimator and check the
+    # resulting split direction end-to-end (measured alpha -> scan), the
+    # way run_hybrid consumes it.
+    est = AlphaEstimator()
+    for t in (4.0, 4.4, 3.6):   # slow CPU batches
+        est.record("cpu", t)
+    for t in (1.0, 1.1, 0.9):   # fast GPU batches
+        est.record("gpu", t)
+    assert abs(est.alpha - 4.0) < 0.01
+    x_skew, y_skew = makespan_split(16, 4, 1, est.alpha)
+    # and the mirror skew: GPU slower than CPU -> nearly everything CPU
+    est2 = AlphaEstimator()
+    est2.record("cpu", 1.0)
+    est2.record("gpu", 4.0)
+    x_rev, y_rev = makespan_split(16, 4, 1, est2.alpha)
+    assert y_skew > y_rev, (y_skew, y_rev)
+    assert x_rev > x_skew, (x_rev, x_skew)
+    # alpha=4, 16 pending, 4 cpu + 1 gpu: reference scan optimum is the
+    # balanced point f = max(ceil(x/4)*4, 16-x) -> x=3..4, f=4... verify
+    # against brute force
+    import math
+    best = min(range(17), key=lambda x: max(math.ceil(x / 4) * 4.0, math.ceil((16 - x) / 1)))
+    got_f = max(math.ceil(x_skew / 4) * 4.0, math.ceil(y_skew / 1))
+    best_f = max(math.ceil(best / 4) * 4.0, math.ceil((16 - best) / 1))
+    assert got_f == best_f
