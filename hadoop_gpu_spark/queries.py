@@ -3299,6 +3299,165 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Repetition ratio (Gopher-style quality signal): fraction of duplicate
+# tokens per document — high-repetition docs are the classic low-quality
+# pretraining text. Exact integer counts; one division + subtraction is
+# IEEE-deterministic on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q_repetition_ratio",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_tokens,
+           len(list_distinct(toks))::BIGINT AS n_distinct,
+           round(1.0 - len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE, 9) AS rep_ratio
+    FROM t
+    WHERE len(toks) > 0
+      AND 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE > 0.5
+    """,
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.operators.fields import tokenize
+
+    docs = T(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tokenize(F.col("text")))).cast("long").alias("n_distinct"),
+    )
+    rep = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+    return (
+        d.filter(F.col("n_tokens") > 0)
+        .filter(rep > 0.5)
+        .select("doc_id", "n_tokens", "n_distinct", F.round(rep, 9).alias("rep_ratio"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish sub-token counting (SURVEY training-pipeline surface): a
+# GPT-2-style pre-tokenizer regex (letter runs / digit runs / punctuation
+# runs, optional leading space) over events.props — the cost model for
+# context-window budgeting. The pattern stays in the portable
+# PCRE∩RE2 subset so Spark (Java regex) and DuckDB (RE2) agree.
+# ---------------------------------------------------------------------------
+_BPE_RE = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+@query(
+    "q_token_count_bpe",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(len(regexp_extract_all(props, '{_BPE_RE}')))::BIGINT AS sum_bpe,
+           SUM(len(list_filter(regexp_split_to_array(props, '\\s+'), x -> x <> '')))::BIGINT AS sum_ws,
+           round(SUM(len(regexp_extract_all(props, '{_BPE_RE}')))::DOUBLE / COUNT(*), 9) AS bpe_per_event
+    FROM events GROUP BY event_type
+    """,
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    n_bpe = F.size(F.regexp_extract_all(F.col("props"), F.lit(_BPE_RE), F.lit(0)))
+    n_ws = F.size(F.filter(F.split(F.col("props"), r"\s+"), lambda x: x != ""))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(n_bpe).cast("long").alias("sum_bpe"),
+            F.sum(n_ws).cast("long").alias("sum_ws"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "sum_bpe",
+            "sum_ws",
+            F.round(F.col("sum_bpe").cast("double") / F.col("n_events"), 9).alias("bpe_per_event"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sliding-window average through the gate (tumbling is covered
+# by q_stream_hourly): 1 h windows every 30 min — each event lands in
+# exactly two windows. Deterministic avg = decimal sum / count.
+# ---------------------------------------------------------------------------
+@query(
+    "q_stream_sliding",
+    oracle="""
+    WITH e AS (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+               AS win_start,
+             event_type, value
+      FROM events)
+    SELECT win_start, event_type,
+           COUNT(*) AS cnt,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 9) AS avg_value
+    FROM e GROUP BY win_start, event_type
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from hadoop_gpu_spark.streaming import drain_to_memory, events_stream, sliding_window_avg
+
+    agg = sliding_window_avg(events_stream(spark, sf_dir), window="1 hour", slide="30 minutes")
+    return drain_to_memory(agg, f"q_stream_sliding_sink_{uuid.uuid4().hex[:8]}")
+
+
+# ---------------------------------------------------------------------------
+# ANN, third strategy: random-hyperplane LSH buckets (exact-collision
+# candidates, exact cosine re-rank inside the bucket). Completes the
+# brute-force (exact baseline) / IVF (centroid cells) / LSH (hyperplane
+# buckets) triad. Signature bits come from integer-quantized dot products
+# so they are bit-reproducible across engines and partitionings — the
+# hyperplane sign matrix is an md5 chain shared literally between the
+# Spark plan and this SQL.
+# ---------------------------------------------------------------------------
+def _lsh_sql_sig(n_bits: int = 5, dim: int = 64) -> str:
+    from hadoop_gpu_spark.similarity.ann import lsh_signs
+
+    signs = lsh_signs(n_bits, dim)
+    terms = []
+    for h, row in enumerate(signs):
+        arr = "[" + ", ".join(f"{float(v):.1f}" for v in row) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(quant, {arr}) > 0 THEN {1 << h} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "q_ann_lsh",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding,
+             {_lsh_sql_sig()} AS sig
+      FROM (SELECT vec_id, embedding,
+                   list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000)) AS quant
+            FROM embeddings)),
+    pairs AS (
+      SELECT q.vec_id AS qid, e.vec_id AS nid, {_COS_SQL} AS score
+      FROM sigs q JOIN sigs e ON q.sig = e.sig AND q.vec_id <> e.vec_id
+      WHERE q.vec_id < 8),
+    ranked AS (
+      SELECT qid, nid, score,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank
+      FROM pairs)
+    SELECT qid, nid, round(score, 9) AS score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.similarity.ann import lsh_bucket_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    out = lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 8), "embedding", "vec_id", k=5, n_bits=5)
+    return out.select(
+        "qid", "nid", F.round("score", 9).alias("score"), F.col("rank").cast("long").alias("rank")
+    )
+
+
 # ===========================================================================
 # Driver-window ordering.
 #
@@ -3372,12 +3531,15 @@ _DRIVER_WINDOW = [
     "q_rollup",
     "q_secondary_sort",
     "q_moving_window",
-    "q_terasort",
-    "q_md5_sample",
-    "q_grep",
-    "q_field_selection",
-    # new this round (manifest check forces window membership for new queries)
+    # new this round (manifest check forces window membership for new
+    # queries; four oldest-green r01 rotation slots gave way to them —
+    # q_terasort/q_md5_sample/q_grep/q_field_selection stay green-from-r01,
+    # unchanged)
     "q_kvjob_wordcount_pandas",
+    "q_repetition_ratio",
+    "q_token_count_bpe",
+    "q_stream_sliding",
+    "q_ann_lsh",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

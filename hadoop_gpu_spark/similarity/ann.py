@@ -120,3 +120,92 @@ def ivf_topk(
     )
     w2 = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
     return scored.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+
+
+def lsh_signs(n_bits: int, dim: int) -> list[list[int]]:
+    """Deterministic random-hyperplane sign matrix (n_bits x dim, entries
+    ±1) from an md5 chain — no engine RNG, so the same literals can be
+    embedded in both the Spark plan and an oracle's SQL text."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"lsh:{h}:{d}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1
+            for d in range(dim)
+        ]
+        for h in range(n_bits)
+    ]
+
+
+def lsh_signature(vec_col, signs: list[list[int]]):
+    """Random-hyperplane LSH signature as a long: bit h = 1 iff
+    dot(quantize(vec), hyperplane_h) > 0.
+
+    Elements are quantized to floor(x * 1e6) integers first so every dot
+    product is EXACT integer arithmetic (in doubles, far below 2^53) —
+    the bit never depends on float summation order, which keeps
+    signatures reproducible across engines (the oracle requirement) and
+    across partitionings (the production requirement).
+
+    The quantized array is bound once via a lambda variable (HOF lambdas
+    are interpreted with no CSE — without the binding the transform would
+    re-quantize the vector once per hyperplane).
+    """
+    from hadoop_gpu_spark.queries import _bind_once
+
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    quant = F.transform(vec, lambda x: F.floor(x.cast("double") * 1000000.0).cast("double"))
+
+    def build(qv):
+        sig = F.lit(0).cast("long")
+        for h, row in enumerate(signs):
+            w = F.array(*[F.lit(float(v)) for v in row])
+            dot = F.aggregate(
+                F.zip_with(qv, w, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+            )
+            sig = sig + F.when(dot > 0, F.lit(1 << h).cast("long")).otherwise(F.lit(0).cast("long"))
+        return sig
+
+    return _bind_once(quant, build)
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_bits: int = 5,
+) -> DataFrame:
+    """LSH-bucketed ANN: candidates = exact signature collision, then exact
+    cosine top-k within the bucket. Output (qid, nid, score, rank) like
+    :func:`brute_force_topk` — recall < 1 by design; cost drops from
+    O(|Q|·|corpus|) to O(|Q|·bucket_size).
+
+    100 TB shape: the corpus side computes its signature in the scan
+    projection (narrow map) and joins against the broadcast query set on
+    the signature — the corpus is never shuffled; with the corpus WRITTEN
+    bucketed by signature the probe becomes partition pruning.
+    """
+    from hadoop_gpu_spark.utils import ensure_min_partitions
+
+    first = corpus.select(F.size(vec_col).alias("n")).first()
+    signs = lsh_signs(n_bits, first["n"])
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("__qv"),
+        lsh_signature(vec_col, signs).alias("__sig"),
+    )
+    c = ensure_min_partitions(
+        corpus.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("__cv"),
+            lsh_signature(vec_col, signs).alias("__sig"),
+        )
+    )
+    pairs = c.join(F.broadcast(q), "__sig").filter(F.col("qid") != F.col("nid"))
+    scored = pairs.select("qid", "nid", cosine("__qv", "__cv").alias("score"))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

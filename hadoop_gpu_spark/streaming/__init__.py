@@ -73,11 +73,22 @@ def windowed_counts(
 def sliding_window_avg(
     stream: DataFrame, window: str = "1 hour", slide: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
+    """Sliding-window per-type average. avg is decimal-sum / count (not
+    F.avg) so the value is order-independent — the determinism rule every
+    gated float aggregate follows (queries.py module docstring)."""
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
-        .agg(F.avg("value").alias("avg_value"))
-        .select(F.col("w.start").alias("win_start"), "event_type", "avg_value")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("__sum"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "cnt",
+            F.round(F.col("__sum") / F.col("cnt"), 9).alias("avg_value"),
+        )
     )
 
 
