@@ -159,3 +159,22 @@ def test_sequence_file_compressed_roundtrips(spark, tmp_path):
         assert sources.SEQFILE_CODECS[codec].encode() in head, name
         back = sources.read_sequence_file(spark, p)
         assert {(r["k"], r["v"]) for r in back.collect()} == expect, name
+
+
+def test_many_small_files_combine_into_few_partitions(spark, tmp_path):
+    # CombineFileInputFormat / MultiFileWordCount analog: Spark's
+    # files.openCostInBytes (1 MB, session.py) bin-packs many tiny files
+    # into few scan partitions, so a small-file corpus doesn't explode
+    # into one task per file at 100 TB (the exact problem
+    # X/MultiFileWordCount.java solves with one split over many files).
+    path = str(tmp_path / "many_small")
+    spark.range(2000).repartition(50).write.parquet(path)
+    back = spark.read.parquet(path)
+    n_parts = back.rdd.getNumPartitions()
+    n_files = len([f for f in __import__("os").listdir(path) if f.startswith("part-")])
+    assert n_files >= 40, n_files
+    # local[32] floor: bytesPerCore targets defaultParallelism, so Spark
+    # packs ~2 tiny files per partition here (and far more once file count
+    # >> cores); the invariant is packing happened at all, not a ratio.
+    assert n_parts <= n_files / 2, (n_parts, n_files)
+    assert back.count() == 2000
