@@ -3458,6 +3458,82 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Composed pretraining-corpus pipeline: quality gate (top half per lang by
+# quality score) → exact dedup among the kept docs (min-doc_id survivor
+# per text hash) → per-language mixture stats (doc/token counts + uniform
+# rebalance weight). The operators are gated individually elsewhere; this
+# gate proves they COMPOSE — the shape a real data recipe runs nightly.
+# Scale: quality is scan-side column math, dedup shuffles only
+# (hash, doc_id, lang, n_tokens) — never text — and the final aggregate
+# is k-langs-sized with a 1-row broadcast for totals.
+# ---------------------------------------------------------------------------
+@query(
+    "q_pretrain_pipeline",
+    oracle=f"""
+    WITH s AS ({_QUALITY_SQL}),
+    kept AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        FROM s) WHERE rn <= ceil(n_lang / 2.0)),
+    toks AS (
+      SELECT d.doc_id, k.lang, md5(d.text) AS h, len({_SQL_TOKS})::BIGINT AS n_toks
+      FROM documents d JOIN kept k ON d.doc_id = k.doc_id),
+    surv AS (
+      SELECT arg_min(lang, doc_id) AS lang, arg_min(n_toks, doc_id) AS n_toks
+      FROM toks GROUP BY h),
+    agg AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             SUM(n_toks)::BIGINT AS sum_tokens
+      FROM surv GROUP BY lang),
+    t AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS total,
+                 CAST(COUNT(*) AS DOUBLE) AS n_langs FROM agg)
+    SELECT lang, n_docs, sum_tokens,
+           round(total / (n_langs * n_docs), 9) AS weight
+    FROM agg, t
+    """,
+)
+def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.functions import text as tx
+    from hadoop_gpu_spark.operators.fields import tokenize
+
+    docs = T(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.round(tx.quality_score("text"), 9).alias("q"),
+        md5_hex("text").alias("h"),
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("q").desc(), F.col("doc_id").asc())
+    wc = Window.partitionBy("lang")
+    kept = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_lang", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") <= F.ceil(F.col("n_lang") / 2.0))
+    )
+    surv = kept.groupBy("h").agg(
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("n_toks", "doc_id").alias("n_toks"),
+    )
+    agg = surv.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("sum_tokens"),
+    )
+    t = agg.agg(
+        F.sum("n_docs").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("n_langs"),
+    )
+    return agg.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        "sum_tokens",
+        F.round(F.col("total") / (F.col("n_langs") * F.col("n_docs")), 9).alias("weight"),
+    )
+
+
 # ===========================================================================
 # Driver-window ordering.
 #
@@ -3527,7 +3603,6 @@ _DRIVER_WINDOW = [
     "q_join_expr_composite",
     "q_join_override",
     "q_union_distinct",
-    "q_intersect",
     "q_rollup",
     "q_secondary_sort",
     "q_moving_window",
@@ -3540,6 +3615,7 @@ _DRIVER_WINDOW = [
     "q_token_count_bpe",
     "q_stream_sliding",
     "q_ann_lsh",
+    "q_pretrain_pipeline",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -110,6 +110,7 @@ def test_dedup_pipeline_never_shuffles_text(spark, sf_dir):
         "q_boilerplate_ratio",
         "q_contamination",
         "q_winnow_fingerprint",
+        "q_pretrain_pipeline",
     ]:
         cols = plans.shuffled_columns(QUERIES[name](spark, sf_dir))
         assert "text" not in cols, f"{name} shuffles text: {sorted(cols)}"
