@@ -3534,6 +3534,46 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Stream-stream join (attribution shape): every click joined to the same
+# user's views in the preceding 2 h — both sides watermarked with an
+# event-time range condition, so state stays bounded on an unbounded run.
+# Join timestamps are second-truncated (sub-second precision is
+# engine-specific and must never decide a boundary). availableNow inner
+# join emits the complete pair set in one batch == the batch oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "q_stream_join",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      date_trunc('second', ts) AS ts_s FROM events)
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           date_diff('second', v.ts_s, c.ts_s)::BIGINT AS gap_s
+    FROM e v JOIN e c ON v.user_id = c.user_id
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+      AND c.ts_s > v.ts_s AND c.ts_s <= v.ts_s + INTERVAL 120 MINUTE
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from hadoop_gpu_spark.streaming import events_stream, stream_stream_join
+
+    joined = stream_stream_join(
+        events_stream(spark, sf_dir), left_type="view", right_type="click", within_minutes=120
+    )
+    name = f"q_stream_join_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # ===========================================================================
 # Driver-window ordering.
 #
@@ -3605,7 +3645,6 @@ _DRIVER_WINDOW = [
     "q_union_distinct",
     "q_rollup",
     "q_secondary_sort",
-    "q_moving_window",
     # new this round (manifest check forces window membership for new
     # queries; four oldest-green r01 rotation slots gave way to them —
     # q_terasort/q_md5_sample/q_grep/q_field_selection stay green-from-r01,
@@ -3616,6 +3655,7 @@ _DRIVER_WINDOW = [
     "q_stream_sliding",
     "q_ann_lsh",
     "q_pretrain_pipeline",
+    "q_stream_join",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -233,3 +233,52 @@ def exact_dedup_stream(
         .dropDuplicates(["__h"])
         .drop("__h")
     )
+
+
+def stream_stream_join(
+    stream: DataFrame,
+    left_type: str = "view",
+    right_type: str = "click",
+    within_minutes: int = 120,
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range constraint — the
+    attribution shape (every ``right`` event joined to the same user's
+    ``left`` events in the preceding ``within_minutes``).
+
+    Both sides carry watermarks and the join condition bounds event time,
+    so the state store holds only ``watermark + within_minutes`` of each
+    side per key — the bounded-state requirement for an unbounded run.
+    Join timestamps are second-truncated: sub-second precision differs
+    between engines (nanos vs micros) and must never decide a boundary.
+    """
+    v = (
+        stream.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias(f"{left_type}_id"),
+            F.date_trunc("second", F.col("ts")).alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    c = (
+        stream.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias(f"{right_type}_id"),
+            F.date_trunc("second", F.col("ts")).alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    joined = v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        f"{left_type}_id",
+        f"{right_type}_id",
+        (F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts")).alias("gap_s"),
+    )
