@@ -69,3 +69,38 @@ def test_key_field_spec_parser(spark, f1, f2, flags):
     spec = f"-k{lo},{hi}{flags}"
     cols = key_field_sort_expr(spec, ["a", "b", "c"])
     assert len(cols) == hi - lo + 1
+
+
+@given(i=st.integers(min_value=-(2**62), max_value=2**62))
+@settings(max_examples=300, deadline=None)
+def test_vint_roundtrip_property(i):
+    # Hadoop WritableUtils VInt: encode→decode is identity over the full
+    # long range (known-byte compatibility is pinned in test_kvjob).
+    import io
+
+    from hadoop_gpu_spark.operators.pipes import read_vint, write_vint
+
+    buf = io.BytesIO()
+    write_vint(buf, i)
+    buf.seek(0)
+    assert read_vint(buf) == i
+
+
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    channels=st.sampled_from([1, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(h, w, channels, seed):
+    import numpy as np
+
+    from hadoop_gpu_spark.multimodal.png import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    back = decode_png(encode_png(img))
+    assert back.shape == img.shape
+    assert (back == img).all()
