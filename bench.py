@@ -40,6 +40,13 @@ HEADLINE = [
     "q09_product_type_profit",
     "q13_customer_distribution",
     "q21_waiting_orders",
+    # added round 3 (each windowed same-round per the invariant above):
+    # the heavy LLM-pipeline operators join the headline set so the bench
+    # tracks the training-data path, not just the TPC-H shapes.
+    "q_winnow_fingerprint",
+    "q_sequence_pack",
+    "q_ann_lsh",
+    "q_pretrain_pipeline",
 ]
 
 
