@@ -66,11 +66,23 @@ def read_fixed_width(spark: SparkSession, path: str, widths: list[tuple[str, int
     return lines.select(*cols)
 
 
-def write_text(df: DataFrame, path: str, sep: str = "\t", mode: str = "overwrite") -> None:
-    """TextOutputFormat (M/TextOutputFormat.java:40): `k<sep>v` lines."""
-    df.select(
+def write_text(
+    df: DataFrame,
+    path: str,
+    sep: str = "\t",
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
+    """TextOutputFormat (M/TextOutputFormat.java:40): `k<sep>v` lines.
+    ``compression`` = gzip/bzip2/deflate for the reference's
+    FileOutputFormat.setCompressOutput path (readers splice codecs off the
+    file extension, same as TextInputFormat)."""
+    writer = df.select(
         F.concat_ws(sep, *[F.col(c).cast("string") for c in df.columns]).alias("value")
-    ).write.mode(mode).text(path)
+    ).write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.text(path)
 
 
 def write_parquet(

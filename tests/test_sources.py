@@ -178,3 +178,20 @@ def test_many_small_files_combine_into_few_partitions(spark, tmp_path):
     # >> cores); the invariant is packing happened at all, not a ratio.
     assert n_parts <= n_files / 2, (n_parts, n_files)
     assert back.count() == 2000
+
+
+def test_compressed_text_output_roundtrip(spark, tmp_path):
+    # FileOutputFormat.setCompressOutput analog: gzip'd text parts, read
+    # back transparently by extension (the TextInputFormat codec rule).
+    import glob
+    import gzip
+
+    df = spark.createDataFrame([("k1", "v1"), ("k2", "v2")], ["k", "v"])
+    p = str(tmp_path / "txt_gz")
+    sources.write_text(df, p, compression="gzip")
+    parts = glob.glob(p + "/part-*.gz")
+    assert parts, "no .gz parts written"
+    with gzip.open(parts[0], "rt") as f:  # really gzip bytes, not renamed
+        assert "\t" in f.read()
+    back = {r["k"]: r["v"] for r in sources.read_kv_text(spark, p).collect()}
+    assert back == {"k1": "v1", "k2": "v2"}
