@@ -167,3 +167,36 @@ def test_changed_queries_are_windowed():
         f"{offenders} — add them to the window (hadoop_gpu_spark/queries.py) "
         f"or, if they are in the latest CORRECTNESS file, refresh the manifest"
     )
+
+
+def test_lsh_ann_corpus_vectors_never_shuffle(spark, sf_dir):
+    # The q_ann_lsh scale claim, pinned: corpus embeddings (__cv) are
+    # consumed at the scan side of the broadcast join — only the tiny
+    # query set and scored candidate rows cross an Exchange.
+    cols = plans.shuffled_columns(QUERIES["q_ann_lsh"](spark, sf_dir))
+    assert "__cv" not in cols, sorted(cols)
+    assert plans.has_broadcast_join(QUERIES["q_ann_lsh"](spark, sf_dir))
+
+
+def test_lsh_bucketed_corpus_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    # The "written bucketed by signature, probe = partition pruning" story
+    # from lsh_bucket_topk's docstring, demonstrated: write the corpus
+    # partitioned by sig, read back filtered to one query's sig, and the
+    # scan must list only that partition (PartitionFilters present).
+    from pyspark.sql import functions as F
+
+    from hadoop_gpu_spark.similarity.ann import lsh_signature, lsh_signs
+    from hadoop_gpu_spark.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    signs = lsh_signs(5, emb.select(F.size("embedding")).first()[0])
+    with_sig = emb.withColumn("sig", lsh_signature("embedding", signs))
+    path = str(tmp_path / "corpus_by_sig")
+    with_sig.write.partitionBy("sig").parquet(path)
+
+    probe_sig = with_sig.filter(F.col("vec_id") == 0).select("sig").first()[0]
+    probe = spark.read.parquet(path).filter(F.col("sig") == probe_sig)
+    plan = plans.formatted_plan(probe)
+    assert "PartitionFilters" in plan and "sig" in plan
+    bucket_n = probe.count()
+    assert 0 < bucket_n < emb.count()
