@@ -136,3 +136,65 @@ def test_frame_sample_counts(spark, sf_dir):
     if len(vids):
         expect = sum(max(r.meta_ms - 1, 0) // 1000 + 1 for r in vids.itertuples())
         assert len(frames) == expect
+
+
+def _manual_wav(samples, rate=8000):
+    # RIFF/WAVE PCM bytes built by hand with struct — independent of the
+    # wave module the decoder uses.
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype=np.int16).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    data_chunk = b"data" + struct.pack("<I", len(pcm)) + pcm
+    fmt_chunk = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body = b"WAVE" + fmt_chunk + data_chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_real_wav_decode_end_to_end_in_spark(spark):
+    # Second real codec (stdlib wave): hand-built PCM bytes through the
+    # production mapInPandas path, exact sample counts and amplitudes.
+    rng = np.random.default_rng(5)
+    rows, expect = [], {}
+    for i in range(6):
+        n = int(rng.integers(50, 400))
+        samples = rng.integers(-(2**15), 2**15, size=n).astype("int16")
+        rows.append((i, "audio", bytearray(_manual_wav(samples)), 0, 0, 0))
+        expect[i] = (n, float(np.abs(samples.astype(np.float64)).mean()))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, data binary, meta_width int, meta_height int, meta_ms int"
+    ).repartition(3)
+    from hadoop_gpu_spark.multimodal import decode_audio
+
+    out = {r["media_id"]: r for r in decode_audio(media).collect()}
+    assert set(out) == set(expect)
+    for i, (n, mean_abs) in expect.items():
+        assert out[i]["n_samples"] == n
+        assert out[i]["sample_rate"] == 8000 and out[i]["n_channels"] == 1
+        assert abs(out[i]["mean_abs"] - mean_abs) < 1e-9
+        assert abs(out[i]["duration_ms"] - n / 8000 * 1000) < 1e-9
+
+
+def test_non_wav_real_audio_decode_raises(spark, sf_dir):
+    from pyspark.errors import PySparkException
+
+    from hadoop_gpu_spark.multimodal import decode_audio
+
+    docs = load_table(spark, "documents", sf_dir).limit(10)
+    media = attach_fake_media(docs, "doc_id", "text")
+    if media.filter("kind = 'audio'").count() == 0:
+        return  # fake corpus produced no audio rows in this slice
+    with pytest.raises(PySparkException, match="NotImplementedError|no in-engine codec"):
+        decode_audio(media).collect()
+
+
+def test_fake_audio_decode_deterministic(spark, sf_dir):
+    from hadoop_gpu_spark.multimodal import decode_audio
+
+    docs = load_table(spark, "documents", sf_dir).limit(40)
+    media = attach_fake_media(docs, "doc_id", "text")
+    a = decode_audio(media, fake=True).toPandas().sort_values("media_id")
+    b = decode_audio(media, fake=True).toPandas().sort_values("media_id")
+    assert a["pcm_hash"].tolist() == b["pcm_hash"].tolist()
