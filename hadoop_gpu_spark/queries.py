@@ -3583,6 +3583,42 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# ---------------------------------------------------------------------------
+# §2.10/§2.11 the compiled-C++ Pipes leg, end to end: the bundled native
+# wordcount task (pipes_native/wordcount.cc — an original implementation of
+# the reference's C++ example-UDF contract, wordcount-simple.cc semantics
+# over the BinaryProtocol VInt framing) is compiled with the host
+# toolchain and run per partition via pipe_binary; the child emits partial
+# counts (map+combine fused), the engine's shuffle does the final sum —
+# the same division of labor as the reference's C++ mapper + combiner.
+# Eager side effect (registry contract): ensure_built compiles on first
+# call at DataFrame-construction time (~1 s, then content-hash cached in
+# the scratch dir). Requires a C++ compiler on PATH; raises RuntimeError
+# otherwise rather than degrading silently.
+# ---------------------------------------------------------------------------
+@query(
+    "q_pipes_native_wordcount",
+    oracle="""
+    SELECT token, COUNT(*) AS cnt
+    FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    """,
+)
+def q_pipes_native_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.operators.pipes import pipe_binary
+    from hadoop_gpu_spark.pipes_native import ensure_built
+
+    binary = ensure_built("wordcount")
+    docs = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string"), F.col("text")
+    )
+    partials = pipe_binary(docs, [binary])
+    return partials.groupBy(F.col("k").alias("token")).agg(
+        F.sum(F.col("v").cast("long")).alias("cnt")
+    )
+
+
 # ===========================================================================
 # Driver-window ordering.
 #
@@ -3653,7 +3689,6 @@ _DRIVER_WINDOW = [
     "q_join_override",
     "q_union_distinct",
     "q_rollup",
-    "q_secondary_sort",
     # new this round (manifest check forces window membership for new
     # queries; four oldest-green r01 rotation slots gave way to them —
     # q_terasort/q_md5_sample/q_grep/q_field_selection stay green-from-r01,
@@ -3665,6 +3700,7 @@ _DRIVER_WINDOW = [
     "q_ann_lsh",
     "q_pretrain_pipeline",
     "q_stream_join",
+    "q_pipes_native_wordcount",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
