@@ -3147,11 +3147,21 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale shape — two-pass distributed prefix sum (no global window, which
 # would serialize the cumulative count through one task; measured 3.9x
-# at 10x docs before the fix): range-partition by doc_id, (1) aggregate
-# per-partition token counts and cumulate the tiny per-partition totals
-# driver-side (metadata, like k-means centroids), (2) within-partition
-# prefix sums run under Window.partitionBy(partition) — fully parallel.
-# Token rows then shuffle exactly once, keyed by sequence id.
+# at 10x docs before the fix): bucket by doc_id with a FIXED literal
+# width, (1) aggregate per-bucket token counts and cumulate the tiny
+# per-bucket totals driver-side (metadata, like k-means centroids),
+# (2) within-bucket prefix sums run under Window.partitionBy(bucket) —
+# fully parallel. Token rows then shuffle exactly once, keyed by
+# sequence id.
+#
+# Determinism (the round-3 red): the first cut range-partitioned by
+# doc_id, whose bounds are SAMPLED per-plan, and pinned pass-1/pass-2
+# agreement with a load-bearing .persist() — a cache miss between the
+# passes silently produced wrong offsets with the right row count.
+# Bucket = floor(doc_id / B) is a pure function of the data, so both
+# passes agree by construction under any partitioning, caching, or
+# session config; tests/test_operators.py asserts identical output across
+# fresh sessions with different shuffle.partitions.
 # ---------------------------------------------------------------------------
 @query(
     "q_sequence_pack",
@@ -3176,49 +3186,47 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_gpu_spark.operators.fields import tokenize
 
     L = 128
-    d = (
-        T(spark, sf_dir, "documents")
-        .select("doc_id", tokenize("text").alias("t"))
-        .repartitionByRange("doc_id")
-        .withColumn("__pid", F.spark_partition_id())
-        # persist is load-bearing: range-partition bounds are sampled, so
-        # without it pass 1 and pass 2 could see different partitionings
-        # and the base offsets would be wrong. At warehouse scale, stage
-        # the tokenized/range-partitioned table instead of caching.
-        .persist()
+    # Fixed bucket width: bucket id is a pure function of doc_id, never of
+    # the physical partitioning. 256 docs/bucket → ~1 base-offset long per
+    # 256 docs driver-side (4 MB of longs per 10^9 docs; hierarchical
+    # cumsum if that ever matters).
+    B = 256
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        tokenize("text").alias("t"),
+        (F.floor(F.col("doc_id") / B)).cast("long").alias("__bucket"),
     )
-    # Pass 1: per-partition totals → driver-side cumulative base offsets
-    # (a handful of rows of metadata). Range partitions are ordered by id.
+    # Pass 1: per-bucket totals → driver-side cumulative base offsets
+    # (metadata-sized, like k-means centroids).
     sizes = {
-        r["__pid"]: r["n"]
-        for r in d.groupBy("__pid").agg(F.sum(F.size("t")).alias("n")).collect()
+        r["__bucket"]: r["n"]
+        for r in d.groupBy("__bucket").agg(F.sum(F.size("t")).alias("n")).collect()
     }
-    bases, acc = {}, 0
-    for pid in sorted(sizes):
-        bases[pid] = acc
-        acc += sizes[pid]
-    base_expr = F.coalesce(
-        F.element_at(
-            F.create_map(
-                *[F.lit(x) for kv in bases.items() for x in kv]
-            ),
-            F.col("__pid"),
-        ),
-        F.lit(0),
+    bases, acc = [], 0
+    for b in sorted(sizes):
+        bases.append((b, acc))
+        acc += sizes[b]
+    base_df = F.broadcast(
+        spark.createDataFrame(bases, schema="__bucket long, __base long")
     )
-    # Pass 2: within-partition prefix sums — parallel across partitions.
+    # Pass 2: within-bucket prefix sums — parallel across buckets, and
+    # deterministic: doc_id is unique, so the window order is total.
     w = (
-        Window.partitionBy("__pid")
+        Window.partitionBy("__bucket")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    off = d.withColumn(
-        "start0", base_expr + F.coalesce(F.sum(F.size("t")).over(w), F.lit(0))
+    off = (
+        d.join(base_df, "__bucket")
+        .withColumn(
+            "start0",
+            F.col("__base") + F.coalesce(F.sum(F.size("t")).over(w), F.lit(0)),
+        )
     )
     tok = off.select("start0", F.posexplode("t").alias("pos", "tok")).select(
         (F.col("start0") + F.col("pos")).alias("gpos"), "tok"
     )
-    seq = tok.groupBy(F.floor(F.col("gpos") / L).cast("long").alias("seq_id")).agg(
+    return tok.groupBy(F.floor(F.col("gpos") / L).cast("long").alias("seq_id")).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.md5(
             F.encode(
@@ -3235,14 +3243,6 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("seq_hash"),
     )
-    # Cut lineage so the persist above can be released before returning:
-    # localCheckpoint(eager=True) materializes the (small — one row per
-    # 128-token sequence) result, after which the cached tokenized table
-    # is no longer referenced by the returned plan. Without this every
-    # invocation leaked cached partitions for the session lifetime.
-    seq = seq.localCheckpoint(eager=True)
-    d.unpersist()
-    return seq
 
 
 # ---------------------------------------------------------------------------
@@ -3661,46 +3661,48 @@ _DRIVER_WINDOW = [
     "q09_product_type_profit",
     "q13_customer_distribution",
     "q21_waiting_orders",
-    # (b) stale after the r02 band_hashes rewrite — re-window per policy
-    "q_dedup_minhash_pairs",
-    "q_dedup_ngram_jaccard",
-    # (a) round-2 additions with no driver row yet
-    "q_db_count_pageview",
-    "q_tfidf_topterms",
-    "q_stratified_sample",
-    "q_boilerplate_ratio",
-    "q_quality_filter",
-    "q_ngram_freq",
     "q_winnow_fingerprint",
-    "q_contamination",
-    "q_salted_join",
     "q_sequence_pack",
-    "q_dedup_fingerprint",
-    "q_mixture_weights",
-    "q_multimodal_decode",
-    "q_frame_sample",
-    "q_stream_sessionize",
-    # oldest-green rotation (r01 rows not re-checked since; code unchanged)
-    "q_kvjob_wordcount",
-    "q_asof_join",
-    "q_range_join",
-    "q_join_semi",
-    "q_join_expr_composite",
-    "q_join_override",
-    "q_union_distinct",
-    "q_rollup",
-    # new this round (manifest check forces window membership for new
-    # queries; four oldest-green r01 rotation slots gave way to them —
-    # q_terasort/q_md5_sample/q_grep/q_field_selection stay green-from-r01,
-    # unchanged)
-    "q_kvjob_wordcount_pandas",
-    "q_repetition_ratio",
-    "q_token_count_bpe",
-    "q_stream_sliding",
     "q_ann_lsh",
     "q_pretrain_pipeline",
+    # (b) changed this round — the r03 event-time incident set: the
+    # events-stream ts decode fix touches every event-time consumer, and
+    # q_sequence_pack was rewritten for partition determinism (all verified
+    # against the sf0.01 oracle locally; these rows are the re-green)
+    "q_stream_sessionize",
+    "q_stream_sliding",
     "q_stream_join",
-    "q_pipes_native_wordcount",
+    "q_stream_hourly",
+    "q_sessionization",
+    # (a) oldest-green rotation: every query whose latest driver-green row
+    # is r01 (not re-checked since; code unchanged or loader-only closure
+    # change re-proven by the local sf0.001 parity suite)
+    "q_descriptor_agg",
+    "q_field_selection",
+    "q_grep",
+    "q_grep_ranked",
+    "q_intersect",
+    "q_inverse_map",
+    "q_join_broadcast",
+    "q_join_outer_counts",
+    "q_json_extract",
+    "q_lang_id_confusion",
+    "q_mapfile_get_closest",
+    "q_matmul_gram",
+    "q_md5_sample",
+    "q_moving_window",
+    "q_pi_estimator",
+    "q_quality_score",
+    "q_secondary_sort",
+    "q_terasort",
+    "q_text_stats",
+    "q_uniq_value_count",
+    # flex slots: oldest r02 greens (give these up first if new queries
+    # land this round — new queries must enter the window)
+    "q02_min_cost_supplier",
+    "q04_order_priority",
+    "q06_forecast_revenue",
+    "q07_volume_shipping",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

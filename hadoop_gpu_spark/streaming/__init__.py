@@ -17,37 +17,39 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    DoubleType,
     LongType,
-    StringType,
     StructField,
     StructType,
     TimestampType,
 )
 
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos (spark.sql.legacy.parquet.nanosAsLong)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
-
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one
-    micro-batch backlog; drain with availableNow for batch parity)."""
+    micro-batch backlog; drain with availableNow for batch parity).
+
+    The stream schema is NOT hard-coded: it is probed from the parquet
+    footer via a driver-side batch read, then the ``ts`` column goes
+    through the same ``tables.normalize_event_ts`` helper the batch loader
+    uses. The round-3 regression (a test-data regeneration switched the
+    file from TIMESTAMP(NANOS) to timestamp[us] and the stream silently
+    read Jan-2024 as 1970) is exactly what this probe-and-share prevents:
+    any epoch the batch loader can read, the stream reads identically.
+    """
+    from hadoop_gpu_spark.tables import normalize_event_ts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Footer-only probe (no data read) so the stream schema always matches
+    # the current data epoch.
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # The file-stream source needs a directory; glob-filter to the events
     # file inside the sf dir.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def windowed_counts(

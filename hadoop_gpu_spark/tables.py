@@ -31,6 +31,36 @@ TABLE_NAMES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-local TIMESTAMP regardless
+    of the on-disk epoch the test data was generated with.
+
+    The driver has shipped ``events.parquet`` as TIMESTAMP(NANOS) (read as
+    LongType nanos under spark.sql.legacy.parquet.nanosAsLong) in one epoch
+    and plain ``timestamp[us]`` (read as TIMESTAMP_NTZ) in another. Every
+    consumer — batch loader AND the streaming source — must funnel through
+    this one helper so a data regeneration cannot silently skew event time
+    for half the engine (the round-3 incident: the stream hard-coded
+    nanos-as-long and read Jan-2024 as 1970).
+
+    Output is always TIMESTAMP (LTZ) at micro precision under the pinned
+    UTC session zone, so wall-clock values match the oracle engines, which
+    read the file as naive timestamps.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        # legacy nanos-as-long epoch: truncate to micros
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        # timestamp[us] without tz: reinterpret wall clock as UTC (session
+        # zone is pinned to UTC, so the cast is value-preserving)
+        return df.withColumn(col, F.col(col).cast(TimestampType()))
+    return df
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
@@ -38,21 +68,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # UTC (timestamp literals/formatting in queries assume it).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS); without this runtime conf
-        # any externally-created session (e.g. the driver's) fails with
-        # PARQUET_TYPE_ILLEGAL. Set it here so the loader is self-sufficient.
+        # Some data epochs ship events.parquet as TIMESTAMP(NANOS); without
+        # this runtime conf any externally-created session (e.g. the
+        # driver's) fails with PARQUET_TYPE_ILLEGAL on those. Harmless when
+        # the file is timestamp[us]. Set here so the loader is self-sufficient.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in parquet, read as long nanos
-        # (spark.sql.legacy.parquet.nanosAsLong) — convert to a
-        # micro-truncated timestamp. Queries must not expose raw ts at
-        # sub-second precision (oracle engines keep the nanos).
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_event_ts(df)
     return df
 
 

@@ -265,3 +265,23 @@ def test_parse_field_spec():
     assert parse_field_spec("1:0") == [1, 0]  # reorder preserved
     with _pytest.raises(ValueError):
         parse_field_spec("3-")
+
+
+def test_sequence_pack_deterministic_across_sessions(spark, sf_dir):
+    """q_sequence_pack output must be a pure function of the data — the
+    round-3 driver red was a hash flip under a different session/partition
+    state. Two fresh sessions with different shuffle.partitions must agree
+    on the exact (seq_id, n_tokens, seq_hash) set."""
+    from hadoop_gpu_spark.queries import QUERIES
+
+    q = QUERIES["q_sequence_pack"]
+    results = []
+    for parts in ("3", "17"):
+        s = spark.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", parts)
+        rows = {
+            (r["seq_id"], r["n_tokens"], r["seq_hash"]) for r in q(s, sf_dir).collect()
+        }
+        results.append(rows)
+    assert results[0] == results[1]
+    assert len(results[0]) > 0
