@@ -152,6 +152,81 @@ def manifest_path() -> str:
                         "tests", "green_manifest.json")
 
 
+# ---------------------------------------------------------------------------
+# Data epoch: the round-3 incident class. Code fingerprints cannot see a
+# TESTDATA regeneration (the driver changed events.ts from TIMESTAMP(NANOS)
+# to timestamp[us] between rounds and silently invalidated two greens), so
+# the manifest also pins a hash of every table's parquet schema + row count
+# at sf0.001 under the reserved key below. A drifted table treats every
+# query that (statically) touches it as changed → it must re-enter the
+# driver window.
+# ---------------------------------------------------------------------------
+DATA_EPOCH_KEY = "__data_epoch__"
+EPOCH_SF_DIR = "/root/testdata/sf0.001"
+
+
+def data_epoch(sf_dir: str = EPOCH_SF_DIR) -> dict[str, str]:
+    """{table: hash(parquet schema + row count)} for the current test data."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from hadoop_gpu_spark.tables import TABLE_NAMES
+
+    out = {}
+    for t in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(path):
+            continue
+        h = hashlib.sha256()
+        # schema string carries physical types incl. timestamp unit —
+        # exactly the drift class that broke round 3
+        h.update(pq.read_schema(path).to_string().encode())
+        h.update(str(pq.read_metadata(path).num_rows).encode())
+        out[t] = h.hexdigest()[:16]
+    return out
+
+
+def query_tables(name: str) -> set[str]:
+    """Tables a query (statically) touches: table-name word occurrences in
+    its source closure plus its oracle SQL. Conservative — a false positive
+    only widens the re-check set, the safe direction."""
+    import re
+
+    from hadoop_gpu_spark.queries import ORACLES, QUERIES
+    from hadoop_gpu_spark.tables import TABLE_NAMES
+
+    seen: dict[str, str] = {}
+    _collect(QUERIES[name], seen)
+    # the loader module literally enumerates every table name — exclude it,
+    # then match only quoted literals (T(spark, sf_dir, "events")-style) in
+    # python sources and bare word occurrences in the oracle SQL
+    py_blob = "\n".join(
+        src for key, src in seen.items() if not key.startswith(_PKG + ".tables")
+    )
+    sql_blob = ORACLES.get(name) or ""
+    return {
+        t
+        for t in TABLE_NAMES
+        if re.search(rf"""['"]{t}['"]""", py_blob) or re.search(rf"\b{t}\b", sql_blob)
+    }
+
+
+def epoch_changed_queries(manifest: dict) -> list[str]:
+    """Queries invalidated by a test-data epoch drift: every query touching
+    a table whose schema/rowcount hash differs from the manifest's pinned
+    epoch. A table absent from the pinned epoch counts as drifted (no
+    evidence was recorded for it)."""
+    from hadoop_gpu_spark.queries import QUERIES
+
+    pinned = manifest.get(DATA_EPOCH_KEY, {})
+    current = data_epoch()
+    drifted = {t for t in current if pinned.get(t) != current[t]}
+    if not drifted:
+        return []
+    return [n for n in QUERIES if query_tables(n) & drifted]
+
+
 def refresh(correctness_json: str) -> None:
     """Update the manifest for every query the given CORRECTNESS file
     shows green (rows+schema+hash, or rows-only with no err)."""
@@ -174,12 +249,30 @@ def refresh(correctness_json: str) -> None:
     for n in green:
         if n in fps:
             manifest[n] = fps[n]
-    # drop retired queries
-    manifest = {n: v for n, v in manifest.items() if n in fps}
+    # drop retired queries (keep reserved keys)
+    manifest = {n: v for n, v in manifest.items() if n in fps or n.startswith("__")}
+    # green rows were earned against the data on disk right now: pin it
+    manifest[DATA_EPOCH_KEY] = data_epoch()
     with open(path, "w") as f:
         json.dump(dict(sorted(manifest.items())), f, indent=1)
         f.write("\n")
     print(f"manifest: {len(green & set(fps))} refreshed, {len(manifest)} total")
+
+
+def ack_epoch() -> None:
+    """Pin the current data epoch without touching query fingerprints — the
+    explicit, committed acknowledgement after a data regeneration has been
+    locally re-verified and the affected queries re-windowed."""
+    import json
+
+    path = manifest_path()
+    with open(path) as f:
+        manifest = json.load(f)
+    manifest[DATA_EPOCH_KEY] = data_epoch()
+    with open(path, "w") as f:
+        json.dump(dict(sorted(manifest.items())), f, indent=1)
+        f.write("\n")
+    print(f"epoch pinned for {len(manifest[DATA_EPOCH_KEY])} tables")
 
 
 if __name__ == "__main__":
@@ -187,6 +280,8 @@ if __name__ == "__main__":
 
     if len(sys.argv) >= 3 and sys.argv[1] == "refresh":
         refresh(sys.argv[2])
+    elif len(sys.argv) >= 2 and sys.argv[1] == "epoch":
+        ack_epoch()
     elif len(sys.argv) >= 2 and sys.argv[1] == "dump":
         import json
 

@@ -21,3 +21,24 @@ def test_oracle_parity(spark, sf_dir, name):
 def test_all_oracle_queries_registered():
     missing = set(ORACLES) - set(QUERIES)
     assert not missing
+
+
+# ---------------------------------------------------------------------------
+# Round-end gate replica at the driver's own scale. All four r03 driver
+# reds reproduced locally at sf0.01; the default suite only replicates the
+# oracle at sf0.001, which can mask scale-dependent failures (the
+# stream-join row explosion was 13,124-vs-83 at sf0.01). Deselected by
+# default (pytest.ini); run before round end with:
+#   python -m pytest tests/ -m sf01_window -q
+# ---------------------------------------------------------------------------
+def _driver_window():
+    from hadoop_gpu_spark.queries import _DRIVER_WINDOW
+
+    return list(_DRIVER_WINDOW)
+
+
+@pytest.mark.sf01_window
+@pytest.mark.parametrize("name", _driver_window())
+def test_oracle_parity_sf01_window(spark, name):
+    errs = check_query(spark, name, "/root/testdata/sf0.01")
+    assert not errs, f"{name}: " + "; ".join(errs)

@@ -155,18 +155,61 @@ def test_changed_queries_are_windowed():
     from hadoop_gpu_spark.fingerprint import all_fingerprints, manifest_path
     from hadoop_gpu_spark.queries import QUERIES, _DRIVER_WINDOW
 
+    from hadoop_gpu_spark.fingerprint import epoch_changed_queries
+
     with open(manifest_path()) as f:
         manifest = json.load(f)
     fps = all_fingerprints()
+    # Data-epoch guard (round-3 incident class): a testdata regeneration
+    # invalidates greens with zero code-fingerprint signal, so queries
+    # touching a drifted table count as changed too.
+    epoch_changed = set(epoch_changed_queries(manifest))
     offenders = [
         n for n in QUERIES
-        if manifest.get(n) != fps[n] and n not in _DRIVER_WINDOW
+        if (manifest.get(n) != fps[n] or n in epoch_changed)
+        and n not in _DRIVER_WINDOW
     ]
     assert not offenders, (
         f"queries changed since last driver-green but outside _DRIVER_WINDOW: "
         f"{offenders} — add them to the window (hadoop_gpu_spark/queries.py) "
-        f"or, if they are in the latest CORRECTNESS file, refresh the manifest"
+        f"or, if they are in the latest CORRECTNESS file, refresh the manifest; "
+        f"if the cause is a test-data regeneration (epoch-changed: "
+        f"{sorted(epoch_changed)[:8]}…), re-verify locally, re-window, then "
+        f"`python -m hadoop_gpu_spark.fingerprint epoch`"
     )
+
+
+def test_data_epoch_guard_detects_drift():
+    # The guard that the round-3 incident (events TIMESTAMP(NANOS) →
+    # timestamp[us] regeneration) would have tripped: perturb the pinned
+    # epoch hash for one table and every query touching it must report
+    # as changed.
+    import json
+
+    from hadoop_gpu_spark.fingerprint import (
+        DATA_EPOCH_KEY,
+        data_epoch,
+        epoch_changed_queries,
+        manifest_path,
+        query_tables,
+    )
+
+    with open(manifest_path()) as f:
+        manifest = json.load(f)
+    # the checked-in manifest must pin the current on-disk epoch
+    assert manifest.get(DATA_EPOCH_KEY) == data_epoch(), (
+        "test data changed since the manifest pinned it — re-verify affected "
+        "queries, re-window them, then `python -m hadoop_gpu_spark.fingerprint epoch`"
+    )
+    # synthetic drift: events regenerated
+    fake = dict(manifest)
+    fake[DATA_EPOCH_KEY] = dict(fake[DATA_EPOCH_KEY], events="0" * 16)
+    changed = set(epoch_changed_queries(fake))
+    assert "q_events_hourly" in changed and "q_sessionization" in changed
+    assert "q01_pricing_summary" not in changed  # lineitem-only query untouched
+    # static table tracer sanity
+    assert "events" in query_tables("q_events_hourly")
+    assert "lineitem" in query_tables("q01_pricing_summary")
 
 
 def test_lsh_ann_corpus_vectors_never_shuffle(spark, sf_dir):
