@@ -2903,12 +2903,11 @@ def _winnow_oracle_sql(w: int = 4) -> str:
     """
 
 
-@query("q_winnow_fingerprint", oracle=_winnow_oracle_sql())
-def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def winnow_fingerprints_expr(text_col: str = "text", w: int = 4):
+    """Pure-expression winnow fingerprint array — the oracle-shaped
+    reference implementation the vectorized pandas path is proven
+    bit-identical to (tests/test_operators.py)."""
     from hadoop_gpu_spark.dedup.minhash import _shingle_hashes
-
-    w = 4
-    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
 
     def build(h):
         # Sliding-window min via log2(w) shifted zip_with passes
@@ -2917,7 +2916,7 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         # O(n·w) formulation paid per-position allocation; this is O(n·log w)
         # and bit-identical (least() skips the nulls zip_with pads at the
         # tail, which truncates trailing windows exactly like
-        # array_min(slice)). 3.50s -> 2.84s at sf0.1.
+        # array_min(slice)).
         m2 = F.zip_with(
             h, F.slice(h, 2, F.greatest(F.size(h) - 1, F.lit(1))), lambda x, y: F.least(x, y)
         )
@@ -2926,8 +2925,19 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.array_distinct(F.slice(m4, 1, F.greatest(F.size(h) - (w - 1), F.lit(1))))
 
-    fps = _bind_once(_shingle_hashes("text"), build)
-    return docs.select("doc_id", F.explode(fps).alias("fp"))
+    return _bind_once(_shingle_hashes(text_col), build)
+
+
+@query("q_winnow_fingerprint", oracle=_winnow_oracle_sql())
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.dedup.winnow import winnow_fingerprints_pandas
+
+    # Arrow-batched numpy fast path (was the 3.5 s bench hotspot as
+    # interpreted HOF lambdas); proven bit-identical to
+    # winnow_fingerprints_expr over the full sf0.001 corpus, which is what
+    # licenses gating it against the same DuckDB oracle.
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select("doc_id", F.explode(winnow_fingerprints_pandas("text")).alias("fp"))
 
 
 # ---------------------------------------------------------------------------

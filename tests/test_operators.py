@@ -285,3 +285,29 @@ def test_sequence_pack_deterministic_across_sessions(spark, sf_dir):
         results.append(rows)
     assert results[0] == results[1]
     assert len(results[0]) > 0
+
+
+def test_winnow_pandas_matches_expression(spark, sf_dir):
+    """The vectorized winnow path must be bit-identical to the expression
+    variant — full sf0.001 corpus plus degenerate docs (empty, shorter
+    than a shingle, shorter than the window)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_gpu_spark.dedup.winnow import winnow_fingerprints_pandas
+    from hadoop_gpu_spark.queries import winnow_fingerprints_expr
+    from hadoop_gpu_spark.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(100001, ""), (100002, "ab"), (100003, "abcde"), (100004, "abcdefg"),
+         (100005, "aaaaaaaaaa"), (100006, "héllo wörld")],
+        ["doc_id", "text"],
+    )
+    both = docs.union(edge).select(
+        "doc_id",
+        F.array_sort(winnow_fingerprints_expr("text")).alias("e"),
+        F.array_sort(winnow_fingerprints_pandas("text")).alias("p"),
+    )
+    bad = both.filter(F.col("e") != F.col("p"))
+    assert bad.count() == 0, bad.limit(5).collect()
+    assert both.count() > 500
