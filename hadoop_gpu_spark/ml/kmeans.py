@@ -215,7 +215,7 @@ def lloyd_cupy(pts, cents, max_iter: int = 100, eps: float = 1.0, dtype="float32
     """
     import cupy as cp  # gated: not present in CPU-only environments
 
-    fp = cp.float64 if str(dtype) in ("float64", "f8", "double") else cp.float32
+    fp = getattr(cp, resolve_gpu_dtype(dtype))
     pts_d = cp.asarray(pts, dtype=fp)
     cents_d = cp.asarray(cents, dtype=fp)
     assign = cp.zeros(len(pts), dtype=cp.int64)
@@ -232,6 +232,20 @@ def lloyd_cupy(pts, cents, max_iter: int = 100, eps: float = 1.0, dtype="float32
         if move <= eps:
             break
     return cp.asnumpy(cents_d), cp.asnumpy(assign)
+
+
+def resolve_gpu_dtype(dtype) -> str:
+    """Map any spelling of a dtype ('float64', 'f8', 'double', np.float64,
+    np.dtype('float64')) to the CuPy attribute name the GPU twin must use.
+
+    The former string-compare (``str(dtype) in ("float64", ...)``)
+    silently demoted ``dtype=np.float64`` — the exact spelling
+    ``lloyd_numpy`` is called with in the bit-deterministic oracle mode —
+    to float32 on the GPU leg, which would have broken declared CPU/GPU
+    equivalence the moment a CUDA stack appeared. ``np.dtype()``
+    canonicalizes every spelling first.
+    """
+    return "float64" if np.dtype(dtype) == np.float64 else "float32"
 
 
 def select_lloyd_backend(backend: str = "auto"):

@@ -318,3 +318,59 @@ def test_pipe_binary_protocol_roundtrip(spark, tmp_path):
     out = pipe_binary(df, [sys.executable, str(child)])
     got = {(r["k"], r["v"]) for r in out.collect()}
     assert got == {("ALPHA", "200"), ("BETA", "1"), ("GAMMA", "1000")}
+
+
+def test_pipe_binary_survives_multi_mb_partition(spark, tmp_path):
+    # Deadlock probe (TestStreamDataProtocol analog): one partition pushes
+    # ~8 MB down AND ~8 MB back — far beyond the OS pipe buffer (64 KB) in
+    # BOTH directions at once. If the writer thread blocked on a full
+    # stdin pipe while the reader waited on stdout (or vice versa), this
+    # would hang, not fail; the timeout is pytest-level wall clock.
+    import sys
+    import textwrap
+
+    child = tmp_path / "echo_child.py"
+    child.write_text(textwrap.dedent("""
+        import sys
+        inp, out = sys.stdin.buffer, sys.stdout.buffer
+
+        def rv():
+            first = inp.read(1)
+            if not first: return None
+            b = first[0] - 256 if first[0] >= 0x80 else first[0]
+            if -112 <= b <= 127: return b
+            neg = b < -120
+            size = -(b + 120) if neg else -(b + 112)
+            i = 0
+            for byte in inp.read(size): i = (i << 8) | byte
+            return (i ^ -1) if neg else i
+
+        def wv(i):
+            if -112 <= i <= 127: out.write(bytes([i & 0xff])); return
+            length, v = -112, i
+            if i < 0: v ^= -1; length = -120
+            t = v
+            while t: t >>= 8; length -= 1
+            out.write(bytes([length & 0xff]))
+            size = -(length + 112) if length >= -120 else -(length + 120)
+            for idx in range(size - 1, -1, -1): out.write(bytes([(v >> (8*idx)) & 0xff]))
+
+        while True:
+            code = rv()
+            if code is None or code == 8:
+                break
+            assert code == 4, code
+            k = inp.read(rv()); v = inp.read(rv())
+            wv(50); wv(len(k)); out.write(k); wv(len(v)); out.write(v)
+        out.flush()
+    """))
+
+    from hadoop_gpu_spark.operators.pipes import pipe_binary
+
+    n, vlen = 2000, 4096
+    df = spark.range(n).selectExpr("cast(id as string) AS k", f"repeat('v', {vlen}) AS v").coalesce(1)
+    out = pipe_binary(df, [sys.executable, str(child)])
+    got = out.collect()
+    assert len(got) == n
+    assert all(len(r["v"]) == vlen for r in got)
+    assert {r["k"] for r in got} == {str(i) for i in range(n)}

@@ -141,3 +141,17 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     a = {(r["qid"], r["nid"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_gpu_dtype_resolution_preserves_float64():
+    # Every spelling the CPU path accepts must keep double precision on
+    # the GPU twin (the ADVICE-flagged drift: str-compare demoted
+    # np.float64 to float32).
+    import numpy as np
+
+    from hadoop_gpu_spark.ml.kmeans import resolve_gpu_dtype
+
+    for spelling in (np.float64, np.dtype(np.float64), "float64", "f8", "double"):
+        assert resolve_gpu_dtype(spelling) == "float64", spelling
+    for spelling in (np.float32, np.dtype(np.float32), "float32", "f4"):
+        assert resolve_gpu_dtype(spelling) == "float32", spelling
