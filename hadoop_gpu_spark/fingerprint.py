@@ -96,7 +96,19 @@ def _collect(obj, seen: dict[str, str]) -> None:
             except ImportError:
                 continue
             for alias in node.names:
-                local_imports[alias.asname or alias.name] = getattr(mod, alias.name, None)
+                tgt = getattr(mod, alias.name, None)
+                if tgt is None:
+                    # `from pkg.sub import mod2` where mod2 is a submodule
+                    # not yet imported: getattr misses until someone
+                    # imports it, which made fingerprints depend on
+                    # process import order (observed: q_multimodal_decode
+                    # flipped after a PNG test imported multimodal.png).
+                    # Import it so the closure is deterministic.
+                    try:
+                        tgt = importlib.import_module(f"{node.module}.{alias.name}")
+                    except ImportError:
+                        tgt = None
+                local_imports[alias.asname or alias.name] = tgt
         elif isinstance(node, ast.Import):
             for alias in node.names:
                 if alias.name.startswith(_PKG):
@@ -116,6 +128,13 @@ def _collect(obj, seen: dict[str, str]) -> None:
         tgt = resolve(base)
         if isinstance(tgt, types.ModuleType) and _in_pkg(tgt):
             sub = getattr(tgt, attr, None)
+            if sub is None:
+                # un-imported submodule accessed as pkg.sub — import for a
+                # deterministic closure (same class of flake as above)
+                try:
+                    sub = importlib.import_module(f"{tgt.__name__}.{attr}")
+                except ImportError:
+                    sub = None
             if sub is not None and _in_pkg(sub) and (callable(sub) or isinstance(sub, types.ModuleType)):
                 _collect(sub, seen)
     for name in names:

@@ -60,17 +60,41 @@ def pipe_reduce(
 #
 # The reference's Pipes wire format: Hadoop VInt-prefixed byte strings
 # (WritableUtils.writeVInt + raw bytes) carrying message-coded items
-# (MAP_ITEM(4) downward, OUTPUT(50) upward, CLOSE(8); BinaryProtocol.java:
-# 62-80 and its C++ twin Pipes.hh). pipe_binary reproduces the
-# serialization layer faithfully — VInt-framed (code, key, value) records
-# over the child's stdin/stdout — while replacing the socket + control
-# state machine (START/SET_JOB_CONF/DONE handshake) with process lifetime:
-# stdin EOF is CLOSE, child exit 0 is DONE. That is the declared deviation;
-# the byte-level KV framing a C++ task would parse is the real thing.
+# (BinaryProtocol.java:62-80 and its C++ twin Pipes.hh). pipe_binary
+# reproduces both layers:
+#
+# - serialization: VInt framing for every code/length/string, big-endian
+#   float for PROGRESS — byte-identical to WritableUtils;
+# - control plane: the downlink handshake START(version=0) →
+#   SET_JOB_CONF → SET_INPUT_TYPES → RUN_MAP(split, numReduces,
+#   pipedInput) → MAP_ITEM* → CLOSE (BinaryProtocol.java:248-292), and
+#   the uplink state machine OUTPUT / PARTITIONED_OUTPUT / STATUS /
+#   PROGRESS / REGISTER_COUNTER / INCREMENT_COUNTER / DONE
+#   (BinaryProtocol.java:105-145). The run ends at DONE(54), exactly like
+#   the reference's UplinkReaderThread; EOF-before-DONE from a legacy
+#   child is tolerated (recorded in counters as a protocol deviation).
+#
+# Remaining declared deviation: transport is the child's stdin/stdout
+# (process lifetime = task attempt), not the loopback socket
+# Application.java:119-155 opens; the byte stream on that transport is
+# the real thing, including the handshake.
 
+MSG_START = 0
+MSG_SET_JOB_CONF = 1
+MSG_SET_INPUT_TYPES = 2
+MSG_RUN_MAP = 3
 MSG_MAP_ITEM = 4
-MSG_OUTPUT = 50
+MSG_RUN_REDUCE = 5
 MSG_CLOSE = 8
+MSG_ABORT = 9
+MSG_OUTPUT = 50
+MSG_PARTITIONED_OUTPUT = 51
+MSG_STATUS = 52
+MSG_PROGRESS = 53
+MSG_DONE = 54
+MSG_REGISTER_COUNTER = 55
+MSG_INCREMENT_COUNTER = 56
+PROTOCOL_VERSION = 0  # BinaryProtocol.java:46
 
 
 def write_vint(out, i: int) -> None:
@@ -123,68 +147,141 @@ def read_vint(stream) -> int | None:
     return (i ^ -1) if negative else i
 
 
-def _write_frame(out, code: int, key: bytes, value: bytes) -> None:
-    write_vint(out, code)
-    write_vint(out, len(key))
-    out.write(key)
-    write_vint(out, len(value))
-    out.write(value)
+def _write_text(out, data: bytes) -> None:
+    """Text.writeString: VInt byte length + UTF-8 bytes."""
+    write_vint(out, len(data))
+    out.write(data)
 
 
-def _read_frame(stream):
-    code = read_vint(stream)
-    if code is None:
-        return None
-    klen = read_vint(stream)
-    key = _read_exact(stream, klen)
-    vlen = read_vint(stream)
-    value = _read_exact(stream, vlen)
-    if key is None or value is None:
-        raise EOFError("truncated frame")
-    return code, key, value
+def _read_text(stream) -> bytes:
+    n = read_vint(stream)
+    if n is None:
+        raise EOFError("EOF where Text expected")
+    data = _read_exact(stream, n)
+    if data is None:
+        raise EOFError("truncated Text")
+    return data
 
 
-def pipe_binary(df: DataFrame, command: list[str]) -> DataFrame:
-    """Run an external binary with the Pipes BinaryProtocol KV framing:
-    every input row goes down as a MAP_ITEM(4) frame, every OUTPUT(50)
-    frame read back becomes a (k, v) output row. Arbitrary bytes are safe
-    (no newline/tab escaping issues — the reason the reference built a
-    binary protocol at all).
+class DictSumParam:
+    """AccumulatorParam merging {name: long} counter dicts — the engine
+    side of the Pipes counter surface (REGISTER_COUNTER/INCREMENT_COUNTER,
+    BinaryProtocol.java:129-137)."""
+
+    def zero(self, value):
+        return dict(value) if value else {}
+
+    def addInPlace(self, a, b):
+        for k, v in b.items():
+            a[k] = a.get(k, 0) + v
+        return a
+
+
+def pipes_counters(spark):
+    """A dict accumulator suitable for ``pipe_binary(counters=...)``."""
+    return spark.sparkContext.accumulator({}, DictSumParam())
+
+
+def pipe_binary(
+    df: DataFrame,
+    command: list[str],
+    job_conf: dict[str, str] | None = None,
+    input_types: tuple[str, str] = (
+        "org.apache.hadoop.io.Text",
+        "org.apache.hadoop.io.Text",
+    ),
+    counters=None,
+) -> DataFrame:
+    """Run an external binary under the full Pipes BinaryProtocol.
+
+    Downlink per partition: START(version 0), SET_JOB_CONF (flattened
+    key/value Text list), SET_INPUT_TYPES, RUN_MAP (split descriptor,
+    numReduces=0, pipedInput=1), one MAP_ITEM(4) per row, CLOSE(8).
+    Uplink: OUTPUT/PARTITIONED_OUTPUT become (k, v) rows; STATUS and
+    PROGRESS are consumed; REGISTER_COUNTER/INCREMENT_COUNTER accumulate
+    into ``counters`` (see :func:`pipes_counters`); DONE(54) ends the
+    exchange. Arbitrary bytes are safe — the reason the reference built a
+    binary protocol at all.
     """
     spark = df.sparkSession
     cols = df.columns
     if len(cols) != 2:
         raise ValueError("pipe_binary expects a 2-column (key, value) frame")
+    conf_items = sorted((job_conf or {}).items())
 
     def run_partition(rows):
+        import struct
         import subprocess
         import threading
 
+        from pyspark import TaskContext
+
+        part_id = TaskContext.get().partitionId() if TaskContext.get() else -1
         proc = subprocess.Popen(command, stdin=subprocess.PIPE, stdout=subprocess.PIPE)
 
         def feed():
             try:
+                w = proc.stdin
+                write_vint(w, MSG_START)
+                write_vint(w, PROTOCOL_VERSION)
+                write_vint(w, MSG_SET_JOB_CONF)
+                write_vint(w, 2 * len(conf_items))
+                for k, v in conf_items:
+                    _write_text(w, str(k).encode("utf-8"))
+                    _write_text(w, str(v).encode("utf-8"))
+                write_vint(w, MSG_SET_INPUT_TYPES)
+                _write_text(w, input_types[0].encode("utf-8"))
+                _write_text(w, input_types[1].encode("utf-8"))
+                write_vint(w, MSG_RUN_MAP)
+                _write_text(w, f"partition-{part_id}".encode("utf-8"))  # split
+                write_vint(w, 0)  # numReduces: map-only; engine shuffle reduces
+                write_vint(w, 1)  # pipedInput
                 for r in rows:
-                    _write_frame(
-                        proc.stdin,
-                        MSG_MAP_ITEM,
-                        str(r[0]).encode("utf-8"),
-                        str(r[1]).encode("utf-8"),
-                    )
-                write_vint(proc.stdin, MSG_CLOSE)
-                proc.stdin.close()
+                    write_vint(w, MSG_MAP_ITEM)
+                    _write_text(w, str(r[0]).encode("utf-8"))
+                    _write_text(w, str(r[1]).encode("utf-8"))
+                write_vint(w, MSG_CLOSE)
+                w.close()
             except BrokenPipeError:  # child exited early; surfaced via rc below
                 pass
 
         t = threading.Thread(target=feed, daemon=True)
         t.start()
-        while True:
-            frame = _read_frame(proc.stdout)
-            if frame is None:
+        local_counters: dict[str, int] = {}
+        counter_names: dict[int, str] = {}
+        done = False
+        while not done:
+            code = read_vint(proc.stdout)
+            if code is None:
+                # legacy child: EOF without DONE — tolerated, recorded
+                local_counters["__protocol__.eof_before_done"] = 1
                 break
-            code, key, value = frame
-            if code == MSG_OUTPUT:
+            if code in (MSG_OUTPUT, MSG_PARTITIONED_OUTPUT):
+                if code == MSG_PARTITIONED_OUTPUT:
+                    read_vint(proc.stdout)  # target partition (map-only: ignored)
+                key = _read_text(proc.stdout)
+                value = _read_text(proc.stdout)
                 yield (key.decode("utf-8"), value.decode("utf-8"))
+            elif code == MSG_STATUS:
+                _read_text(proc.stdout)
+            elif code == MSG_PROGRESS:
+                struct.unpack(">f", _read_exact(proc.stdout, 4))
+            elif code == MSG_REGISTER_COUNTER:
+                cid = read_vint(proc.stdout)
+                group = _read_text(proc.stdout).decode("utf-8")
+                name = _read_text(proc.stdout).decode("utf-8")
+                counter_names[cid] = f"{group}.{name}"
+            elif code == MSG_INCREMENT_COUNTER:
+                cid = read_vint(proc.stdout)
+                amount = read_vint(proc.stdout)  # VLong: same wire encoding
+                key = counter_names.get(cid, f"__counter_{cid}__")
+                local_counters[key] = local_counters.get(key, 0) + amount
+            elif code == MSG_DONE:
+                done = True
+            else:
+                raise RuntimeError(f"pipe_binary: bad uplink command {code}")
+        if counters is not None and local_counters:
+            counters.add(local_counters)
         t.join()
         rc = proc.wait()
         if rc != 0:

@@ -12,12 +12,15 @@
 // shuffle — exactly how the reference pairs its C++ mapper with a
 // combiner.
 //
-// Wire contract (mirrors operators/pipes.py):
-//   downstream: frames (vint code, vint klen, key, vint vlen, value);
-//               code 4 = MAP_ITEM, bare vint 8 = CLOSE (then EOF).
-//   upstream:   frames code 50 = OUTPUT, one per distinct token, value =
-//               decimal partial count; emitted in byte-sorted token order
-//               (std::map) so output is deterministic per input set.
+// Wire contract (mirrors operators/pipes.py, full control plane):
+//   downstream: START(0)+version, SET_JOB_CONF(1)+flattened Text list,
+//               SET_INPUT_TYPES(2)+2 Texts, RUN_MAP(3)+split+numReduces+
+//               pipedInput, MAP_ITEM(4)+key+value per row, CLOSE(8).
+//   upstream:   OUTPUT(50) per distinct token (value = decimal partial
+//               count, byte-sorted token order via std::map — output is
+//               deterministic per input set), then REGISTER_COUNTER(55) /
+//               INCREMENT_COUNTER(56) for the WORDS counter, then
+//               DONE(54).
 //
 // Tokenization matches the engine's q_wordcount oracle: split on runs of
 // ASCII whitespace (regexp \s+), drop empties.
@@ -27,9 +30,16 @@
 #include <map>
 #include <string>
 
+static const int MSG_START = 0;
+static const int MSG_SET_JOB_CONF = 1;
+static const int MSG_SET_INPUT_TYPES = 2;
+static const int MSG_RUN_MAP = 3;
 static const int MSG_MAP_ITEM = 4;
-static const int MSG_OUTPUT = 50;
 static const int MSG_CLOSE = 8;
+static const int MSG_OUTPUT = 50;
+static const int MSG_DONE = 54;
+static const int MSG_REGISTER_COUNTER = 55;
+static const int MSG_INCREMENT_COUNTER = 56;
 
 // WritableUtils.readVInt: single byte for -112..127, else a length byte
 // then big-endian magnitude bytes. Returns false on clean EOF.
@@ -100,24 +110,54 @@ static bool is_space(char ch) {
          ch == '\v';
 }
 
+static void write_text(const std::string &s) {
+  write_vint((int64_t)s.size());
+  fwrite(s.data(), 1, s.size(), stdout);
+}
+
 int main() {
   std::map<std::string, int64_t> counts;
   std::string key, value;
-  int64_t code;
+  int64_t code, n, total_words = 0;
   while (read_vint(&code)) {
     if (code == MSG_CLOSE) break;
-    if (!read_bytes(&key) || !read_bytes(&value)) break;
-    if (code != MSG_MAP_ITEM) continue;
-    size_t i = 0, n = value.size();
-    while (i < n) {
-      while (i < n && is_space(value[i])) i++;
-      size_t start = i;
-      while (i < n && !is_space(value[i])) i++;
-      if (i > start) counts[value.substr(start, i - start)] += 1;
+    if (code == MSG_START) {
+      if (!read_vint(&n) || n != 0) return 2;  // protocol version must be 0
+    } else if (code == MSG_SET_JOB_CONF) {
+      if (!read_vint(&n)) return 2;
+      for (int64_t j = 0; j < n; j++)
+        if (!read_bytes(&value)) return 2;  // conf consumed, unused
+    } else if (code == MSG_SET_INPUT_TYPES) {
+      if (!read_bytes(&key) || !read_bytes(&value)) return 2;
+    } else if (code == MSG_RUN_MAP) {
+      if (!read_bytes(&value)) return 2;            // split descriptor
+      if (!read_vint(&n) || !read_vint(&n)) return 2;  // numReduces, pipedInput
+    } else if (code == MSG_MAP_ITEM) {
+      if (!read_bytes(&key) || !read_bytes(&value)) break;
+      size_t i = 0, len = value.size();
+      while (i < len) {
+        while (i < len && is_space(value[i])) i++;
+        size_t start = i;
+        while (i < len && !is_space(value[i])) i++;
+        if (i > start) {
+          counts[value.substr(start, i - start)] += 1;
+          total_words++;
+        }
+      }
+    } else {
+      return 2;  // bad downlink command
     }
   }
   for (const auto &kv : counts)
     write_frame(kv.first, std::to_string(kv.second));
+  write_vint(MSG_REGISTER_COUNTER);
+  write_vint(0);
+  write_text("wordcount");
+  write_text("WORDS");
+  write_vint(MSG_INCREMENT_COUNTER);
+  write_vint(0);
+  write_vint(total_words);
+  write_vint(MSG_DONE);
   fflush(stdout);
   return 0;
 }

@@ -3629,6 +3629,105 @@ def q_pipes_native_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM quality scoring (the CCNet-style LM filter, self-scored): the
+# corpus unigram distribution IS the language model; each document gets the
+# average negative log-likelihood of its own tokens under it. High avg_nll
+# = surprising/low-quality text for this corpus; downstream quality gates
+# threshold on it (the perplexity-bucket idiom of CCNet/RedPajama).
+#
+# Float determinism: the per-doc SUM of ln values would be
+# order-dependent in double math, so each token's nll is rounded to 9 dp
+# and cast to DECIMAL(28,9) FIRST — the sum is then exact and
+# order-independent on any engine; only the final mean is re-rounded.
+#
+# 100 TB shape: tokens explode narrow (no text shuffle — only (doc_id,
+# term) pairs move); term frequencies aggregate once (hash-only shuffle)
+# and broadcast back (unigram vocab grows ~log with corpus size; if a
+# genuinely open vocab outgrows broadcast, swap the broadcast join for a
+# shuffle join on term — same plan shape as q_tfidf_topterms, whose
+# corpus-stats-broadcast pattern this reuses).
+# ---------------------------------------------------------------------------
+@query(
+    "q_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+    freq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM toks),
+    scored AS (
+      SELECT toks.doc_id,
+             CAST(round(ln(total / c), 9) AS DECIMAL(28,9)) AS nll
+      FROM toks JOIN freq USING (term) CROSS JOIN n)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+           round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_gpu_spark.operators.fields import tokenize
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    scored = (
+        toks.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "nll",
+            F.round(F.log(F.col("total") / F.col("c")), 9).cast("decimal(28,9)"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6).alias("avg_nll"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle + sharding — the training-data ordering op:
+# for a given epoch seed, every document gets a stable (shard, position)
+# so any worker can reconstruct exactly its slice of the global order with
+# no coordination (position = rank of the md5 epoch key within the shard).
+# Seedless-portable: the key is md5(epoch || ':' || doc_id), so every
+# engine and every rerun agrees.
+#
+# 100 TB shape: one hash shuffle on shard (16-way here; set n_shards ~
+# cluster width at scale), per-shard ranking is a within-partition sort —
+# no global total order, no driver involvement. This is how you re-order
+# a petabyte corpus per epoch without a terasort.
+# ---------------------------------------------------------------------------
+@query(
+    "q_epoch_shuffle",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, md5('1:' || doc_id::VARCHAR) AS ekey,
+             CAST(('0x' || substr(md5('1:' || doc_id::VARCHAR), 1, 8))::BIGINT % 16
+                  AS BIGINT) AS shard
+      FROM documents)
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ekey, doc_id)
+                AS BIGINT) AS pos
+    FROM keyed
+    """,
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    epoch = 1
+    n_shards = 16
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(":", F.lit(epoch), F.col("doc_id"))).alias("ekey"),
+    ).withColumn(
+        "shard",
+        (F.conv(F.substring("ekey", 1, 8), 16, 10).cast("long") % n_shards),
+    )
+    w = Window.partitionBy("shard").orderBy("ekey", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )
+
+
 # ===========================================================================
 # Driver-window ordering.
 #
@@ -3707,12 +3806,12 @@ _DRIVER_WINDOW = [
     "q_terasort",
     "q_text_stats",
     "q_uniq_value_count",
-    # flex slots: oldest r02 greens (give these up first if new queries
-    # land this round — new queries must enter the window)
+    # flex slots: one oldest-r02 green + this round's additions (new
+    # queries and the handshake-upgraded pipes leg must enter the window)
     "q02_min_cost_supplier",
-    "q04_order_priority",
-    "q06_forecast_revenue",
-    "q07_volume_shipping",
+    "q_unigram_logprob",
+    "q_epoch_shuffle",
+    "q_pipes_native_wordcount",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

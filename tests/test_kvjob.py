@@ -300,6 +300,13 @@ def test_pipe_binary_protocol_roundtrip(spark, tmp_path):
             code = rv()
             if code is None or code == 8:  # CLOSE
                 break
+            if code == 0: assert rv() == 0; continue          # START + version
+            if code == 1:                                      # SET_JOB_CONF
+                for _ in range(rv()): inp.read(rv())
+                continue
+            if code == 2: inp.read(rv()); inp.read(rv()); continue  # SET_INPUT_TYPES
+            if code == 3:                                      # RUN_MAP
+                inp.read(rv()); rv(); rv(); continue
             assert code == 4, code        # MAP_ITEM
             k = inp.read(rv()); v = inp.read(rv())
             wv(50)                        # OUTPUT
@@ -307,6 +314,7 @@ def test_pipe_binary_protocol_roundtrip(spark, tmp_path):
             wv(len(ku)); out.write(ku)
             lv = str(len(v)).encode()
             wv(len(lv)); out.write(lv)
+        wv(54)                            # DONE
         out.flush()
     """))
     import sys
@@ -359,9 +367,16 @@ def test_pipe_binary_survives_multi_mb_partition(spark, tmp_path):
             code = rv()
             if code is None or code == 8:
                 break
+            if code == 0: assert rv() == 0; continue
+            if code == 1:
+                for _ in range(rv()): inp.read(rv())
+                continue
+            if code == 2: inp.read(rv()); inp.read(rv()); continue
+            if code == 3: inp.read(rv()); rv(); rv(); continue
             assert code == 4, code
             k = inp.read(rv()); v = inp.read(rv())
             wv(50); wv(len(k)); out.write(k); wv(len(v)); out.write(v)
+        wv(54)
         out.flush()
     """))
 
@@ -374,3 +389,29 @@ def test_pipe_binary_survives_multi_mb_partition(spark, tmp_path):
     assert len(got) == n
     assert all(len(r["v"]) == vlen for r in got)
     assert {r["k"] for r in got} == {str(i) for i in range(n)}
+
+
+def test_pipes_native_handshake_and_counters(spark):
+    # Full control-plane exchange against the compiled C++ task: START/
+    # SET_JOB_CONF/SET_INPUT_TYPES/RUN_MAP downlink, OUTPUT + counter
+    # registration + DONE uplink. The child's WORDS counter must equal the
+    # true token count — proving the counter frames round-trip.
+    import pytest as _pytest
+
+    from hadoop_gpu_spark.operators.pipes import pipe_binary, pipes_counters
+    from hadoop_gpu_spark.pipes_native import compiler, ensure_built
+
+    if compiler() is None:
+        _pytest.skip("no C++ toolchain")
+    binary = ensure_built("wordcount")
+    df = spark.createDataFrame(
+        [("1", "a b c"), ("2", "b c d d")], ["k", "v"]
+    ).coalesce(1)
+    acc = pipes_counters(spark)
+    out = pipe_binary(
+        df, [binary], job_conf={"mapred.job.name": "wc-test"}, counters=acc
+    )
+    got = {(r["k"], int(r["v"])) for r in out.collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 2), ("d", 2)}
+    assert acc.value.get("wordcount.WORDS") == 7
+    assert "__protocol__.eof_before_done" not in acc.value  # child sent DONE

@@ -122,6 +122,15 @@ def test_tfidf_broadcasts_corpus_stats(spark, sf_dir):
     assert plans.has_broadcast_join(QUERIES["q_tfidf_topterms"](spark, sf_dir))
 
 
+def test_unigram_logprob_broadcasts_freqs_and_never_shuffles_text(spark, sf_dir):
+    # Same contract as tfidf: term frequencies + corpus total broadcast
+    # back to the token rows (shuffle-joining the tiny stats side would be
+    # a scale bug), and the document text never enters an exchange.
+    df = QUERIES["q_unigram_logprob"](spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    assert "text" not in plans.shuffled_columns(df)
+
+
 def test_driver_window_invariants():
     # The driver correctness-checks the first 50 registered queries; the
     # rotation policy requires (a) exactly 50 window slots, (b) every
@@ -243,3 +252,22 @@ def test_lsh_bucketed_corpus_probe_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "sig" in plan
     bucket_n = probe.count()
     assert 0 < bucket_n < emb.count()
+
+
+def test_fingerprints_independent_of_import_order():
+    # The r04 flake: a query's closure silently grew when an unrelated
+    # test imported a lazily-loaded submodule (multimodal.png), flipping
+    # its fingerprint mid-suite. _collect must import submodules itself so
+    # the closure — and thus the manifest check — is deterministic.
+    from hadoop_gpu_spark.fingerprint import _collect, query_fingerprint
+
+    seen: dict[str, str] = {}
+    _collect(QUERIES["q_multimodal_decode"], seen)
+    assert any(k.startswith("hadoop_gpu_spark.multimodal.png") for k in seen), (
+        "lazy submodule multimodal.png missing from closure — fingerprints "
+        "would depend on process import order"
+    )
+    fp1 = query_fingerprint("q_multimodal_decode")
+    import hadoop_gpu_spark.multimodal.png  # noqa: F401
+
+    assert query_fingerprint("q_multimodal_decode") == fp1
