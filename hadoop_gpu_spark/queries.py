@@ -3630,6 +3630,44 @@ def q_pipes_native_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming exact dedup through the gate (streaming.exact_dedup_stream was
+# previously test-only — the last north-star row without a driver check):
+# watermarked dropDuplicates on a content hash. The dedup key includes
+# event_type so the surviving-row count per type is deterministic (a
+# payload shared across types survives once PER TYPE; keyed on payload
+# alone, which type's copy survives would be racey). The availableNow
+# drain sees the whole backlog inside one watermark horizon, so the
+# result equals batch COUNT(DISTINCT props) per type — that equivalence
+# is the oracle.
+#
+# 100 TB shape: state is one hash per distinct (type, payload) inside the
+# watermark horizon — bounded; historical cross-horizon dupes belong to
+# the batch near_dedup pipeline, same division of labor as production
+# streaming ingest.
+# ---------------------------------------------------------------------------
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT props) AS BIGINT) AS distinct_docs
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from hadoop_gpu_spark.streaming import drain_to_memory, events_stream, exact_dedup_stream
+
+    keyed = events_stream(spark, sf_dir).withColumn(
+        "__dk", F.concat_ws("|", F.col("event_type"), F.col("props"))
+    )
+    dedup = exact_dedup_stream(keyed, text_col="__dk", watermark="90 days")
+    drained = drain_to_memory(dedup, f"q_stream_dedup_sink_{uuid.uuid4().hex[:8]}", mode="append")
+    return drained.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("distinct_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Unigram-LM quality scoring (the CCNet-style LM filter, self-scored): the
 # corpus unigram distribution IS the language model; each document gets the
 # average negative log-likelihood of its own tokens under it. High avg_nll
@@ -3808,7 +3846,7 @@ _DRIVER_WINDOW = [
     "q_uniq_value_count",
     # flex slots: one oldest-r02 green + this round's additions (new
     # queries and the handshake-upgraded pipes leg must enter the window)
-    "q02_min_cost_supplier",
+    "q_stream_dedup",
     "q_unigram_logprob",
     "q_epoch_shuffle",
     "q_pipes_native_wordcount",

@@ -205,13 +205,15 @@ def progress_dicts(query) -> list[dict]:
     return out
 
 
-def drain_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+def drain_to_memory(stream_df: DataFrame, name: str, mode: str | None = None) -> DataFrame:
     """Run an availableNow pass into a memory sink; return the result table
-    (test/bench utility — batch parity checks)."""
+    (test/bench utility — batch parity checks). Default mode: complete for
+    streaming aggregations; pass mode="append" for non-aggregating streams
+    (dedup, stateless maps), where complete is rejected by the planner."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(mode or ("complete" if stream_df.isStreaming else "append"))
         .trigger(availableNow=True)
         .start()
     )
