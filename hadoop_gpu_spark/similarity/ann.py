@@ -15,6 +15,8 @@ Two strategies:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve against module globals
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -171,6 +173,44 @@ def lsh_signature(vec_col, signs: list[list[int]]):
     return _bind_once(quant, build)
 
 
+def _signatures_np(vecs, signs: list[list[int]]):
+    """Numpy core shared by the Arrow UDF and the driver-side query path:
+    floor(float→double * 1e6) quantization, exact integer dot products
+    (< 2^53, so accumulation order cannot flip a bit), sign bits packed
+    little-endian into an int64 — the same numbers as the SQL/HOF
+    formulation by construction."""
+    import numpy as np
+
+    mat = np.asarray(signs, dtype=np.float64).T  # dim x n_bits
+    weights = np.array([1 << h for h in range(len(signs))], dtype=np.int64)
+    arr = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+    quant = np.floor(arr * 1000000.0)
+    return ((quant @ mat > 0) @ weights).astype(np.int64)
+
+
+def lsh_signature_pandas(vec_col, signs: list[list[int]]):
+    """Arrow-batched numpy twin of :func:`lsh_signature` — bit-identical
+    by construction: quantization is floor(float→double * 1e6) in IEEE
+    doubles either way, and every dot product is exact integer arithmetic
+    (values far below 2^53), so accumulation order — numpy pairwise vs the
+    HOF's left fold — cannot flip a bit. Pinned by
+    tests/test_operators.py::test_lsh_signature_pandas_matches_expression.
+
+    Motivation: the interpreted-HOF formulation costs ~0.7 ms/row (5
+    hyperplanes x zip_with+aggregate over 64 elements, no codegen); the
+    numpy path is one matmul per batch.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def _udf(vecs: pd.Series) -> pd.Series:
+        return pd.Series(_signatures_np(vecs, signs))
+
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return _udf(vec)
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -196,13 +236,17 @@ def lsh_bucket_topk(
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("__qv"),
-        lsh_signature(vec_col, signs).alias("__sig"),
+        lsh_signature_pandas(vec_col, signs).alias("__sig"),
     )
+    # signature computed in the scan projection: at cluster scale the scan
+    # has many partitions, so the Arrow-batched UDF is already parallel
+    # there (and measured locally, one big Arrow batch beats 32 tiny
+    # post-repartition batches — Python worker overhead is per-batch)
     c = ensure_min_partitions(
         corpus.select(
             F.col(id_col).alias("nid"),
             F.col(vec_col).alias("__cv"),
-            lsh_signature(vec_col, signs).alias("__sig"),
+            lsh_signature_pandas(vec_col, signs).alias("__sig"),
         )
     )
     pairs = c.join(F.broadcast(q), "__sig").filter(F.col("qid") != F.col("nid"))

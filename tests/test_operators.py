@@ -311,3 +311,26 @@ def test_winnow_pandas_matches_expression(spark, sf_dir):
     bad = both.filter(F.col("e") != F.col("p"))
     assert bad.count() == 0, bad.limit(5).collect()
     assert both.count() > 500
+
+
+def test_lsh_signature_pandas_matches_expression(spark, sf_dir):
+    """The vectorized LSH signature must equal the expression variant on
+    every embedding — the license for gating the fast path against the
+    SQL-signature oracle."""
+    from pyspark.sql import functions as F
+
+    from hadoop_gpu_spark.similarity.ann import (
+        lsh_signature,
+        lsh_signature_pandas,
+        lsh_signs,
+    )
+    from hadoop_gpu_spark.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    signs = lsh_signs(5, 64)
+    both = emb.select(
+        lsh_signature("embedding", signs).alias("e"),
+        lsh_signature_pandas("embedding", signs).alias("p"),
+    )
+    assert both.filter(F.col("e") != F.col("p")).count() == 0
+    assert both.count() > 100
