@@ -19,6 +19,8 @@ accidental cross product.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve against module globals
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -76,6 +78,55 @@ def minhash_signatures(
         for j in range(num_hashes)
     ]
     return out.select(id_col, *sigs)
+
+
+def minhash_signatures_pandas(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = NUM_HASHES,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Arrow-batched numpy twin of :func:`minhash_signatures` — identical
+    output schema (id, m0..m{n-1}) and bit-identical values: the shingle
+    hash is the same md5-derived u32 (via winnow's cached hasher) and each
+    permutation min is exact int64 arithmetic (a < 2^30, h < 2^32 →
+    products < 2^62, no overflow in either engine). Pinned by
+    tests/test_operators.py::test_minhash_pandas_matches_expression.
+
+    Exists beside the expression variant (not replacing it) so the
+    non-windowed band_hashes consumers keep their driver-green pinned path
+    this round; converge once the window rotates.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    from hadoop_gpu_spark.utils import ensure_min_partitions
+
+    A = np.array(_A[:num_hashes], dtype=np.int64)[:, None]
+    B = np.array(_B[:num_hashes], dtype=np.int64)[:, None]
+
+    @pandas_udf(ArrayType(LongType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        from hadoop_gpu_spark.dedup.winnow import _hash_shingle
+
+        out = []
+        for t in texts:
+            t = t if t is not None else ""
+            n = max(len(t) - k + 1, 1)
+            h = np.fromiter(
+                (_hash_shingle(t[i : i + k]) for i in range(n)),
+                dtype=np.int64,
+                count=n,
+            )
+            out.append((A * h[None, :] + B) % P)
+        return pd.Series([m.min(axis=1) for m in out])
+
+    sig = ensure_min_partitions(df).select(
+        F.col(id_col), _udf(F.col(text_col)).alias("__s")
+    )
+    return sig.select(
+        id_col,
+        *[F.element_at("__s", j + 1).alias(f"m{j}") for j in range(num_hashes)],
+    )
 
 
 def band_hashes(

@@ -617,9 +617,11 @@ def _minhash_sig_sql() -> str:
 
 @query("q_dedup_minhash", oracle=_minhash_sig_sql())
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hadoop_gpu_spark.dedup.minhash import minhash_signatures
+    from hadoop_gpu_spark.dedup.minhash import minhash_signatures_pandas
 
-    return minhash_signatures(T(spark, sf_dir, "documents"), "text", "doc_id")
+    # Arrow-batched numpy fast path, proven bit-identical to
+    # minhash_signatures (tests/test_operators.py) — same oracle.
+    return minhash_signatures_pandas(T(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 def _minhash_pairs_sql() -> str:

@@ -334,3 +334,31 @@ def test_lsh_signature_pandas_matches_expression(spark, sf_dir):
     )
     assert both.filter(F.col("e") != F.col("p")).count() == 0
     assert both.count() > 100
+
+
+def test_minhash_pandas_matches_expression(spark, sf_dir):
+    """Vectorized minhash signatures must be bit-identical to the
+    expression variant — full sf0.001 corpus plus degenerate docs."""
+    from pyspark.sql import functions as F
+
+    from hadoop_gpu_spark.dedup.minhash import (
+        NUM_HASHES,
+        minhash_signatures,
+        minhash_signatures_pandas,
+    )
+    from hadoop_gpu_spark.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(200001, ""), (200002, "ab"), (200003, "abcde"), (200004, "héllo wörld")],
+        ["doc_id", "text"],
+    )
+    both = docs.union(edge)
+    e = minhash_signatures(both, "text", "doc_id")
+    p = minhash_signatures_pandas(both, "text", "doc_id")
+    joined = e.alias("e").join(p.alias("p"), on="doc_id")
+    mismatch = joined.filter(
+        " OR ".join(f"e.m{j} != p.m{j}" for j in range(NUM_HASHES))
+    )
+    assert mismatch.count() == 0, mismatch.limit(3).collect()
+    assert joined.count() > 500
