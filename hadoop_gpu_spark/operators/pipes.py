@@ -85,6 +85,8 @@ MSG_SET_INPUT_TYPES = 2
 MSG_RUN_MAP = 3
 MSG_MAP_ITEM = 4
 MSG_RUN_REDUCE = 5
+MSG_REDUCE_KEY = 6
+MSG_REDUCE_VALUE = 7
 MSG_CLOSE = 8
 MSG_ABORT = 9
 MSG_OUTPUT = 50
@@ -210,84 +212,154 @@ def pipe_binary(
     conf_items = sorted((job_conf or {}).items())
 
     def run_partition(rows):
-        import struct
-        import subprocess
-        import threading
-
         from pyspark import TaskContext
 
         part_id = TaskContext.get().partitionId() if TaskContext.get() else -1
-        proc = subprocess.Popen(command, stdin=subprocess.PIPE, stdout=subprocess.PIPE)
 
-        def feed():
-            try:
-                w = proc.stdin
-                write_vint(w, MSG_START)
-                write_vint(w, PROTOCOL_VERSION)
-                write_vint(w, MSG_SET_JOB_CONF)
-                write_vint(w, 2 * len(conf_items))
-                for k, v in conf_items:
-                    _write_text(w, str(k).encode("utf-8"))
-                    _write_text(w, str(v).encode("utf-8"))
-                write_vint(w, MSG_SET_INPUT_TYPES)
-                _write_text(w, input_types[0].encode("utf-8"))
-                _write_text(w, input_types[1].encode("utf-8"))
-                write_vint(w, MSG_RUN_MAP)
-                _write_text(w, f"partition-{part_id}".encode("utf-8"))  # split
-                write_vint(w, 0)  # numReduces: map-only; engine shuffle reduces
-                write_vint(w, 1)  # pipedInput
-                for r in rows:
-                    write_vint(w, MSG_MAP_ITEM)
-                    _write_text(w, str(r[0]).encode("utf-8"))
-                    _write_text(w, str(r[1]).encode("utf-8"))
-                write_vint(w, MSG_CLOSE)
-                w.close()
-            except BrokenPipeError:  # child exited early; surfaced via rc below
-                pass
+        def feed_body(w):
+            write_vint(w, MSG_RUN_MAP)
+            _write_text(w, f"partition-{part_id}".encode("utf-8"))  # split
+            write_vint(w, 0)  # numReduces: map-only; engine shuffle reduces
+            write_vint(w, 1)  # pipedInput
+            for r in rows:
+                write_vint(w, MSG_MAP_ITEM)
+                _write_text(w, str(r[0]).encode("utf-8"))
+                _write_text(w, str(r[1]).encode("utf-8"))
 
-        t = threading.Thread(target=feed, daemon=True)
-        t.start()
-        local_counters: dict[str, int] = {}
-        counter_names: dict[int, str] = {}
-        done = False
-        while not done:
-            code = read_vint(proc.stdout)
-            if code is None:
-                # legacy child: EOF without DONE — tolerated, recorded
-                local_counters["__protocol__.eof_before_done"] = 1
-                break
-            if code in (MSG_OUTPUT, MSG_PARTITIONED_OUTPUT):
-                if code == MSG_PARTITIONED_OUTPUT:
-                    read_vint(proc.stdout)  # target partition (map-only: ignored)
-                key = _read_text(proc.stdout)
-                value = _read_text(proc.stdout)
-                yield (key.decode("utf-8"), value.decode("utf-8"))
-            elif code == MSG_STATUS:
-                _read_text(proc.stdout)
-            elif code == MSG_PROGRESS:
-                struct.unpack(">f", _read_exact(proc.stdout, 4))
-            elif code == MSG_REGISTER_COUNTER:
-                cid = read_vint(proc.stdout)
-                group = _read_text(proc.stdout).decode("utf-8")
-                name = _read_text(proc.stdout).decode("utf-8")
-                counter_names[cid] = f"{group}.{name}"
-            elif code == MSG_INCREMENT_COUNTER:
-                cid = read_vint(proc.stdout)
-                amount = read_vint(proc.stdout)  # VLong: same wire encoding
-                key = counter_names.get(cid, f"__counter_{cid}__")
-                local_counters[key] = local_counters.get(key, 0) + amount
-            elif code == MSG_DONE:
-                done = True
-            else:
-                raise RuntimeError(f"pipe_binary: bad uplink command {code}")
-        if counters is not None and local_counters:
-            counters.add(local_counters)
-        t.join()
-        rc = proc.wait()
-        if rc != 0:
-            raise RuntimeError(f"pipe_binary child exited {rc}")
+        yield from _pipes_exchange(command, conf_items, input_types, feed_body, counters)
 
     out = df.select(
         F.col(cols[0]).cast("string"), F.col(cols[1]).cast("string")
     ).rdd.mapPartitions(run_partition)
     return _kv_line_df(out, spark)
+
+
+def pipe_binary_reduce(
+    kv: DataFrame,
+    command: list[str],
+    job_conf: dict[str, str] | None = None,
+    input_types: tuple[str, str] = (
+        "org.apache.hadoop.io.Text",
+        "org.apache.hadoop.io.Text",
+    ),
+    counters=None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The reduce leg of the Pipes protocol: shuffle ``kv`` on k, sort
+    within partitions, then per partition send RUN_REDUCE(partition,
+    pipedOutput=1) followed by the reference's grouped framing — one
+    REDUCE_KEY(6) per distinct key, one REDUCE_VALUE(7) per value
+    (BinaryProtocol.java:290-304) — and CLOSE. With :func:`pipe_binary` as
+    the map leg this completes an all-native C++ MapReduce pipeline: the
+    engine contributes exactly what the reference's framework did (split,
+    shuffle, sort); both user legs run compiled code.
+    """
+    spark = kv.sparkSession
+    cols = kv.columns
+    if len(cols) != 2:
+        raise ValueError("pipe_binary_reduce expects a 2-column (key, value) frame")
+    conf_items = sorted((job_conf or {}).items())
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    arranged = (
+        kv.select(
+            F.col(cols[0]).cast("string").alias("k"),
+            F.col(cols[1]).cast("string").alias("v"),
+        )
+        .repartition(n, "k")
+        .sortWithinPartitions("k", "v")
+    )
+
+    def run_partition(rows):
+        from pyspark import TaskContext
+
+        part_id = TaskContext.get().partitionId() if TaskContext.get() else -1
+
+        def feed_body(w):
+            write_vint(w, MSG_RUN_REDUCE)
+            write_vint(w, part_id)
+            write_vint(w, 1)  # pipedOutput
+            current = None
+            for r in rows:
+                kb = r["k"].encode("utf-8")
+                if kb != current:
+                    write_vint(w, MSG_REDUCE_KEY)
+                    _write_text(w, kb)
+                    current = kb
+                write_vint(w, MSG_REDUCE_VALUE)
+                _write_text(w, r["v"].encode("utf-8"))
+
+        yield from _pipes_exchange(command, conf_items, input_types, feed_body, counters)
+
+    out = arranged.rdd.mapPartitions(run_partition)
+    return _kv_line_df(out, spark)
+
+
+def _pipes_exchange(command, conf_items, input_types, feed_body, counters):
+    """Shared child exchange: handshake + ``feed_body`` + CLOSE down; the
+    uplink state machine up (yields (k, v) rows until DONE)."""
+    import struct
+    import subprocess
+    import threading
+
+    proc = subprocess.Popen(command, stdin=subprocess.PIPE, stdout=subprocess.PIPE)
+
+    def feed():
+        try:
+            w = proc.stdin
+            write_vint(w, MSG_START)
+            write_vint(w, PROTOCOL_VERSION)
+            write_vint(w, MSG_SET_JOB_CONF)
+            write_vint(w, 2 * len(conf_items))
+            for k, v in conf_items:
+                _write_text(w, str(k).encode("utf-8"))
+                _write_text(w, str(v).encode("utf-8"))
+            write_vint(w, MSG_SET_INPUT_TYPES)
+            _write_text(w, input_types[0].encode("utf-8"))
+            _write_text(w, input_types[1].encode("utf-8"))
+            feed_body(w)
+            write_vint(w, MSG_CLOSE)
+            w.close()
+        except BrokenPipeError:  # child exited early; surfaced via rc below
+            pass
+
+    t = threading.Thread(target=feed, daemon=True)
+    t.start()
+    local_counters: dict[str, int] = {}
+    counter_names: dict[int, str] = {}
+    done = False
+    while not done:
+        code = read_vint(proc.stdout)
+        if code is None:
+            # legacy child: EOF without DONE — tolerated, recorded
+            local_counters["__protocol__.eof_before_done"] = 1
+            break
+        if code in (MSG_OUTPUT, MSG_PARTITIONED_OUTPUT):
+            if code == MSG_PARTITIONED_OUTPUT:
+                read_vint(proc.stdout)  # target partition (map-only: ignored)
+            key = _read_text(proc.stdout)
+            value = _read_text(proc.stdout)
+            yield (key.decode("utf-8"), value.decode("utf-8"))
+        elif code == MSG_STATUS:
+            _read_text(proc.stdout)
+        elif code == MSG_PROGRESS:
+            struct.unpack(">f", _read_exact(proc.stdout, 4))
+        elif code == MSG_REGISTER_COUNTER:
+            cid = read_vint(proc.stdout)
+            group = _read_text(proc.stdout).decode("utf-8")
+            name = _read_text(proc.stdout).decode("utf-8")
+            counter_names[cid] = f"{group}.{name}"
+        elif code == MSG_INCREMENT_COUNTER:
+            cid = read_vint(proc.stdout)
+            amount = read_vint(proc.stdout)  # VLong: same wire encoding
+            key = counter_names.get(cid, f"__counter_{cid}__")
+            local_counters[key] = local_counters.get(key, 0) + amount
+        elif code == MSG_DONE:
+            done = True
+        else:
+            raise RuntimeError(f"pipes exchange: bad uplink command {code}")
+    if counters is not None and local_counters:
+        counters.add(local_counters)
+    t.join()
+    rc = proc.wait()
+    if rc != 0:
+        raise RuntimeError(f"pipes child exited {rc}")

@@ -415,3 +415,44 @@ def test_pipes_native_handshake_and_counters(spark):
     assert got == {("a", 1), ("b", 2), ("c", 2), ("d", 2)}
     assert acc.value.get("wordcount.WORDS") == 7
     assert "__protocol__.eof_before_done" not in acc.value  # child sent DONE
+
+
+def test_pipes_native_full_mapreduce(spark, sf_dir):
+    # All-native C++ MapReduce: compiled map+combine leg -> engine shuffle/
+    # sort -> compiled reduce leg (grouped REDUCE_KEY/REDUCE_VALUE
+    # framing). Result must equal the engine's own wordcount aggregate
+    # over the same documents.
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_gpu_spark.operators.fields import tokenize
+    from hadoop_gpu_spark.operators.pipes import (
+        pipe_binary,
+        pipe_binary_reduce,
+        pipes_counters,
+    )
+    from hadoop_gpu_spark.pipes_native import compiler, ensure_built
+    from hadoop_gpu_spark.tables import load_table
+
+    if compiler() is None:
+        _pytest.skip("no C++ toolchain")
+    wc_map = ensure_built("wordcount")
+    wc_red = ensure_built("wordcount_reduce")
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").cast("string"), "text"
+    )
+    partials = pipe_binary(docs, [wc_map])
+    acc = pipes_counters(spark)
+    final = pipe_binary_reduce(partials, [wc_red], counters=acc, num_partitions=4)
+    got = {(r["k"], int(r["v"])) for r in final.collect()}
+
+    expected = {
+        (r["token"], r["cnt"])
+        for r in docs.select(F.explode(tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == expected
+    assert acc.value.get("wordcount.GROUPS") == len(expected)
