@@ -184,3 +184,34 @@ def test_sessionize_processing_time_timeout_flushes(spark, tmp_path):
         assert got == expect, got
     finally:
         q.stop()
+
+
+def test_stream_parquet_sink_exactly_once_across_restart(spark, sf_dir, tmp_path):
+    # The durable-sink story the memory-sink gates don't cover: parquet
+    # sink + checkpointLocation. An availableNow drain writes the backlog
+    # once; RESTARTING the same query against the same checkpoint must not
+    # duplicate rows (source offsets + sink commit log = exactly-once for
+    # file sinks — Spark's FileOutputCommitter streaming analog).
+    from hadoop_gpu_spark.tables import load_table
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            events_stream(spark, sf_dir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    n1 = spark.read.parquet(out).count()
+    drain()  # restart from the same checkpoint: backlog already committed
+    n2 = spark.read.parquet(out).count()
+    n_batch = load_table(spark, "events", sf_dir).count()
+    assert n1 == n_batch
+    assert n2 == n_batch  # no duplicates after restart
