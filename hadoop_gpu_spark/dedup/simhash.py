@@ -15,6 +15,8 @@ verification is an integer xor — no text comparison anywhere.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve against module globals
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -70,6 +72,61 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     return df2.select(id_col, total.alias("simhash"))
+
+
+def simhash64_pandas(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Arrow-batched numpy twin of :func:`simhash64` — identical output:
+    same 60-bit md5-derived token hashes (cached per worker; the token
+    vocabulary is small relative to token count), the per-bit +1/-1
+    accumulation as one (tokens x 60) bitmatrix column-sum per doc.
+
+    Tokenization matches Java's ``\\s+`` EXACTLY via the explicit ASCII
+    class [ \\t\\n\\x0b\\f\\r] (Python's \\s is unicode-aware, Java's is
+    not by default — an NBSP must not split here because the JVM variant
+    does not split on it; pinned by the parity test's edge docs).
+
+    Bit-equality pinned by
+    tests/test_operators.py::test_simhash_pandas_matches_expression.
+    """
+    import re
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    from hadoop_gpu_spark.utils import ensure_min_partitions
+
+    java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    shifts = np.arange(BITS, dtype=np.int64)
+    masks = np.int64(1) << shifts
+
+    @pandas_udf(LongType())
+    def _udf(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        cache: dict[str, int] = {}
+
+        def h60(tok: str) -> int:
+            v = cache.get(tok)
+            if v is None:
+                v = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+                cache[tok] = v
+            return v
+
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = [x for x in java_ws.split(t if t is not None else "") if x]
+            n = len(toks)
+            if n == 0:
+                out[i] = 0
+                continue
+            h = np.fromiter((h60(x) for x in toks), dtype=np.int64, count=n)
+            ones = ((h[:, None] >> shifts) & 1).sum(axis=0)
+            out[i] = masks[2 * ones > n].sum()
+        return pd.Series(out)
+
+    df = ensure_min_partitions(df)
+    return df.select(F.col(id_col), _udf(F.col(text_col)).alias("simhash"))
 
 
 def simhash_chunks(sig_df: DataFrame, id_col: str) -> DataFrame:

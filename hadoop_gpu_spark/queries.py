@@ -671,9 +671,11 @@ def _simhash_sql() -> str:
 
 @query("q_dedup_simhash", oracle=_simhash_sql())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hadoop_gpu_spark.dedup.simhash import simhash64
+    from hadoop_gpu_spark.dedup.simhash import simhash64_pandas
 
-    return simhash64(T(spark, sf_dir, "documents"), "text", "doc_id")
+    # Arrow-batched numpy fast path, proven bit-identical to simhash64
+    # (tests/test_operators.py) — same oracle.
+    return simhash64_pandas(T(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 # ---------------------------------------------------------------------------

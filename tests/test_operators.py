@@ -362,3 +362,33 @@ def test_minhash_pandas_matches_expression(spark, sf_dir):
     )
     assert mismatch.count() == 0, mismatch.limit(3).collect()
     assert joined.count() > 500
+
+
+def test_simhash_pandas_matches_expression(spark, sf_dir):
+    """Vectorized simhash must be bit-identical to the expression variant,
+    including tokenizer-boundary edge cases: Java's \\s+ is ASCII-only, so
+    an NBSP (\\u00a0) must NOT split tokens in either path."""
+    from pyspark.sql import functions as F
+
+    from hadoop_gpu_spark.dedup.simhash import simhash64, simhash64_pandas
+    from hadoop_gpu_spark.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (300001, ""),
+            (300002, "   "),
+            (300003, "one"),
+            (300004, "a\u00a0b c"),  # NBSP joins tokens: Java \s+ will not split it
+            (300005, "x\ty\nz\x0b\x0c\rw"),
+            (300006, "héllo wörld"),
+        ],
+        ["doc_id", "text"],
+    )
+    both = docs.union(edge)
+    e = simhash64(both, "text", "doc_id").withColumnRenamed("simhash", "e")
+    p = simhash64_pandas(both, "text", "doc_id").withColumnRenamed("simhash", "p")
+    joined = e.join(p, "doc_id")
+    bad = joined.filter(F.col("e") != F.col("p"))
+    assert bad.count() == 0, bad.limit(5).collect()
+    assert joined.count() > 500
