@@ -392,3 +392,69 @@ def test_simhash_pandas_matches_expression(spark, sf_dir):
     bad = joined.filter(F.col("e") != F.col("p"))
     assert bad.count() == 0, bad.limit(5).collect()
     assert joined.count() > 500
+
+
+def test_vectorized_kernels_random_parity(spark):
+    """One randomized sweep over all four Arrow-batched fast paths: on a
+    batch of adversarial random strings (unicode, exotic whitespace,
+    repeats) every numpy twin must equal its expression twin bit-for-bit.
+    Complements the corpus parity tests with tokenizer/boundary fuzz."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hadoop_gpu_spark.dedup.minhash import (
+        NUM_HASHES,
+        minhash_signatures,
+        minhash_signatures_pandas,
+    )
+    from hadoop_gpu_spark.dedup.simhash import simhash64, simhash64_pandas
+    from hadoop_gpu_spark.dedup.winnow import winnow_fingerprints_pandas
+    from hadoop_gpu_spark.queries import winnow_fingerprints_expr
+
+    rng = random.Random(20260813)
+    alphabet = list("ab \t\n\x0b\f\r éλ中0.!") 
+    docs = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"]).coalesce(2)
+
+    w = df.select(
+        "doc_id",
+        F.array_sort(winnow_fingerprints_expr("text")).alias("e"),
+        F.array_sort(winnow_fingerprints_pandas("text")).alias("p"),
+    )
+    assert w.filter(F.col("e") != F.col("p")).count() == 0
+
+    s = (
+        simhash64(df, "text", "doc_id").withColumnRenamed("simhash", "e")
+        .join(simhash64_pandas(df, "text", "doc_id").withColumnRenamed("simhash", "p"), "doc_id")
+    )
+    assert s.filter(F.col("e") != F.col("p")).count() == 0
+
+    e = minhash_signatures(df, "text", "doc_id")
+    p = minhash_signatures_pandas(df, "text", "doc_id")
+    p = p.select("doc_id", *[F.col(f"m{j}").alias(f"p{j}") for j in range(NUM_HASHES)])
+    j = e.join(p, "doc_id")
+    bad = j.filter(" OR ".join(f"m{k} != p{k}" for k in range(NUM_HASHES)))
+    assert bad.count() == 0
+
+    # LSH signatures on random float vectors (including negatives/zeros)
+    from hadoop_gpu_spark.similarity.ann import (
+        lsh_signature,
+        lsh_signature_pandas,
+        lsh_signs,
+    )
+
+    vecs = [
+        (i, [rng.uniform(-2.0, 2.0) if rng.random() > 0.1 else 0.0 for _ in range(16)])
+        for i in range(200)
+    ]
+    vdf = spark.createDataFrame(vecs, "vec_id long, embedding array<float>").coalesce(2)
+    signs = lsh_signs(6, 16)
+    both = vdf.select(
+        lsh_signature("embedding", signs).alias("e"),
+        lsh_signature_pandas("embedding", signs).alias("p"),
+    )
+    assert both.filter(F.col("e") != F.col("p")).count() == 0
