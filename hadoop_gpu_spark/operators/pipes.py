@@ -74,10 +74,12 @@ def pipe_reduce(
 #   the reference's UplinkReaderThread; EOF-before-DONE from a legacy
 #   child is tolerated (recorded in counters as a protocol deviation).
 #
-# Remaining declared deviation: transport is the child's stdin/stdout
-# (process lifetime = task attempt), not the loopback socket
-# Application.java:119-155 opens; the byte stream on that transport is
-# the real thing, including the handshake.
+# Transport: both the reference's loopback-socket transport (a
+# ServerSocket per task, port passed via the hadoop.pipes.command.port
+# env var — Application.java:120-125) and a stdio mode carrying the same
+# bytes over the child's stdin/stdout (line-tool-style children, tests).
+# The native C++ tasks auto-detect the env var and connect, exactly like
+# the reference's C++ runtime.
 
 MSG_START = 0
 MSG_SET_JOB_CONF = 1
@@ -193,6 +195,7 @@ def pipe_binary(
         "org.apache.hadoop.io.Text",
     ),
     counters=None,
+    transport: str = "stdio",
 ) -> DataFrame:
     """Run an external binary under the full Pipes BinaryProtocol.
 
@@ -211,7 +214,7 @@ def pipe_binary(
         raise ValueError("pipe_binary expects a 2-column (key, value) frame")
     conf_items = sorted((job_conf or {}).items())
 
-    def run_partition(rows):
+    def run_partition(batches):
         from pyspark import TaskContext
 
         part_id = TaskContext.get().partitionId() if TaskContext.get() else -1
@@ -221,17 +224,23 @@ def pipe_binary(
             _write_text(w, f"partition-{part_id}".encode("utf-8"))  # split
             write_vint(w, 0)  # numReduces: map-only; engine shuffle reduces
             write_vint(w, 1)  # pipedInput
-            for r in rows:
-                write_vint(w, MSG_MAP_ITEM)
-                _write_text(w, str(r[0]).encode("utf-8"))
-                _write_text(w, str(r[1]).encode("utf-8"))
+            for pdf in batches:
+                for k, v in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                    write_vint(w, MSG_MAP_ITEM)
+                    _write_text(w, str(k).encode("utf-8"))
+                    _write_text(w, str(v).encode("utf-8"))
 
-        yield from _pipes_exchange(command, conf_items, input_types, feed_body, counters)
+        yield from _batched_frames(
+            _pipes_exchange(command, conf_items, input_types, feed_body, counters, transport)
+        )
 
-    out = df.select(
-        F.col(cols[0]).cast("string"), F.col(cols[1]).cast("string")
-    ).rdd.mapPartitions(run_partition)
-    return _kv_line_df(out, spark)
+    # mapInPandas keeps the exchange inside ONE DataFrame plan — the
+    # earlier .rdd/createDataFrame round-trip sat outside AQE's stage
+    # reuse, so a composed map->reduce pipeline re-executed the map leg
+    # once per downstream plan compile (observed 3x per collect).
+    return df.select(
+        F.col(cols[0]).cast("string").alias("k"), F.col(cols[1]).cast("string").alias("v")
+    ).mapInPandas(run_partition, "k string, v string")
 
 
 def pipe_binary_reduce(
@@ -244,6 +253,7 @@ def pipe_binary_reduce(
     ),
     counters=None,
     num_partitions: int | None = None,
+    transport: str = "stdio",
 ) -> DataFrame:
     """The reduce leg of the Pipes protocol: shuffle ``kv`` on k, sort
     within partitions, then per partition send RUN_REDUCE(partition,
@@ -269,7 +279,7 @@ def pipe_binary_reduce(
         .sortWithinPartitions("k", "v")
     )
 
-    def run_partition(rows):
+    def run_partition(batches):
         from pyspark import TaskContext
 
         part_id = TaskContext.get().partitionId() if TaskContext.get() else -1
@@ -279,33 +289,81 @@ def pipe_binary_reduce(
             write_vint(w, part_id)
             write_vint(w, 1)  # pipedOutput
             current = None
-            for r in rows:
-                kb = r["k"].encode("utf-8")
-                if kb != current:
-                    write_vint(w, MSG_REDUCE_KEY)
-                    _write_text(w, kb)
-                    current = kb
-                write_vint(w, MSG_REDUCE_VALUE)
-                _write_text(w, r["v"].encode("utf-8"))
+            # batches arrive in partition order, so key grouping from
+            # sortWithinPartitions survives the Arrow batch boundaries
+            for pdf in batches:
+                for k, v in zip(pdf["k"], pdf["v"]):
+                    kb = k.encode("utf-8")
+                    if kb != current:
+                        write_vint(w, MSG_REDUCE_KEY)
+                        _write_text(w, kb)
+                        current = kb
+                    write_vint(w, MSG_REDUCE_VALUE)
+                    _write_text(w, v.encode("utf-8"))
 
-        yield from _pipes_exchange(command, conf_items, input_types, feed_body, counters)
+        yield from _batched_frames(
+            _pipes_exchange(command, conf_items, input_types, feed_body, counters, transport)
+        )
 
-    out = arranged.rdd.mapPartitions(run_partition)
-    return _kv_line_df(out, spark)
+    return arranged.mapInPandas(run_partition, "k string, v string")
 
 
-def _pipes_exchange(command, conf_items, input_types, feed_body, counters):
+def _batched_frames(rows, batch_size: int = 10_000):
+    """Pack an iterator of (k, v) tuples into pandas frames for
+    mapInPandas output."""
+    import pandas as _pd
+
+    ks, vs = [], []
+    for k, v in rows:
+        ks.append(k)
+        vs.append(v)
+        if len(ks) >= batch_size:
+            yield _pd.DataFrame({"k": ks, "v": vs})
+            ks, vs = [], []
+    if ks:
+        yield _pd.DataFrame({"k": ks, "v": vs})
+
+
+def _pipes_exchange(
+    command, conf_items, input_types, feed_body, counters, transport="stdio"
+):
     """Shared child exchange: handshake + ``feed_body`` + CLOSE down; the
-    uplink state machine up (yields (k, v) rows until DONE)."""
+    uplink state machine up (yields (k, v) rows until DONE).
+
+    ``transport="socket"`` reproduces the reference's actual transport
+    (Application.java:120-125): a loopback ServerSocket whose port is
+    passed to the child via the ``hadoop.pipes.command.port`` env var; the
+    child connects and the whole protocol runs over that connection.
+    ``"stdio"`` speaks the same bytes over the child's stdin/stdout
+    (useful for line-tool-style children and tests).
+    """
+    import os
     import struct
     import subprocess
     import threading
 
-    proc = subprocess.Popen(command, stdin=subprocess.PIPE, stdout=subprocess.PIPE)
+    srv = conn = None
+    if transport == "socket":
+        import socket as _socket
+
+        srv = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        srv.settimeout(30)
+        env = dict(os.environ)
+        env["hadoop.pipes.command.port"] = str(srv.getsockname()[1])
+        proc = subprocess.Popen(command, env=env)
+        conn, _ = srv.accept()
+        child_in = conn.makefile("wb")
+        child_out = conn.makefile("rb")
+    else:
+        proc = subprocess.Popen(command, stdin=subprocess.PIPE, stdout=subprocess.PIPE)
+        child_in = proc.stdin
+        child_out = proc.stdout
 
     def feed():
         try:
-            w = proc.stdin
+            w = child_in
             write_vint(w, MSG_START)
             write_vint(w, PROTOCOL_VERSION)
             write_vint(w, MSG_SET_JOB_CONF)
@@ -328,29 +386,29 @@ def _pipes_exchange(command, conf_items, input_types, feed_body, counters):
     counter_names: dict[int, str] = {}
     done = False
     while not done:
-        code = read_vint(proc.stdout)
+        code = read_vint(child_out)
         if code is None:
             # legacy child: EOF without DONE — tolerated, recorded
             local_counters["__protocol__.eof_before_done"] = 1
             break
         if code in (MSG_OUTPUT, MSG_PARTITIONED_OUTPUT):
             if code == MSG_PARTITIONED_OUTPUT:
-                read_vint(proc.stdout)  # target partition (map-only: ignored)
-            key = _read_text(proc.stdout)
-            value = _read_text(proc.stdout)
+                read_vint(child_out)  # target partition (map-only: ignored)
+            key = _read_text(child_out)
+            value = _read_text(child_out)
             yield (key.decode("utf-8"), value.decode("utf-8"))
         elif code == MSG_STATUS:
-            _read_text(proc.stdout)
+            _read_text(child_out)
         elif code == MSG_PROGRESS:
-            struct.unpack(">f", _read_exact(proc.stdout, 4))
+            struct.unpack(">f", _read_exact(child_out, 4))
         elif code == MSG_REGISTER_COUNTER:
-            cid = read_vint(proc.stdout)
-            group = _read_text(proc.stdout).decode("utf-8")
-            name = _read_text(proc.stdout).decode("utf-8")
+            cid = read_vint(child_out)
+            group = _read_text(child_out).decode("utf-8")
+            name = _read_text(child_out).decode("utf-8")
             counter_names[cid] = f"{group}.{name}"
         elif code == MSG_INCREMENT_COUNTER:
-            cid = read_vint(proc.stdout)
-            amount = read_vint(proc.stdout)  # VLong: same wire encoding
+            cid = read_vint(child_out)
+            amount = read_vint(child_out)  # VLong: same wire encoding
             key = counter_names.get(cid, f"__counter_{cid}__")
             local_counters[key] = local_counters.get(key, 0) + amount
         elif code == MSG_DONE:
@@ -360,6 +418,10 @@ def _pipes_exchange(command, conf_items, input_types, feed_body, counters):
     if counters is not None and local_counters:
         counters.add(local_counters)
     t.join()
+    if conn is not None:
+        child_out.close()
+        conn.close()
+        srv.close()
     rc = proc.wait()
     if rc != 0:
         raise RuntimeError(f"pipes child exited {rc}")

@@ -56,8 +56,16 @@ def ensure_built(name: str = "wordcount") -> str:
     if cc is None:
         raise RuntimeError("no C++ compiler on PATH; Pipes native leg unavailable")
     src = native_source(name)
+    h = hashlib.md5()
     with open(src, "rb") as f:
-        tag = hashlib.md5(f.read()).hexdigest()[:12]
+        h.update(f.read())
+    # local headers are part of the build input: a transport-header edit
+    # must invalidate cached binaries too
+    for extra in sorted(os.listdir(_SRC_DIR)):
+        if extra.endswith(".h"):
+            with open(os.path.join(_SRC_DIR, extra), "rb") as f:
+                h.update(f.read())
+    tag = h.hexdigest()[:12]
     cache_dir = os.path.join(tempfile.gettempdir(), "hgs_native")
     os.makedirs(cache_dir, exist_ok=True)
     binary = os.path.join(cache_dir, f"{name}-{tag}")

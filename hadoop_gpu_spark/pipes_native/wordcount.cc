@@ -27,6 +27,8 @@
 
 #include <cstdint>
 #include <cstdio>
+
+#include "pipes_transport.h"
 #include <map>
 #include <string>
 
@@ -116,6 +118,7 @@ static void write_text(const std::string &s) {
 }
 
 int main() {
+  if (int rc = pipes_connect_transport()) return rc;
   std::map<std::string, int64_t> counts;
   std::string key, value;
   int64_t code, n, total_words = 0;

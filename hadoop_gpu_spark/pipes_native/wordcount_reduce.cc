@@ -21,6 +21,8 @@
 
 #include <cstdint>
 #include <cstdio>
+
+#include "pipes_transport.h"
 #include <cstdlib>
 #include <string>
 
@@ -103,6 +105,7 @@ static void emit(const std::string &key, int64_t sum) {
 }
 
 int main() {
+  if (int rc = pipes_connect_transport()) return rc;
   std::string key, value, current;
   bool have_key = false;
   int64_t code, n, sum = 0, groups = 0;

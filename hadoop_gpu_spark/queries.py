@@ -3627,7 +3627,9 @@ def q_pipes_native_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string"), F.col("text")
     )
-    partials = pipe_binary(docs, [binary])
+    # socket transport = the reference's actual Application.java wiring
+    # (loopback port via hadoop.pipes.command.port; task auto-connects)
+    partials = pipe_binary(docs, [binary], transport="socket")
     return partials.groupBy(F.col("k").alias("token")).agg(
         F.sum(F.col("v").cast("long")).alias("cnt")
     )

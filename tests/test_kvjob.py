@@ -456,3 +456,42 @@ def test_pipes_native_full_mapreduce(spark, sf_dir):
     }
     assert got == expected
     assert acc.value.get("wordcount.GROUPS") == len(expected)
+
+
+def test_pipes_socket_transport_native_mapreduce(spark):
+    # The reference's ACTUAL transport: engine opens a loopback
+    # ServerSocket per task, exports hadoop.pipes.command.port, the C++
+    # task connects and the whole protocol (handshake, frames, counters,
+    # DONE) runs over that connection (Application.java:120-125). Both
+    # legs here use it.
+    import pytest as _pytest
+
+    from hadoop_gpu_spark.operators.pipes import (
+        pipe_binary,
+        pipe_binary_reduce,
+        pipes_counters,
+    )
+    from hadoop_gpu_spark.pipes_native import compiler, ensure_built
+
+    if compiler() is None:
+        _pytest.skip("no C++ toolchain")
+    wc_map = ensure_built("wordcount")
+    wc_red = ensure_built("wordcount_reduce")
+    df = spark.createDataFrame(
+        [("1", "a b c"), ("2", "b c d d"), ("3", "a a")], ["k", "v"]
+    ).repartition(2)
+    acc = pipes_counters(spark)
+    # The composed map->reduce pipeline is ONE DataFrame plan (map
+    # MapInPandas -> Exchange -> Sort -> reduce MapInPandas), so a single
+    # collect runs each leg exactly once and the counters are exact (the
+    # earlier .rdd/createDataFrame round-trip re-executed the map leg per
+    # downstream plan compile — 3x counters).
+    partials = pipe_binary(df, [wc_map], counters=acc, transport="socket")
+    final = pipe_binary_reduce(
+        partials, [wc_red], counters=acc, transport="socket", num_partitions=2
+    )
+    got = {(r["k"], int(r["v"])) for r in final.collect()}
+    assert got == {("a", 3), ("b", 2), ("c", 2), ("d", 2)}
+    assert acc.value.get("wordcount.WORDS") == 9
+    assert acc.value.get("wordcount.GROUPS") == 4
+    assert "__protocol__.eof_before_done" not in acc.value
