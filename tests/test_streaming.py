@@ -215,3 +215,74 @@ def test_stream_parquet_sink_exactly_once_across_restart(spark, sf_dir, tmp_path
     n_batch = load_table(spark, "events", sf_dir).count()
     assert n1 == n_batch
     assert n2 == n_batch  # no duplicates after restart
+
+
+def test_windowed_counts_multi_batch_watermark(spark, sf_dir, tmp_path):
+    # The single-file gates drain everything in ONE micro-batch, where the
+    # watermark never drops anything. Split the events by day into
+    # separate files, stream with maxFilesPerTrigger=1 (one micro-batch
+    # per file), and (a) in time order the result equals the batch
+    # aggregate exactly; (b) with a late file arriving after the watermark
+    # advanced past it, its contribution is dropped.
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from hadoop_gpu_spark.streaming import windowed_counts
+    from hadoop_gpu_spark.tables import load_table, normalize_event_ts
+
+    ev = load_table(spark, "events", sf_dir)
+    days = [r["d"] for r in ev.select(F.dayofmonth("ts").alias("d")).distinct().collect()]
+    in_order = sorted(days)
+
+    def write_day_files(day_order, root):
+        for i, d in enumerate(day_order):
+            (ev.filter(F.dayofmonth("ts") == d)
+               .coalesce(1)
+               .write.parquet(f"{root}/batch={i:03d}"))
+        return [f for f in sorted(glob.glob(f"{root}/*/*.parquet"))]
+
+    def drain(root, name):
+        raw_schema = spark.read.parquet(f"{root}/batch=000").schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", False)
+            .parquet(f"{root}/*")
+        )
+        agg = windowed_counts(normalize_event_ts(stream), window="1 hour", watermark="2 hours")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")  # append mode: rows emit when watermark passes
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+
+    # (a) time-ordered files: nothing is late; every finalized window row
+    # matches the batch aggregate for those windows
+    root_a = str(tmp_path / "ordered")
+    write_day_files(in_order, root_a)
+    got = drain(root_a, "wm_ordered").select("hour", "event_type", "cnt")
+    batch = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("batch_cnt"))
+    )
+    j = got.join(batch, ["hour", "event_type"], "left").filter(
+        (F.col("cnt") != F.col("batch_cnt")) | F.col("batch_cnt").isNull()
+    )
+    assert got.count() > 0
+    assert j.count() == 0  # every emitted window agrees with batch
+
+    # (b) one early day delivered LAST: the watermark has advanced past
+    # it, so its windows must be absent (append mode emits only finalized
+    # windows; the late file's rows are dropped/never finalized)
+    if len(in_order) >= 3:
+        late_order = in_order[1:] + [in_order[0]]
+        root_b = str(tmp_path / "late")
+        write_day_files(late_order, root_b)
+        got_late = drain(root_b, "wm_late")
+        first_day_windows = got_late.filter(F.dayofmonth("hour") == in_order[0]).count()
+        assert first_day_windows == 0, "late file's windows should be dropped"
