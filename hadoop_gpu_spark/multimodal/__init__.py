@@ -169,9 +169,57 @@ def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
 
 def frame_sample(df: DataFrame, every_ms: int = 1000, fake: bool = False) -> DataFrame:
     """Video frame sampling: one row per sampled timestamp (plumbing:
-    explode on a JVM-computed timestamp sequence — no Python until decode)."""
+    explode on a JVM-computed timestamp sequence — no Python until decode).
+
+    Real mode decodes animated GIF (the one video-shaped container with a
+    dependency-free codec — :mod:`.gif`): the frame timeline comes from
+    the per-frame delays, sampling walks it at ``every_ms``, and
+    ``frame_hash`` is the md5 of the ACTIVE frame's RGB pixels. Non-GIF
+    bytes raise NotImplementedError (mp4/webm need codecs this container
+    lacks); the fake mode remains the oracle-checkable gate variant.
+    """
     if not fake:
-        raise NotImplementedError("video decode not available; pass fake=True")
+        import hashlib
+
+        from hadoop_gpu_spark.multimodal.gif import decode_gif
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples():
+                    data = bytes(r.data)
+                    if data[:3] != b"GIF":
+                        raise NotImplementedError(
+                            "video decode available for GIF only; mp4/webm need "
+                            "codecs this container lacks (pass fake=True for the "
+                            "deterministic stand-in)"
+                        )
+                    frames = decode_gif(data)
+                    # timeline: frame i is active in [start_i, start_i + delay_i)
+                    total = sum(d for d, _ in frames)
+                    starts = []
+                    t = 0
+                    for d, _ in frames:
+                        starts.append(t)
+                        t += d
+                    for ms in range(0, max(total, 1), every_ms):
+                        active = 0
+                        for i, s in enumerate(starts):
+                            if s <= ms:
+                                active = i
+                        rgb = frames[active][1]
+                        rows.append(
+                            (
+                                r.media_id,
+                                ms,
+                                hashlib.md5(rgb.tobytes()).hexdigest()[:16],
+                            )
+                        )
+                yield pd.DataFrame(rows, columns=["media_id", "frame_ms", "frame_hash"])
+
+        return df.filter(F.col("kind") == "video").mapInPandas(
+            run, schema="media_id long, frame_ms long, frame_hash string"
+        )
     frames = df.filter(F.col("kind") == "video").select(
         "media_id",
         "data",

@@ -198,3 +198,71 @@ def test_fake_audio_decode_deterministic(spark, sf_dir):
     a = decode_audio(media, fake=True).toPandas().sort_values("media_id")
     b = decode_audio(media, fake=True).toPandas().sort_values("media_id")
     assert a["pcm_hash"].tolist() == b["pcm_hash"].tolist()
+
+
+def test_gif_codec_roundtrip_and_external_bytes():
+    # Decoder against externally-encoded canonical bytes (the ubiquitous
+    # 1x1 transparent spacer GIF), plus encode/decode roundtrips covering
+    # multi-frame delays, transparency compositing, and 12-bit LZW width
+    # growth (256-color noise).
+    import base64
+
+    import numpy as np
+
+    from hadoop_gpu_spark.multimodal.gif import decode_gif, encode_gif, lzw_decode, lzw_encode
+
+    spacer = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    frames = decode_gif(spacer)
+    assert len(frames) == 1 and frames[0][1].shape == (1, 1, 3)
+
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0]], np.uint8)
+    f1 = np.zeros((6, 8), dtype=np.uint8)
+    f2 = (np.arange(48).reshape(6, 8) % 4).astype(np.uint8)
+    out = decode_gif(encode_gif([f1, f2], palette, [100, 250]))
+    assert [d for d, _ in out] == [100, 250]
+    assert (out[0][1] == palette[f1]).all() and (out[1][1] == palette[f2]).all()
+
+    pal256 = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    noisy = np.random.RandomState(5).randint(0, 256, size=(64, 64)).astype(np.uint8)
+    out2 = decode_gif(encode_gif([noisy], pal256, [50]))
+    assert (out2[0][1] == pal256[noisy]).all()
+
+    rng = np.random.RandomState(9)
+    for mcs in (2, 4, 8):
+        data = bytes(rng.randint(0, 1 << mcs, size=3000, dtype=np.uint8))
+        assert lzw_decode(lzw_encode(data, mcs), mcs) == data
+
+
+def test_frame_sample_real_gif_end_to_end(spark):
+    # Real-bytes video path: animated GIFs through the production
+    # mapInPandas frame sampler; sampled hashes must match the md5 of the
+    # decoded active frame at each timestamp.
+    import hashlib
+
+    import numpy as np
+
+    from hadoop_gpu_spark.multimodal import frame_sample
+    from hadoop_gpu_spark.multimodal.gif import decode_gif, encode_gif
+
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0]], np.uint8)
+    rng = np.random.RandomState(11)
+    rows = []
+    expected = {}
+    for mid in range(3):
+        frames = [rng.randint(0, 4, size=(10, 12)).astype(np.uint8) for _ in range(3)]
+        delays = [1000, 500, 1500]
+        gif = encode_gif(frames, palette, delays)
+        rows.append((mid, "video", bytearray(gif), sum(delays)))
+        dec = decode_gif(gif)
+        # active frame at 0, 1000, 2000 ms with every_ms=1000
+        for ms, active in [(0, 0), (1000, 1), (2000, 2)]:
+            expected[(mid, ms)] = hashlib.md5(dec[active][1].tobytes()).hexdigest()[:16]
+
+    df = spark.createDataFrame(rows, "media_id long, kind string, data binary, meta_ms long")
+    got = {
+        (r["media_id"], r["frame_ms"]): r["frame_hash"]
+        for r in frame_sample(df, every_ms=1000, fake=False).collect()
+    }
+    assert got == expected
