@@ -495,3 +495,26 @@ def test_pipes_socket_transport_native_mapreduce(spark):
     assert acc.value.get("wordcount.WORDS") == 9
     assert acc.value.get("wordcount.GROUPS") == 4
     assert "__protocol__.eof_before_done" not in acc.value
+
+
+def test_pipe_binary_child_failure_propagates(spark, tmp_path):
+    # A crashing child must fail the job loudly (nonzero exit ->
+    # RuntimeError), not silently truncate output — the reference task
+    # JVM kills the attempt the same way.
+    import sys
+    import textwrap
+
+    import pytest as _pytest
+
+    from hadoop_gpu_spark.operators.pipes import pipe_binary
+
+    child = tmp_path / "crash.py"
+    child.write_text(textwrap.dedent("""
+        import sys
+        sys.stdin.buffer.read(4)
+        sys.exit(7)
+    """))
+    df = spark.createDataFrame([("a", "b")], ["k", "v"]).coalesce(1)
+    with _pytest.raises(Exception) as e:
+        pipe_binary(df, [sys.executable, str(child)]).collect()
+    assert "exited 7" in str(e.value)

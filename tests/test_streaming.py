@@ -286,3 +286,48 @@ def test_windowed_counts_multi_batch_watermark(spark, sf_dir, tmp_path):
         got_late = drain(root_b, "wm_late")
         first_day_windows = got_late.filter(F.dayofmonth("hour") == in_order[0]).count()
         assert first_day_windows == 0, "late file's windows should be dropped"
+
+
+def test_exact_dedup_stream_state_spans_micro_batches(spark, tmp_path):
+    # dropDuplicates state must dedupe ACROSS micro-batches: the same
+    # payload delivered again in a later file (inside the watermark
+    # horizon) is dropped. Single-file drains can't show this.
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from hadoop_gpu_spark.streaming import exact_dedup_stream
+
+    root = str(tmp_path / "src")
+    base = datetime(2024, 1, 1)
+    rows1 = [(1, base + timedelta(minutes=i), "doc-%d" % i) for i in range(5)]
+    # batch 2: 3 repeats of batch-1 payloads + 2 new, minutes later
+    rows2 = [(2, base + timedelta(minutes=30 + i), "doc-%d" % i) for i in range(3)] + [
+        (2, base + timedelta(minutes=40 + i), "new-%d" % i) for i in range(2)
+    ]
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(rows, "batch long, ts timestamp, props string").coalesce(
+            1
+        ).write.parquet(f"{root}/b={i}")
+
+    schema = spark.read.parquet(f"{root}/b=0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/*")
+    )
+    dedup = exact_dedup_stream(stream, text_col="props", watermark="2 hours")
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("dedup_xbatch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_xbatch")
+    # 5 originals + 2 new survive; the 3 cross-batch repeats are dropped
+    assert got.count() == 7
+    assert got.filter(F.col("props").startswith("new-")).count() == 2
+    # every surviving repeat payload is the batch-1 copy
+    assert got.filter((F.col("batch") == 2) & ~F.col("props").startswith("new-")).count() == 0
