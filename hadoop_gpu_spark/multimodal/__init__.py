@@ -72,11 +72,16 @@ def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
                     px = _fake_decode(data, int(r.meta_width), int(r.meta_height))
                 elif data[:8] == png_codec.PNG_MAGIC:
                     px = png_codec.decode_png(data)
+                elif data[:3] == b"GIF":
+                    from hadoop_gpu_spark.multimodal.gif import decode_gif
+
+                    px = decode_gif(data)[0][1]  # still = first frame RGB
                 else:
                     raise NotImplementedError(
-                        "no in-engine codec for this image format (PNG is "
-                        "decoded natively; JPEG/WebP need external libraries "
-                        "absent from this environment) — or pass fake=True"
+                        "no in-engine codec for this image format (PNG and GIF "
+                        "are decoded natively; JPEG/WebP need external "
+                        "libraries absent from this environment) — or pass "
+                        "fake=True"
                     )
                 rows.append(
                     (

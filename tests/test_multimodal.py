@@ -266,3 +266,28 @@ def test_frame_sample_real_gif_end_to_end(spark):
         for r in frame_sample(df, every_ms=1000, fake=False).collect()
     }
     assert got == expected
+
+
+def test_decode_image_gif_still(spark):
+    # GIF stills route through the native codec in decode_image: first
+    # frame's RGB pixels, hashed like any other decoded image.
+    import hashlib
+
+    import numpy as np
+
+    from hadoop_gpu_spark.multimodal import decode_image
+    from hadoop_gpu_spark.multimodal.gif import encode_gif
+
+    palette = np.array([[10, 20, 30], [200, 100, 0]], np.uint8)
+    frame = (np.arange(35).reshape(5, 7) % 2).astype(np.uint8)
+    gif = encode_gif([frame], palette, [100])
+    rgb = palette[frame]
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(gif), 7, 5)],
+        "media_id long, kind string, data binary, meta_width long, meta_height long",
+    )
+    got = decode_image(df, fake=False).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["width"], r["height"]) == (7, 5)
+    assert r["pixel_hash"] == hashlib.md5(rgb.tobytes()).hexdigest()[:16]
