@@ -3835,7 +3835,6 @@ _DRIVER_WINDOW = [
     "q_grep",
     "q_grep_ranked",
     "q_intersect",
-    "q_inverse_map",
     "q_join_broadcast",
     "q_join_outer_counts",
     "q_json_extract",
@@ -3844,14 +3843,18 @@ _DRIVER_WINDOW = [
     "q_matmul_gram",
     "q_md5_sample",
     "q_moving_window",
-    "q_pi_estimator",
     "q_quality_score",
     "q_secondary_sort",
     "q_terasort",
     "q_text_stats",
     "q_uniq_value_count",
-    # flex slots: one oldest-r02 green + this round's additions (new
-    # queries and the handshake-upgraded pipes leg must enter the window)
+    # flex slots: this round's additions and re-changed queries (new
+    # queries and fingerprint-changed ones must enter the window; the
+    # multimodal pair re-enters for the real GIF decode/frame-sample
+    # paths added beside their gate variants — two r01 rotations,
+    # q_inverse_map and the table-free q_pi_estimator, gave way)
+    "q_multimodal_decode",
+    "q_frame_sample",
     "q_stream_dedup",
     "q_unigram_logprob",
     "q_epoch_shuffle",
