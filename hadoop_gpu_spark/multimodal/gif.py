@@ -9,8 +9,8 @@ audio paths.
 
 Subset: GIF89a, 8-bit color-index frames, global and local color tables,
 full-frame or sub-rectangle frames composited over the previous canvas,
-transparency index = keep underlying pixel, interlace NOT supported
-(encoder never emits it; decoder rejects it loudly). LZW code widths
+transparency index = keep underlying pixel, 4-pass interlace on decode
+(the encoder never emits it). LZW code widths
 follow the mainstream convention (width grows when the table reaches the
 current code-space size, capped at 12 bits; CLEAR resets).
 
@@ -246,8 +246,7 @@ def decode_gif(data: bytes) -> list[tuple[int, np.ndarray]]:
         left, top, fw, fh = struct.unpack("<HHHH", data[pos : pos + 8])
         fpacked = data[pos + 8]
         pos += 9
-        if fpacked & 0x40:
-            raise NotImplementedError("interlaced GIF not supported")
+        interlaced = bool(fpacked & 0x40)
         table = global_table
         if fpacked & 0x80:
             size = 2 << (fpacked & 0x07)
@@ -261,6 +260,16 @@ def decode_gif(data: bytes) -> list[tuple[int, np.ndarray]]:
         idx = np.frombuffer(
             lzw_decode(compressed, mcs, expected=fw * fh), dtype=np.uint8
         ).reshape(fh, fw)
+        if interlaced:
+            # GIF 4-pass interlace: stored row order is passes over rows
+            # 0::8, 4::8, 2::4, 1::2 — invert to display order
+            order = np.concatenate(
+                [np.arange(0, fh, 8), np.arange(4, fh, 8),
+                 np.arange(2, fh, 4), np.arange(1, fh, 2)]
+            )
+            de = np.empty_like(idx)
+            de[order] = idx
+            idx = de
         region = canvas[top : top + fh, left : left + fw]
         rgb = table[idx]
         if transparent is not None:

@@ -291,3 +291,41 @@ def test_decode_image_gif_still(spark):
     r = got[0]
     assert (r["width"], r["height"]) == (7, 5)
     assert r["pixel_hash"] == hashlib.md5(rgb.tobytes()).hexdigest()[:16]
+
+
+def test_gif_interlaced_decode():
+    # Hand-build an interlaced frame: permute rows into GIF's 4-pass
+    # storage order, set the interlace flag, and the decoder must return
+    # the original image.
+    import struct
+
+    import numpy as np
+
+    from hadoop_gpu_spark.multimodal.gif import (
+        GIF_MAGIC,
+        _sub_blocks,
+        decode_gif,
+        lzw_encode,
+    )
+
+    h, w = 11, 6
+    palette = np.array([[0, 0, 0], [255, 255, 255], [255, 0, 0], [0, 0, 255]], np.uint8)
+    img = (np.arange(h * w).reshape(h, w) % 4).astype(np.uint8)
+    order = np.concatenate(
+        [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+    )
+    stored = img[order]  # rows in interlace storage order
+
+    out = bytearray()
+    out += GIF_MAGIC + struct.pack("<HH", w, h)
+    out.append(0x80 | 0x01)  # global table, 4 entries (size bits = 1)
+    out += b"\x00\x00" + palette.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out.append(0x40)  # interlace flag, no local table
+    out.append(2)  # min code size
+    out += _sub_blocks(lzw_encode(stored.tobytes(), 2))
+    out.append(0x3B)
+
+    frames = decode_gif(bytes(out))
+    assert len(frames) == 1
+    assert (frames[0][1] == palette[img]).all()
