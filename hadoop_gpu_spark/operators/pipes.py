@@ -196,6 +196,7 @@ def pipe_binary(
     ),
     counters=None,
     transport: str = "stdio",
+    num_reduces: int = 0,
 ) -> DataFrame:
     """Run an external binary under the full Pipes BinaryProtocol.
 
@@ -207,6 +208,14 @@ def pipe_binary(
     into ``counters`` (see :func:`pipes_counters`); DONE(54) ends the
     exchange. Arbitrary bytes are safe — the reason the reference built a
     binary protocol at all.
+
+    ``num_reduces > 0`` enables the child-Partitioner hook (the
+    reference's C++ ``Partitioner`` class, wordcount-part.cc): RUN_MAP
+    carries the reduce count and the output grows a ``part`` column from
+    the child's PARTITIONED_OUTPUT frames (plain OUTPUT rows get part
+    -1 = engine decides). Feed that frame to
+    ``pipe_binary_reduce(partition_col="part")`` to co-locate keys by
+    the CHILD's assignment.
     """
     spark = df.sparkSession
     cols = df.columns
@@ -222,7 +231,7 @@ def pipe_binary(
         def feed_body(w):
             write_vint(w, MSG_RUN_MAP)
             _write_text(w, f"partition-{part_id}".encode("utf-8"))  # split
-            write_vint(w, 0)  # numReduces: map-only; engine shuffle reduces
+            write_vint(w, num_reduces)  # 0 = map-only; engine shuffle reduces
             write_vint(w, 1)  # pipedInput
             for pdf in batches:
                 for k, v in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
@@ -231,16 +240,20 @@ def pipe_binary(
                     _write_text(w, str(v).encode("utf-8"))
 
         yield from _batched_frames(
-            _pipes_exchange(command, conf_items, input_types, feed_body, counters, transport)
+            _pipes_exchange(command, conf_items, input_types, feed_body, counters, transport),
+            with_part=num_reduces > 0,
         )
 
     # mapInPandas keeps the exchange inside ONE DataFrame plan — the
     # earlier .rdd/createDataFrame round-trip sat outside AQE's stage
     # reuse, so a composed map->reduce pipeline re-executed the map leg
     # once per downstream plan compile (observed 3x per collect).
+    out_schema = (
+        "part int, k string, v string" if num_reduces > 0 else "k string, v string"
+    )
     return df.select(
         F.col(cols[0]).cast("string").alias("k"), F.col(cols[1]).cast("string").alias("v")
-    ).mapInPandas(run_partition, "k string, v string")
+    ).mapInPandas(run_partition, out_schema)
 
 
 def pipe_binary_reduce(
@@ -254,6 +267,7 @@ def pipe_binary_reduce(
     counters=None,
     num_partitions: int | None = None,
     transport: str = "stdio",
+    partition_col: str | None = None,
 ) -> DataFrame:
     """The reduce leg of the Pipes protocol: shuffle ``kv`` on k, sort
     within partitions, then per partition send RUN_REDUCE(partition,
@@ -265,19 +279,30 @@ def pipe_binary_reduce(
     shuffle, sort); both user legs run compiled code.
     """
     spark = kv.sparkSession
-    cols = kv.columns
+    cols = [c for c in kv.columns if c != partition_col]
     if len(cols) != 2:
         raise ValueError("pipe_binary_reduce expects a 2-column (key, value) frame")
     conf_items = sorted((job_conf or {}).items())
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    arranged = (
-        kv.select(
-            F.col(cols[0]).cast("string").alias("k"),
-            F.col(cols[1]).cast("string").alias("v"),
-        )
-        .repartition(n, "k")
-        .sortWithinPartitions("k", "v")
+    sel = kv.select(
+        *([F.col(partition_col).alias("__part")] if partition_col else []),
+        F.col(cols[0]).cast("string").alias("k"),
+        F.col(cols[1]).cast("string").alias("v"),
     )
+    if partition_col:
+        # honor the CHILD's partition assignment (Partitioner hook): rows
+        # sharing a child-assigned part co-locate; part -1 (plain OUTPUT)
+        # falls back to key hashing
+        arranged = (
+            sel.withColumn(
+                "__part", F.when(F.col("__part") >= 0, F.col("__part")).otherwise(F.crc32("k") % n)
+            )
+            .repartition(n, "__part")
+            .sortWithinPartitions("k", "v")
+            .drop("__part")
+        )
+    else:
+        arranged = sel.repartition(n, "k").sortWithinPartitions("k", "v")
 
     def run_partition(batches):
         from pyspark import TaskContext
@@ -308,20 +333,24 @@ def pipe_binary_reduce(
     return arranged.mapInPandas(run_partition, "k string, v string")
 
 
-def _batched_frames(rows, batch_size: int = 10_000):
-    """Pack an iterator of (k, v) tuples into pandas frames for
-    mapInPandas output."""
+def _batched_frames(rows, batch_size: int = 10_000, with_part: bool = False):
+    """Pack an iterator of (part, k, v) tuples into pandas frames for
+    mapInPandas output (the part column is emitted only when the child
+    partitioner is engaged)."""
     import pandas as _pd
 
-    ks, vs = [], []
-    for k, v in rows:
+    ps, ks, vs = [], [], []
+    for p, k, v in rows:
+        ps.append(p)
         ks.append(k)
         vs.append(v)
         if len(ks) >= batch_size:
-            yield _pd.DataFrame({"k": ks, "v": vs})
-            ks, vs = [], []
+            yield (_pd.DataFrame({"part": ps, "k": ks, "v": vs}) if with_part
+                   else _pd.DataFrame({"k": ks, "v": vs}))
+            ps, ks, vs = [], [], []
     if ks:
-        yield _pd.DataFrame({"k": ks, "v": vs})
+        yield (_pd.DataFrame({"part": ps, "k": ks, "v": vs}) if with_part
+               else _pd.DataFrame({"k": ks, "v": vs}))
 
 
 def _pipes_exchange(
@@ -392,11 +421,12 @@ def _pipes_exchange(
             local_counters["__protocol__.eof_before_done"] = 1
             break
         if code in (MSG_OUTPUT, MSG_PARTITIONED_OUTPUT):
+            part = -1  # plain OUTPUT: engine decides the partition
             if code == MSG_PARTITIONED_OUTPUT:
-                read_vint(child_out)  # target partition (map-only: ignored)
+                part = read_vint(child_out)  # child Partitioner's assignment
             key = _read_text(child_out)
             value = _read_text(child_out)
-            yield (key.decode("utf-8"), value.decode("utf-8"))
+            yield (part, key.decode("utf-8"), value.decode("utf-8"))
         elif code == MSG_STATUS:
             _read_text(child_out)
         elif code == MSG_PROGRESS:

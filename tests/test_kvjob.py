@@ -518,3 +518,46 @@ def test_pipe_binary_child_failure_propagates(spark, tmp_path):
     with _pytest.raises(Exception) as e:
         pipe_binary(df, [sys.executable, str(child)]).collect()
     assert "exited 7" in str(e.value)
+
+
+def test_pipes_child_partitioner_hook(spark):
+    # wordcount-part.cc analog: the C++ task emits PARTITIONED_OUTPUT with
+    # its own partitioner (poly-31 hash mod numReduces); the engine must
+    # surface the child's assignment and pipe_binary_reduce must co-locate
+    # by it, producing the same totals as the unpartitioned pipeline.
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_gpu_spark.operators.pipes import (
+        pipe_binary,
+        pipe_binary_reduce,
+        pipes_counters,
+    )
+    from hadoop_gpu_spark.pipes_native import compiler, ensure_built
+
+    if compiler() is None:
+        _pytest.skip("no C++ toolchain")
+    wc_part = ensure_built("wordcount_part")
+    wc_red = ensure_built("wordcount_reduce")
+    df = spark.createDataFrame(
+        [("1", "a b c"), ("2", "b c d d"), ("3", "a a e")], ["k", "v"]
+    ).repartition(2)
+    acc = pipes_counters(spark)
+    partials = pipe_binary(df, [wc_part], counters=acc, num_reduces=3)
+    assert partials.columns == ["part", "k", "v"]
+
+    def poly31(w: str) -> int:
+        h = 0
+        for c in w.encode():
+            h = (h * 31 + c) & 0xFFFFFFFF
+        return h % 3
+
+    rows = partials.collect()
+    assert len(rows) == 10  # one per word occurrence
+    for r in rows:
+        assert r["part"] == poly31(r["k"]), r
+    final = pipe_binary_reduce(
+        partials, [wc_red], counters=acc, num_partitions=3, partition_col="part"
+    )
+    got = {(r["k"], int(r["v"])) for r in final.collect()}
+    assert got == {("a", 3), ("b", 2), ("c", 2), ("d", 2), ("e", 1)}
