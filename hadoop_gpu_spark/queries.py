@@ -3205,16 +3205,22 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 256 docs driver-side (4 MB of longs per 10^9 docs; hierarchical
     # cumsum if that ever matters).
     B = 256
-    d = T(spark, sf_dir, "documents").select(
+    docs = T(spark, sf_dir, "documents").select(
         "doc_id",
-        tokenize("text").alias("t"),
+        "text",
         (F.floor(F.col("doc_id") / B)).cast("long").alias("__bucket"),
     )
+    d = docs.select("doc_id", tokenize("text").alias("t"), "__bucket")
     # Pass 1: per-bucket totals → driver-side cumulative base offsets
-    # (metadata-sized, like k-means centroids).
+    # (metadata-sized, like k-means centroids). Token COUNT = number of
+    # \S+ runs, identical to size(tokenize(text)) (split on \s+ then
+    # drop empties ⇔ maximal non-whitespace runs) but without building
+    # the token arrays — pass 1 is a pure regex scan.
     sizes = {
         r["__bucket"]: r["n"]
-        for r in d.groupBy("__bucket").agg(F.sum(F.size("t")).alias("n")).collect()
+        for r in docs.groupBy("__bucket")
+        .agg(F.sum(F.regexp_count("text", F.lit(r"\S+"))).alias("n"))
+        .collect()
     }
     bases, acc = [], 0
     for b in sorted(sizes):
