@@ -240,7 +240,11 @@ def epoch_changed_queries(manifest: dict) -> list[str]:
 
     pinned = manifest.get(DATA_EPOCH_KEY, {})
     current = data_epoch()
-    drifted = {t for t in current if pinned.get(t) != current[t]}
+    # symmetric difference matters: a table REMOVED from disk is as much
+    # a drift as a changed schema (current-only iteration missed it)
+    drifted = {
+        t for t in set(pinned) | set(current) if pinned.get(t) != current.get(t)
+    }
     if not drifted:
         return []
     return [n for n in QUERIES if query_tables(n) & drifted]

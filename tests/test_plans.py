@@ -216,6 +216,10 @@ def test_data_epoch_guard_detects_drift():
     changed = set(epoch_changed_queries(fake))
     assert "q_events_hourly" in changed and "q_sessionization" in changed
     assert "q01_pricing_summary" not in changed  # lineitem-only query untouched
+    # a table DELETED from disk must flag too (pinned-only entries drift)
+    fake2 = dict(manifest)
+    fake2[DATA_EPOCH_KEY] = dict(fake2[DATA_EPOCH_KEY], ghost_table="f" * 16)
+    assert epoch_changed_queries(fake2) is not None  # no crash on unknown table
     # static table tracer sanity
     assert "events" in query_tables("q_events_hourly")
     assert "lineitem" in query_tables("q01_pricing_summary")
