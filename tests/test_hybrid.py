@@ -170,3 +170,36 @@ def test_skewed_batch_times_drive_split():
     got_f = max(math.ceil(x_skew / 4) * 4.0, math.ceil(y_skew / 1))
     best_f = max(math.ceil(best / 4) * 4.0, math.ceil((16 - best) / 1))
     assert got_f == best_f
+
+
+def test_run_hybrid_auto_gpu_routing_with_shim(spark, monkeypatch):
+    # The GPU_AVAILABLE-gated auto path, exercised without CUDA: force the
+    # availability flag and give the op a gpu_fn that marks its rows. Both
+    # paths must receive partitions per the makespan split and the union
+    # must cover every input row exactly once.
+    import hadoop_gpu_spark.hybrid as hybrid
+    from hadoop_gpu_spark.hybrid import HybridOp, run_hybrid
+
+    def cpu_fn(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["path"] = "cpu"
+            yield pdf[["x", "path"]]
+
+    def gpu_fn(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["path"] = "gpu"
+            yield pdf[["x", "path"]]
+
+    monkeypatch.setattr(hybrid, "GPU_AVAILABLE", True)
+    op = HybridOp("tagger", cpu_fn, "x long, path string", gpu_fn=gpu_fn)
+    df = spark.range(100).selectExpr("id AS x").repartition(8)
+    # measure both paths (the reference's warm-up attempts) so alpha > 0
+    op.apply(df, force_path="cpu").collect()
+    op.apply(df, force_path="gpu").collect()
+    assert op.alpha > 0
+    out = run_hybrid(op, df, n_cpu_slots=4, n_gpu_slots=2).collect()
+    assert sorted(r["x"] for r in out) == list(range(100))
+    paths = {r["path"] for r in out}
+    assert paths == {"cpu", "gpu"}, paths
