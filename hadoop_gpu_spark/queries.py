@@ -3704,9 +3704,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffle join on term — same plan shape as q_tfidf_topterms, whose
 # corpus-stats-broadcast pattern this reuses).
 # ---------------------------------------------------------------------------
-@query(
-    "q_unigram_logprob",
-    oracle=f"""
+_UNIGRAM_NLL_SQL = f"""
     WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
     freq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY term),
     n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM toks),
@@ -3717,9 +3715,12 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
            round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
     FROM scored GROUP BY doc_id
-    """,
-)
-def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_toks, avg_nll) under the corpus unigram LM — shared by
+    the scoring gate and the perplexity-bucket gate."""
     from hadoop_gpu_spark.operators.fields import tokenize
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
@@ -3738,6 +3739,41 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_toks"),
         F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6).alias("avg_nll"),
     )
+
+
+@query("q_unigram_logprob", oracle=_UNIGRAM_NLL_SQL)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _unigram_nll(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Perplexity buckets (the CCNet head/middle/tail cut): within each
+# language, documents rank by their LM score and split into three
+# equal-sized buckets — the canonical quality-tier partitioning a
+# pretraining mixture samples from (head = most fluent under the corpus
+# LM). Deterministic: ntile over (avg_nll, doc_id).
+# 100 TB shape: reuses the unigram scoring plan (broadcast corpus stats,
+# text never shuffles) + one per-language window over doc-level rows —
+# |docs| rows, not tokens, enter the sort.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ppl_buckets",
+    oracle=f"""
+    WITH s AS ({_UNIGRAM_NLL_SQL}),
+    j AS (SELECT s.doc_id, d.lang, s.avg_nll
+          FROM s JOIN documents d USING (doc_id))
+    SELECT doc_id, lang, avg_nll,
+           CAST(NTILE(3) OVER (PARTITION BY lang
+                               ORDER BY avg_nll, doc_id) AS BIGINT) AS ppl_bucket
+    FROM j
+    """,
+)
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _unigram_nll(spark, sf_dir)
+    langs = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = scored.join(langs, "doc_id").select("doc_id", "lang", "avg_nll")
+    w = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    return j.withColumn("ppl_bucket", F.ntile(3).over(w).cast("long"))
 
 
 # ---------------------------------------------------------------------------
@@ -3854,7 +3890,6 @@ _DRIVER_WINDOW = [
     "q_mapfile_get_closest",
     "q_matmul_gram",
     "q_md5_sample",
-    "q_moving_window",
     "q_quality_score",
     "q_secondary_sort",
     "q_terasort",
@@ -3867,6 +3902,7 @@ _DRIVER_WINDOW = [
     # q_inverse_map and the table-free q_pi_estimator, gave way)
     "q_multimodal_decode",
     "q_frame_sample",
+    "q_ppl_buckets",
     "q_stream_dedup",
     "q_unigram_logprob",
     "q_epoch_shuffle",
