@@ -3747,6 +3747,54 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token-budget sampling: the mixture-construction primitive that
+# q_stratified_sample (doc-count cuts) cannot express — each language
+# contributes documents, in deterministic md5 order, until its TOKEN
+# budget is exhausted (selection rule: a doc is taken iff the tokens
+# accumulated BEFORE it are under budget, so the crossing doc is
+# included and membership is a pure function of the data). This is how
+# real pretraining mixtures are specified (tokens, not documents).
+# 100 TB shape: token counts are a regex scan (no arrays), the cumsum is
+# a per-language window over doc-level rows, text never shuffles.
+# ---------------------------------------------------------------------------
+@query(
+    "q_token_budget_sample",
+    oracle=r"""
+    WITH c AS (
+      SELECT doc_id, lang,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_toks,
+             md5(doc_id::VARCHAR) AS ord
+      FROM documents),
+    w AS (
+      SELECT doc_id, lang, n_toks,
+             COALESCE(SUM(n_toks) OVER (PARTITION BY lang ORDER BY ord, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM c)
+    SELECT doc_id, lang, CAST(n_toks AS BIGINT) AS n_toks
+    FROM w WHERE before < 10000
+    """,
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    budget = 10_000  # tokens per language
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.regexp_count("text", F.lit(r"\S+")).alias("n_toks"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.withColumn("before", F.coalesce(F.sum("n_toks").over(w), F.lit(0)))
+        .filter(F.col("before") < budget)
+        .select("doc_id", "lang", F.col("n_toks").cast("long").alias("n_toks"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Perplexity buckets (the CCNet head/middle/tail cut): within each
 # language, documents rank by their LM score and split into three
 # equal-sized buckets — the canonical quality-tier partitioning a
@@ -3885,7 +3933,6 @@ _DRIVER_WINDOW = [
     "q_intersect",
     "q_join_broadcast",
     "q_join_outer_counts",
-    "q_json_extract",
     "q_lang_id_confusion",
     "q_mapfile_get_closest",
     "q_matmul_gram",
@@ -3903,6 +3950,7 @@ _DRIVER_WINDOW = [
     "q_multimodal_decode",
     "q_frame_sample",
     "q_ppl_buckets",
+    "q_token_budget_sample",
     "q_stream_dedup",
     "q_unigram_logprob",
     "q_epoch_shuffle",
