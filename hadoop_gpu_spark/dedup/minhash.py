@@ -62,7 +62,12 @@ def _shingle_hashes(text: Column | str, k: int = SHINGLE_K) -> Column:
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = NUM_HASHES
 ) -> DataFrame:
-    """id + m0..m{n-1} minhash columns (scan-local, no shuffle)."""
+    """id + m0..m{n-1} minhash columns (scan-local, no shuffle).
+
+    Engine-portable expression spec — the form the oracle SQL replicates
+    verbatim. Production consumers use :func:`minhash_signatures_pandas`
+    (bit-identical, parity-tested); this variant stays as the parity
+    anchor and for engines without Arrow."""
     from hadoop_gpu_spark.utils import ensure_min_partitions
 
     df = ensure_min_partitions(df)
@@ -91,9 +96,10 @@ def minhash_signatures_pandas(
     products < 2^62, no overflow in either engine). Pinned by
     tests/test_operators.py::test_minhash_pandas_matches_expression.
 
-    Exists beside the expression variant (not replacing it) so the
-    non-windowed band_hashes consumers keep their driver-green pinned path
-    this round; converge once the window rotates.
+    This is the production signature kernel (every consumer routes through
+    it since round 5); :func:`minhash_signatures` is retained as the
+    engine-portable expression spec that the oracle SQL replicates, pinned
+    to this kernel by the parity test.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
@@ -163,8 +169,12 @@ def lsh_candidate_pairs(
     Implemented as collect_list per bucket + array pair expansion (cheaper
     than a self-join for bounded buckets); buckets above ``max_bucket`` are
     dropped (boilerplate guard — log/count them in production).
+
+    Signatures come from the Arrow-batched numpy kernel
+    (:func:`minhash_signatures_pandas`) — bit-identical to the expression
+    form (parity-tested), ~6x faster on the hot path (BENCH r04).
     """
-    sig = minhash_signatures(df, text_col, id_col, num_hashes)
+    sig = minhash_signatures_pandas(df, text_col, id_col, num_hashes)
     bands = band_hashes(sig, id_col, num_hashes, rows_per_band)
     buckets = bands.groupBy("band", "band_hash").agg(
         F.array_sort(F.collect_list(id_col)).alias("ids")

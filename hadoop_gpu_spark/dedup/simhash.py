@@ -26,6 +26,28 @@ BITS = 60
 CHUNKS = 4
 CHUNK_BITS = BITS // CHUNKS  # 15
 
+# Worker-lifetime token-hash cache (same pattern as winnow._shingle_cache):
+# module globals survive across Arrow batches and tasks within a Python
+# worker, so the md5 per distinct token is paid once per worker, not once
+# per batch. Bounded: reset wholesale if the vocabulary ever exceeds the cap.
+_TOKEN_CACHE_MAX = 1 << 20
+_token_cache: dict[str, int] = {}
+
+
+def _hash_token60(tok: str) -> int:
+    """Portable 60-bit token hash: ('0x'||substr(md5(utf8(t)),1,15))::BIGINT
+    — byte-identical to :func:`_token_hash60` and the oracle SQL."""
+    global _token_cache
+    v = _token_cache.get(tok)
+    if v is None:
+        import hashlib
+
+        v = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+        if len(_token_cache) >= _TOKEN_CACHE_MAX:
+            _token_cache = {}
+        _token_cache[tok] = v
+    return v
+
 
 def _token_hash60(tok: Column) -> Column:
     return F.conv(F.substring(F.md5(F.encode(tok, "UTF-8")), 1, 15), 16, 10).cast("long")
@@ -33,6 +55,10 @@ def _token_hash60(tok: Column) -> Column:
 
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, simhash BIGINT). Explode-free: one pass of array expressions.
+
+    Engine-portable expression spec — the form the oracle SQL replicates.
+    Production consumers use :func:`simhash64_pandas` (bit-identical,
+    parity-tested); this stays as the parity anchor.
 
     Bit j of the result = sign of sum over tokens of (+1 if token-hash bit
     j set else -1). The token array is folded ONCE into a 60-element
@@ -76,9 +102,10 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def simhash64_pandas(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Arrow-batched numpy twin of :func:`simhash64` — identical output:
-    same 60-bit md5-derived token hashes (cached per worker; the token
-    vocabulary is small relative to token count), the per-bit +1/-1
-    accumulation as one (tokens x 60) bitmatrix column-sum per doc.
+    same 60-bit md5-derived token hashes (cached per worker via the
+    module-level ``_token_cache``; the token vocabulary is small relative
+    to token count), the per-bit +1/-1 accumulation as one (tokens x 60)
+    bitmatrix column-sum per doc.
 
     Tokenization matches Java's ``\\s+`` EXACTLY via the explicit ASCII
     class [ \\t\\n\\x0b\\f\\r] (Python's \\s is unicode-aware, Java's is
@@ -102,17 +129,7 @@ def simhash64_pandas(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     @pandas_udf(LongType())
     def _udf(texts: pd.Series) -> pd.Series:
-        import hashlib
-
-        cache: dict[str, int] = {}
-
-        def h60(tok: str) -> int:
-            v = cache.get(tok)
-            if v is None:
-                v = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
-                cache[tok] = v
-            return v
-
+        h60 = _hash_token60
         out = np.empty(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
             toks = [x for x in java_ws.split(t if t is not None else "") if x]
@@ -153,8 +170,12 @@ def simhash_near_dups(
     bucket collect (8 bytes per row), so verification is a pure array
     expression over each bucket — signatures are computed ONCE and there
     is no join-back (the join-back form re-evaluated the whole simhash
-    fold once per join side; caught by plan audit in round 2)."""
-    sig = simhash64(df, text_col, id_col)
+    fold once per join side; caught by plan audit in round 2).
+
+    Fingerprints come from the Arrow-batched numpy kernel
+    (:func:`simhash64_pandas`) — bit-identical to the expression fold
+    (parity-tested), the production path since round 5."""
+    sig = simhash64_pandas(df, text_col, id_col)
     entries = []
     for c in range(CHUNKS):
         val = F.shiftright(F.col("simhash"), c * CHUNK_BITS).bitwiseAND(
