@@ -7,53 +7,141 @@ Reference:
   protocol; here subsumed by the same line protocol (the reference's own
   Pipes defaults all KV to Text — SubmitterToAccels.java:131-135).
 
-Spark restatement: ``rdd.pipe(cmd)`` keeps the exact line-framing contract.
-``pipe_map`` runs the command as the map phase; ``pipe_reduce`` feeds it
-key-grouped sorted lines (post-shuffle), matching a streaming -reducer.
+Spark restatement: a mapInPandas subprocess exchange keeps the exact
+line-framing contract (tab-separated KV in, first-tab split out) while
+staying inside ONE DataFrame plan. ``pipe_map`` runs the command as the
+map phase; ``pipe_reduce`` feeds it key-grouped sorted lines
+(post-shuffle), matching a streaming -reducer.
 
-This is deliberately the ONLY RDD use in the engine — the line protocol is
-inherently row-imperative. Native pipelines should use mapInPandas.
+The earlier ``rdd.pipe`` form crossed a DF→RDD→DF boundary, which sits
+outside Catalyst/AQE: a composed pipeline (pipe_map → agg, or
+map→reduce) recompiled the upstream plan per downstream action and lost
+whole-stage codegen around the exchange. The mapInPandas form is one
+plan — tests/test_plans.py asserts no RDD scan boundary remains.
 """
 
 from __future__ import annotations
 
+import shlex
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
 
 
-def _kv_line_df(rows, spark):
-    schema = StructType([StructField("k", StringType()), StructField("v", StringType())])
-    return spark.createDataFrame(rows, schema)
+def _line_exchange(command: str, line_iter, sep: str):
+    """Per-partition child exchange for the line protocol: feed
+    ``k<TAB>v`` lines (S/PipeMapRed.java:342-355 framing) on the child's
+    stdin from a thread, yield its stdout lines parsed at the first
+    separator. The child is ALWAYS reaped: any exception path (feeder
+    error, consumer abandoning the generator, nonzero exit) kills and
+    waits in the finally."""
+    import subprocess
+    import threading
+
+    proc = subprocess.Popen(
+        shlex.split(command), stdin=subprocess.PIPE, stdout=subprocess.PIPE
+    )
+    try:
+
+        def feed():
+            try:
+                for line in line_iter:
+                    proc.stdin.write(line.encode("utf-8"))
+                    proc.stdin.write(b"\n")
+                proc.stdin.close()
+            except BrokenPipeError:  # child exited early; surfaced via rc
+                pass
+
+        t = threading.Thread(target=feed, daemon=True)
+        t.start()
+        sep_b = sep
+        for raw in proc.stdout:
+            line = raw.decode("utf-8").rstrip("\n")
+            yield tuple(line.split(sep_b, 1)) if sep_b in line else (line, None)
+        t.join()
+        rc = proc.wait()
+        if rc != 0:
+            raise RuntimeError(f"pipe child exited {rc}")
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+
+
+def _kv_batches(pairs, batch_size: int = 10_000):
+    """Pack (k, v) tuples into pandas frames for mapInPandas output."""
+    import pandas as _pd
+
+    ks, vs = [], []
+    for k, v in pairs:
+        ks.append(k)
+        vs.append(v)
+        if len(ks) >= batch_size:
+            yield _pd.DataFrame({"k": ks, "v": vs})
+            ks, vs = [], []
+    if ks:
+        yield _pd.DataFrame({"k": ks, "v": vs})
 
 
 def pipe_map(df: DataFrame, command: str, sep: str = "\t") -> DataFrame:
     """Streaming mapper: each row → one ``k<TAB>v`` line on the child's
     stdin; each stdout line parsed back to (k, v) at the first separator
-    (S/PipeMapRed.java:342-355 framing)."""
-    spark = df.sparkSession
+    (S/PipeMapRed.java:342-355 framing). One subprocess per partition,
+    inside the DataFrame plan (mapInPandas, no RDD boundary)."""
     cols = df.columns
-
-    lines = df.select(
+    lines_df = df.select(
         F.concat_ws(sep, *[F.col(c).cast("string") for c in cols]).alias("line")
-    ).rdd.map(lambda r: r["line"])
-    out = lines.pipe(command).map(lambda l: tuple(l.split(sep, 1)) if sep in l else (l, None))
-    return _kv_line_df(out, spark)
+    )
+
+    def run_partition(batches):
+        batches = iter(batches)
+        first = next(batches, None)
+        if first is None:  # empty partition: don't spawn a child
+            return
+
+        def gen_lines():
+            for pdf in _chain_first(first, batches):
+                yield from pdf["line"]
+
+        yield from _kv_batches(_line_exchange(command, gen_lines(), sep))
+
+    return lines_df.mapInPandas(run_partition, "k string, v string")
 
 
 def pipe_reduce(
     kv: DataFrame, command: str, sep: str = "\t", num_partitions: int | None = None
 ) -> DataFrame:
     """Streaming reducer: shuffle on k, sort within partitions, stream
-    ``k<TAB>v`` lines (key-contiguous) through the command."""
+    ``k<TAB>v`` lines (key-contiguous — the -reducer grouping contract)
+    through the command. mapInPandas preserves partition order, so the
+    sortWithinPartitions grouping survives the Arrow batch boundaries."""
     spark = kv.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     arranged = kv.repartition(n, "k").sortWithinPartitions("k", "v")
-    lines = arranged.select(
-        F.concat_ws(sep, F.col("k").cast("string"), F.col("v").cast("string")).alias("line")
-    ).rdd.map(lambda r: r["line"])
-    out = lines.pipe(command).map(lambda l: tuple(l.split(sep, 1)) if sep in l else (l, None))
-    return _kv_line_df(out, spark)
+    lines_df = arranged.select(
+        F.concat_ws(sep, F.col("k").cast("string"), F.col("v").cast("string")).alias(
+            "line"
+        )
+    )
+
+    def run_partition(batches):
+        batches = iter(batches)
+        first = next(batches, None)
+        if first is None:
+            return
+
+        def gen_lines():
+            for pdf in _chain_first(first, batches):
+                yield from pdf["line"]
+
+        yield from _kv_batches(_line_exchange(command, gen_lines(), sep))
+
+    return lines_df.mapInPandas(run_partition, "k string, v string")
+
+
+def _chain_first(first, rest):
+    yield first
+    yield from rest
 
 
 # --- Binary protocol (M/pipes/BinaryProtocol.java) -------------------------
@@ -170,7 +258,9 @@ def _read_text(stream) -> bytes:
 class DictSumParam:
     """AccumulatorParam merging {name: long} counter dicts — the engine
     side of the Pipes counter surface (REGISTER_COUNTER/INCREMENT_COUNTER,
-    BinaryProtocol.java:129-137)."""
+    BinaryProtocol.java:129-137). Plain summing merge: at-least-once under
+    task retries. Production path is :class:`PipesCounters`, which
+    namespaces by (stage, partition) for exactly-once."""
 
     def zero(self, value):
         return dict(value) if value else {}
@@ -181,9 +271,57 @@ class DictSumParam:
         return a
 
 
-def pipes_counters(spark):
-    """A dict accumulator suitable for ``pipe_binary(counters=...)``."""
-    return spark.sparkContext.accumulator({}, DictSumParam())
+class _PerTaskReplaceParam:
+    """AccumulatorParam over {(stage_id, partition_id): {name: long}} that
+    REPLACES a task's entry on merge — re-executions of the same task
+    (speculative duplicates, stage retries after fetch failure) overwrite
+    their own previous contribution instead of double-counting."""
+
+    def zero(self, value):
+        return dict(value) if value else {}
+
+    def addInPlace(self, a, b):
+        a.update(b)
+        return a
+
+
+class PipesCounters:
+    """Job-wide Pipes counters with exactly-once totals per stage
+    execution.
+
+    Spark only guarantees exactly-once accumulator updates inside
+    actions; updates from transformations (this exchange runs inside
+    mapInPandas) are at-least-once under retries. This wrapper restores
+    exactness for the retry/speculation case by keying each update on
+    (stageId, partitionId) and merging replace-wise — a re-run task
+    overwrites its own prior update. Counters still re-count if the SAME
+    plan is re-executed by a second action (new stage id) — cache the
+    frame between actions if that matters, as with any engine counter.
+    """
+
+    def __init__(self, acc):
+        self._acc = acc
+
+    def add(self, counter_dict: dict) -> None:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        key = (tc.stageId(), tc.partitionId()) if tc is not None else (-1, -1)
+        self._acc.add({key: dict(counter_dict)})
+
+    @property
+    def value(self) -> dict:
+        out: dict[str, int] = {}
+        for per_task in self._acc.value.values():
+            for k, v in per_task.items():
+                out[k] = out.get(k, 0) + v
+        return out
+
+
+def pipes_counters(spark) -> PipesCounters:
+    """Exactly-once counters for ``pipe_binary(counters=...)`` — see
+    :class:`PipesCounters`."""
+    return PipesCounters(spark.sparkContext.accumulator({}, _PerTaskReplaceParam()))
 
 
 def pipe_binary(
@@ -371,24 +509,57 @@ def _pipes_exchange(
     import subprocess
     import threading
 
-    srv = conn = None
-    if transport == "socket":
-        import socket as _socket
+    # Every resource is released on EVERY path (malformed uplink frame,
+    # accept timeout, consumer abandoning the generator): the child is
+    # killed+reaped and the sockets closed in the finally — only the happy
+    # path reaches the graceful proc.wait() first.
+    srv = conn = proc = None
+    try:
+        if transport == "socket":
+            import socket as _socket
 
-        srv = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
-        srv.bind(("127.0.0.1", 0))
-        srv.listen(1)
-        srv.settimeout(30)
-        env = dict(os.environ)
-        env["hadoop.pipes.command.port"] = str(srv.getsockname()[1])
-        proc = subprocess.Popen(command, env=env)
-        conn, _ = srv.accept()
-        child_in = conn.makefile("wb")
-        child_out = conn.makefile("rb")
-    else:
-        proc = subprocess.Popen(command, stdin=subprocess.PIPE, stdout=subprocess.PIPE)
-        child_in = proc.stdin
-        child_out = proc.stdout
+            srv = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
+            srv.bind(("127.0.0.1", 0))
+            srv.listen(1)
+            srv.settimeout(30)
+            env = dict(os.environ)
+            env["hadoop.pipes.command.port"] = str(srv.getsockname()[1])
+            proc = subprocess.Popen(command, env=env)
+            conn, _ = srv.accept()
+            child_in = conn.makefile("wb")
+            child_out = conn.makefile("rb")
+        else:
+            proc = subprocess.Popen(
+                command, stdin=subprocess.PIPE, stdout=subprocess.PIPE
+            )
+            child_in = proc.stdin
+            child_out = proc.stdout
+
+        yield from _exchange_loop(
+            child_in, child_out, conf_items, input_types, feed_body, counters
+        )
+        rc = proc.wait()
+        if rc != 0:
+            raise RuntimeError(f"pipes child exited {rc}")
+    finally:
+        if conn is not None:
+            try:
+                conn.close()
+            except OSError:
+                pass
+        if srv is not None:
+            try:
+                srv.close()
+            except OSError:
+                pass
+        if proc is not None and proc.poll() is None:
+            proc.kill()
+            proc.wait()
+
+
+def _exchange_loop(child_in, child_out, conf_items, input_types, feed_body, counters):
+    import struct
+    import threading
 
     def feed():
         try:
@@ -448,10 +619,3 @@ def _pipes_exchange(
     if counters is not None and local_counters:
         counters.add(local_counters)
     t.join()
-    if conn is not None:
-        child_out.close()
-        conn.close()
-        srv.close()
-    rc = proc.wait()
-    if rc != 0:
-        raise RuntimeError(f"pipes child exited {rc}")

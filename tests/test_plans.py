@@ -275,3 +275,28 @@ def test_fingerprints_independent_of_import_order():
     import hadoop_gpu_spark.multimodal.png  # noqa: F401
 
     assert query_fingerprint("q_multimodal_decode") == fp1
+
+
+def test_pipe_pipeline_has_no_rdd_boundary(spark, sf_dir):
+    # The Streaming line-protocol legs (pipe_map/pipe_reduce) must stay
+    # inside ONE DataFrame plan. The old rdd.pipe form compiled to a
+    # `Scan ExistingRDD` leaf, which sat outside Catalyst/AQE: a composed
+    # pipeline re-executed the upstream map leg once per downstream plan
+    # compile. mapInPandas keeps the exchange a plan node over the
+    # parquet scan instead of a plan-opaque RDD leaf.
+    from hadoop_gpu_spark.queries import QUERIES
+
+    composed = QUERIES["q_pipe_lang_counts"](spark, sf_dir)
+    plan = composed._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+    # the full map -> shuffle -> reduce composition too
+    from hadoop_gpu_spark.operators.pipes import pipe_map, pipe_reduce
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        F.col("lang").alias("k"), F.lit("1").alias("v")
+    )
+    two_leg = pipe_reduce(pipe_map(docs, "cat"), "cat", num_partitions=4)
+    plan2 = two_leg._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan2, plan2
