@@ -2217,16 +2217,27 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose value exceeds a fraction of the global
     total — scalar-subquery threshold. The per-part sums stay decimal
     (exact and associative), so the global total is re-aggregated from the
-    persisted per-part frame rather than a second pass over the fact table
-    — one lineitem scan instead of two, and the persisted intermediate is
-    only |parts| rows. Re-summing *doubles* would be order-dependent; the
+    materialized per-part frame rather than a second pass over the fact
+    table — one lineitem scan instead of two, and the intermediate is only
+    |parts| rows. Re-summing *doubles* would be order-dependent; the
     decimal re-sum is bit-identical to DuckDB's direct total. The one-row
-    total is broadcast so the threshold filter runs map-side."""
+    total is broadcast so the threshold filter runs map-side.
+
+    The intermediate outlives this function (the returned plan reads it
+    twice), so it is an EAGER localCheckpoint, not a bare .persist(): the
+    lineage is cut, both consumers read the materialized blocks, and
+    nothing dangles un-unpersisted (the r03 leak pattern — a .persist()
+    with no paired cleanup is now banned module-wide by
+    tests/test_plans.py::test_persist_always_paired_with_cleanup)."""
     li = T(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
         F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
     )
-    pv_dec = li.groupBy("l_partkey").agg(F.sum(revenue).alias("rev_dec")).persist()
+    pv_dec = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(revenue).alias("rev_dec"))
+        .localCheckpoint(eager=True)
+    )
     tot = pv_dec.agg(F.sum("rev_dec").cast("double").alias("total_value"))
     return (
         pv_dec.select("l_partkey", F.col("rev_dec").cast("double").alias("part_value"))

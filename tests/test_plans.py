@@ -300,3 +300,32 @@ def test_pipe_pipeline_has_no_rdd_boundary(spark, sf_dir):
     two_leg = pipe_reduce(pipe_map(docs, "cat"), "cat", num_partitions=4)
     plan2 = two_leg._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" not in plan2, plan2
+
+
+def test_persist_always_paired_with_cleanup():
+    # The r03 leak pattern, banned mechanically: any module that calls
+    # .persist( must also call .unpersist( (try/finally scoped), and
+    # gate-query code (queries.py) may not hold a bare persist at all —
+    # an intermediate that must outlive its function uses an eager
+    # localCheckpoint instead (lineage cut, blocks reclaimed on GC,
+    # nothing for a caller to forget).
+    import ast
+    import pathlib
+
+    def calls(src, name):
+        return sum(
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == name
+            for node in ast.walk(ast.parse(src))
+        )
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "hadoop_gpu_spark"
+    for py in sorted(pkg.rglob("*.py")):
+        src = py.read_text()
+        n_persist = calls(src, "persist")
+        n_unpersist = calls(src, "unpersist")
+        if py.name == "queries.py":
+            assert n_persist == 0, f"{py.name}: bare .persist() in gate-query code"
+        elif n_persist:
+            assert n_unpersist > 0, f"{py.name}: .persist() without .unpersist()"
