@@ -1526,13 +1526,15 @@ _IVF_COS_SQL = (
     """,
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hadoop_gpu_spark.similarity.ann import assign_to_centroids, ivf_topk
+    from hadoop_gpu_spark.similarity.ann import assign_to_centroids_pandas, ivf_topk
 
     emb = T(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding")
     )
-    assigned = assign_to_centroids(emb, centroids, "embedding", "vec_id")
+    # vectorized assignment kernel, bit-identical to the expression form
+    # (parity-pinned) — same oracle
+    assigned = assign_to_centroids_pandas(emb, centroids, "embedding", "vec_id")
     queries_df = emb.filter(F.col("vec_id") < 8)
     out = ivf_topk(assigned, centroids, queries_df, "embedding", "vec_id", k=5, nprobe=2)
     return out.select(

@@ -92,6 +92,57 @@ def assign_to_centroids(
     return with_c.withColumn("centroid_id", nearest).drop("__cents")
 
 
+def assign_to_centroids_pandas(
+    corpus: DataFrame, centroids: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """Arrow-batched numpy twin of :func:`assign_to_centroids` — identical
+    output (every corpus column + ``centroid_id``), bit-identical
+    assignments, and the production path since round 5 (the interpreted
+    per-element HOF fold was the last per-row hot spot in the IVF build).
+
+    Exactness argument (the license for sharing the expression oracle):
+    the distance accumulates SEQUENTIALLY over dimensions —
+    ``acc += (x_d - c_d)^2`` one dimension at a time, vectorized across
+    the batch — which is the exact left-fold order of ``euclidean_sq``'s
+    ``F.aggregate``, each step a single IEEE double op in both engines.
+    Ties resolve to the first (= lowest, sorted) centroid_id, matching
+    the (d, cid) struct-min. Pinned by
+    tests/test_ml.py::test_assign_pandas_matches_expression.
+
+    Centroids are collected to the driver (IVF coarse lists are small by
+    construction — same metadata-sized role as k-means centroids) and
+    closed over by the UDF, i.e. broadcast with the serialized task.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    from hadoop_gpu_spark.utils import ensure_min_partitions
+
+    rows = sorted(
+        centroids.select("centroid_id", vec_col).collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    cid = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
+    C = np.array([[float(x) for x in r[vec_col]] for r in rows], dtype=np.float64)
+
+    @pandas_udf(LongType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        n = len(vecs)
+        if n == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        X = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        acc = np.zeros((n, C.shape[0]))
+        for d in range(C.shape[1]):
+            diff = X[:, d : d + 1] - C[:, d][None, :]
+            acc += diff * diff
+        return pd.Series(cid[np.argmin(acc, axis=1)])
+
+    return ensure_min_partitions(corpus).withColumn(
+        "centroid_id", _assign(F.col(vec_col))
+    )
+
+
 def ivf_topk(
     corpus_assigned: DataFrame,
     centroids: DataFrame,

@@ -195,3 +195,34 @@ def test_lloyd_cupy_logic_equals_numpy_via_shim():
             del sys.modules["cupy"]
         else:
             sys.modules["cupy"] = old
+
+
+def test_assign_pandas_matches_expression(spark, sf_dir):
+    # The vectorized IVF assignment must be bit-identical to the
+    # expression variant on every embedding — the license for switching
+    # q_ann_ivf to the fast kernel under the same oracle. Ties and float
+    # order are the risk: the kernel accumulates distances sequentially
+    # per dimension to replicate the F.aggregate left-fold exactly.
+    from pyspark.sql import functions as F2
+
+    from hadoop_gpu_spark.similarity.ann import (
+        assign_to_centroids,
+        assign_to_centroids_pandas,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = emb.filter(F2.col("vec_id") < 16).select(
+        F2.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    expr = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_to_centroids(emb, centroids, "embedding", "vec_id").collect()
+    }
+    fast = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_to_centroids_pandas(
+            emb, centroids, "embedding", "vec_id"
+        ).collect()
+    }
+    assert expr == fast
+    assert len(expr) > 100
