@@ -212,11 +212,19 @@ def encode_gif(
 
 def decode_gif(data: bytes) -> list[tuple[int, np.ndarray]]:
     """Decode to [(delay_ms, rgb_frame (h, w, 3) uint8), ...] — each frame
-    is the full composited canvas at that point of the animation."""
+    is the full composited canvas at that point of the animation.
+
+    Honors the Graphic Control Extension disposal method (GIF89a spec
+    §23): 0/1 leave the canvas, 2 restores the frame's region to the
+    background color from the logical screen descriptor (no alpha channel
+    here, so "background" is that literal color — black when there is no
+    global table), 3 restores the pre-frame canvas. Reserved methods 4-7
+    are treated as "do not dispose" like mainstream decoders."""
     if data[:6] not in (b"GIF89a", b"GIF87a"):
         raise ValueError("not a GIF")
     w, h = struct.unpack("<HH", data[6:10])
     packed = data[10]
+    bg_index = data[11]
     pos = 13
     global_table = None
     if packed & 0x80:
@@ -227,6 +235,7 @@ def decode_gif(data: bytes) -> list[tuple[int, np.ndarray]]:
     frames: list[tuple[int, np.ndarray]] = []
     delay_ms = 0
     transparent: int | None = None
+    disposal = 0
     while True:
         block = data[pos]
         pos += 1
@@ -238,6 +247,7 @@ def decode_gif(data: bytes) -> list[tuple[int, np.ndarray]]:
             payload, pos = _read_sub_blocks(data, pos)
             if label == 0xF9 and len(payload) >= 4:
                 flags = payload[0]
+                disposal = (flags >> 2) & 0x07
                 delay_ms = struct.unpack("<H", payload[1:3])[0] * 10
                 transparent = payload[3] if flags & 0x01 else None
             continue
@@ -270,6 +280,7 @@ def decode_gif(data: bytes) -> list[tuple[int, np.ndarray]]:
             de = np.empty_like(idx)
             de[order] = idx
             idx = de
+        prev_canvas = canvas.copy() if disposal == 3 else None
         region = canvas[top : top + fh, left : left + fw]
         rgb = table[idx]
         if transparent is not None:
@@ -278,5 +289,15 @@ def decode_gif(data: bytes) -> list[tuple[int, np.ndarray]]:
         else:
             region[:] = rgb
         frames.append((delay_ms, canvas.copy()))
+        if disposal == 2:  # restore frame region to the background color
+            bg = (
+                global_table[bg_index]
+                if global_table is not None and bg_index < len(global_table)
+                else np.zeros(3, dtype=np.uint8)
+            )
+            canvas[top : top + fh, left : left + fw] = bg
+        elif disposal == 3 and prev_canvas is not None:  # restore previous
+            canvas = prev_canvas
         delay_ms = 0
         transparent = None
+        disposal = 0

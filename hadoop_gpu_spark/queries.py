@@ -3671,6 +3671,12 @@ def q_pipes_native_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 # result equals batch COUNT(DISTINCT props) per type — that equivalence
 # is the oracle.
 #
+# Key construction (r04 ADVICE): concat of the two fields' md5s — fixed
+# width, so no separator ambiguity if a field ever contains the separator
+# character; NULL props rows are filtered BEFORE keying because the
+# oracle's COUNT(DISTINCT props) ignores NULLs (a raw concat_ws key would
+# silently drop the NULL and count the row once per type instead).
+#
 # 100 TB shape: state is one hash per distinct (type, payload) inside the
 # watermark horizon — bounded; historical cross-horizon dupes belong to
 # the batch near_dedup pipeline, same division of labor as production
@@ -3688,8 +3694,16 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hadoop_gpu_spark.streaming import drain_to_memory, events_stream, exact_dedup_stream
 
-    keyed = events_stream(spark, sf_dir).withColumn(
-        "__dk", F.concat_ws("|", F.col("event_type"), F.col("props"))
+    keyed = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("props").isNotNull())
+        .withColumn(
+            "__dk",
+            F.concat(
+                F.md5(F.encode(F.coalesce(F.col("event_type"), F.lit("\x00")), "UTF-8")),
+                F.md5(F.encode(F.col("props"), "UTF-8")),
+            ),
+        )
     )
     dedup = exact_dedup_stream(keyed, text_col="__dk", watermark="90 days")
     drained = drain_to_memory(dedup, f"q_stream_dedup_sink_{uuid.uuid4().hex[:8]}", mode="append")

@@ -329,3 +329,55 @@ def test_gif_interlaced_decode():
     frames = decode_gif(bytes(out))
     assert len(frames) == 1
     assert (frames[0][1] == palette[img]).all()
+
+
+def test_gif_disposal_methods():
+    # GIF89a disposal (spec §23) on externally-encoded partial frames —
+    # the r04 ADVICE gap: disposal 2 must restore the frame's region to
+    # the background color before the next frame, disposal 3 must restore
+    # the pre-frame canvas. Hand-assembled 4x4 GIF: full red frame with a
+    # disposal directive, then a 2x2 green frame at (1,1).
+    import struct
+
+    import numpy as np
+
+    from hadoop_gpu_spark.multimodal.gif import _sub_blocks, decode_gif, lzw_encode
+
+    def build(disposal_frame1):
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HH", 4, 4)
+        out.append(0x80 | 0x01)  # global table, 4 entries (2-bit)
+        out += bytes([3, 0])  # bg index 3, aspect
+        # palette: 0=red 1=green 2=blue 3=white (background)
+        out += bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+        # frame 1: full 4x4 of index 0 (red), GCE with the disposal bits
+        out += bytes([0x21, 0xF9, 0x04, (disposal_frame1 << 2), 0x01, 0x00, 0x00, 0x00])
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 4) + b"\x00"
+        out.append(2)  # min code size
+        out += _sub_blocks(lzw_encode(bytes(16), 2))
+        # frame 2: 2x2 of index 1 (green) at (1,1), no disposal
+        out += bytes([0x21, 0xF9, 0x04, 0x00, 0x01, 0x00, 0x00, 0x00])
+        out += b"\x2c" + struct.pack("<HHHH", 1, 1, 2, 2) + b"\x00"
+        out.append(2)
+        out += _sub_blocks(lzw_encode(bytes([1, 1, 1, 1]), 2))
+        out.append(0x3B)
+        return bytes(out)
+
+    red, green = [255, 0, 0], [0, 255, 0]
+    white, black = [255, 255, 255], [0, 0, 0]
+
+    # disposal 1 (do not dispose): frame 2 = green patch over red
+    frames = decode_gif(build(1))
+    assert len(frames) == 2
+    f2 = frames[1][1]
+    assert f2[0, 0].tolist() == red and f2[1, 1].tolist() == green
+
+    # disposal 2 (restore to background): frame 2 = green patch over bg white
+    f2 = decode_gif(build(2))[1][1]
+    assert f2[0, 0].tolist() == white and f2[1, 1].tolist() == green
+    assert f2[3, 3].tolist() == white
+
+    # disposal 3 (restore previous): frame 2 = green patch over the
+    # pre-frame-1 canvas (zeros)
+    f2 = decode_gif(build(3))[1][1]
+    assert f2[0, 0].tolist() == black and f2[1, 1].tolist() == green
