@@ -203,3 +203,83 @@ def test_run_hybrid_auto_gpu_routing_with_shim(spark, monkeypatch):
     assert sorted(r["x"] for r in out) == list(range(100))
     paths = {r["path"] for r in out}
     assert paths == {"cpu", "gpu"}, paths
+
+
+def test_measured_routing_follows_reference_scan(spark, monkeypatch):
+    # End-to-end MEASURED adaptive routing under the cupy shim (r04
+    # VERDICT #8): both paths carry controlled per-batch costs, the op's
+    # accumulators measure them, and the realized partition split of
+    # run_hybrid must equal makespan_split(total, n_cpu, n_gpu, measured
+    # alpha) — the reference's min-makespan scan
+    # (JobQueueTaskScheduler.java:177-193) driven by real measurements,
+    # not a hand-fed alpha. Deterministic: sleeps dominate jitter by 10x,
+    # and the expected split is computed from the SAME measured alpha
+    # run_hybrid consumes, so the assertion is exact regardless of the
+    # precise alpha value.
+    import time as _time
+
+    import hadoop_gpu_spark.hybrid as hybrid
+    from hadoop_gpu_spark.hybrid import HybridOp, makespan_split, run_hybrid
+
+    from pyspark.sql import functions as F2
+
+    def make_fn(tag, cost_s):
+        def fn(batches):
+            for pdf in batches:
+                if len(pdf):
+                    _time.sleep(cost_s)
+                pdf = pdf.copy()
+                pdf["path"] = tag
+                yield pdf[["x", "opid", "path"]]
+
+        return fn
+
+    monkeypatch.setattr(hybrid, "GPU_AVAILABLE", True)
+
+    def routed(cpu_cost, gpu_cost):
+        op = HybridOp(
+            "timed",
+            make_fn("cpu", cpu_cost),
+            "x long, opid int, path string",
+            gpu_fn=make_fn("gpu", gpu_cost),
+        )
+        # capture each row's physical partition id as DATA so the routing
+        # decision is observable per-partition downstream (run_hybrid
+        # splits on spark_partition_id, the unit of the reference's scan)
+        df = (
+            spark.range(104)
+            .selectExpr("id AS x")
+            .repartition(8)
+            .withColumn("opid", F2.spark_partition_id())
+        )
+        # warm-up attempts on both paths -> measured alpha (the
+        # scheduler's meanCpuMapTime/meanGpuMapTime)
+        op.apply(df, force_path="cpu").collect()
+        op.apply(df, force_path="gpu").collect()
+        alpha = op.alpha
+        assert alpha > 0
+        x_exp, y_exp = makespan_split(8, 4, 1, alpha)
+        rows = run_hybrid(op, df, n_cpu_slots=4, n_gpu_slots=1).collect()
+        assert len(rows) == 104 and sorted(r["x"] for r in rows) == list(range(104))
+        by_path = {"cpu": set(), "gpu": set()}
+        for r in rows:
+            by_path[r["path"]].add(r["opid"])
+        # the realized split must be EXACTLY the scan's: partitions
+        # pid % 8 < x_exp on CPU, the rest on GPU
+        assert by_path["cpu"] == {p for p in range(8) if p < x_exp}, (
+            alpha,
+            (x_exp, y_exp),
+            by_path,
+        )
+        assert by_path["gpu"] == {p for p in range(8) if p >= x_exp}
+        return alpha, by_path
+
+    # GPU 5x faster: measured alpha ~5 -> the scan must push most (or
+    # all) partitions to the GPU side
+    a_fast, fast = routed(cpu_cost=0.05, gpu_cost=0.01)
+    assert a_fast > 2, a_fast
+    # mirror skew, GPU 5x slower: alpha < 1 -> CPU keeps (almost) all
+    a_slow, slow = routed(cpu_cost=0.01, gpu_cost=0.05)
+    assert a_slow < 1, a_slow
+    assert len(slow["cpu"]) > len(fast["cpu"])
+    assert len(fast["gpu"]) > len(slow["gpu"])
