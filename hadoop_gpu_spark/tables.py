@@ -61,6 +61,28 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+# Schema cache keyed on (path, mtime_ns, size): schema inference via
+# spark.read.parquet runs a footer-probe JOB per call, ~0.1-0.2s of
+# driver/JVM round-trip that every query construction paid on every T()
+# (measured: the q_dedup_simhash gate was 0.24s slower than its kernel
+# purely from per-pass loads — the r04 bench-vs-commit discrepancy).
+# With the schema supplied explicitly the read is listing-only. The mtime
+# key keeps it epoch-safe: a regenerated file misses the cache. This also
+# mirrors production shape — a real deployment reads schemas from a
+# catalog, not by re-probing footers per query.
+_schema_cache: dict[tuple, object] = {}
+
+
+def _table_schema(spark: SparkSession, path: str):
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    sch = _schema_cache.get(key)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _schema_cache[key] = sch
+    return sch
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
@@ -73,7 +95,8 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         # driver's) fails with PARQUET_TYPE_ILLEGAL on those. Harmless when
         # the file is timestamp[us]. Set here so the loader is self-sufficient.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.schema(_table_schema(spark, path)).parquet(path)
     if name == "events":
         df = normalize_event_ts(df)
     return df
