@@ -6,14 +6,16 @@ metadata struct; all decode/feature work runs as Arrow-batched Pandas UDFs
 via mapInPandas, sized by ``spark.sql.execution.arrow.maxRecordsPerBatch``
 so a batch of frames fits executor memory.
 
-Decode kernels: PNG decodes FOR REAL via the pure-stdlib codec in
-:mod:`hadoop_gpu_spark.multimodal.png` (struct + zlib — 8-bit gray/RGB/
-RGBA, all five scanline filters). Other formats (JPEG, audio, video) have
-no dependency-free codec in this container: ``decode_image`` raises
-NotImplementedError on non-PNG bytes unless ``fake=True``, in which case a
-deterministic fake decoder (md5-seeded dimensions/pixels) exercises the
-full Spark-side plumbing — schema, partitioning, UDF signature, batch
-shape — which is production-real either way.
+Decode kernels — all pure stdlib + numpy, no external libraries:
+PNG (:mod:`.png` — struct + zlib, 8-bit gray/RGB/RGBA, all five scanline
+filters), GIF (:mod:`.gif` — LZW, interlace, disposal methods), baseline
+JPEG (:mod:`.jpeg` — SOF0 4:4:4/grayscale, Annex K tables, restart
+markers), and RIFF/WAVE PCM via the stdlib ``wave`` module. Formats
+beyond those (WebP/AVIF, MP3/FLAC, MP4) raise NotImplementedError unless
+``fake=True``, in which case a deterministic fake decoder (md5-seeded
+dimensions/pixels) exercises the full Spark-side plumbing — schema,
+partitioning, UDF signature, batch shape — which is production-real
+either way.
 """
 
 from __future__ import annotations
@@ -76,12 +78,16 @@ def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
                     from hadoop_gpu_spark.multimodal.gif import decode_gif
 
                     px = decode_gif(data)[0][1]  # still = first frame RGB
+                elif data[:2] == b"\xff\xd8":
+                    from hadoop_gpu_spark.multimodal.jpeg import decode_jpeg
+
+                    px = decode_jpeg(data)
                 else:
                     raise NotImplementedError(
-                        "no in-engine codec for this image format (PNG and GIF "
-                        "are decoded natively; JPEG/WebP need external "
-                        "libraries absent from this environment) — or pass "
-                        "fake=True"
+                        "no in-engine codec for this image format (PNG, GIF "
+                        "and baseline JPEG are decoded natively; WebP/AVIF "
+                        "need external libraries absent from this "
+                        "environment) — or pass fake=True"
                     )
                 rows.append(
                     (

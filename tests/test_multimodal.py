@@ -381,3 +381,89 @@ def test_gif_disposal_methods():
     # pre-frame-1 canvas (zeros)
     f2 = decode_gif(build(3))[1][1]
     assert f2[0, 0].tolist() == black and f2[1, 1].tolist() == green
+
+
+def test_jpeg_round_trip_and_subset_gates():
+    # Baseline JPEG codec (multimodal.jpeg): encode->decode must be exact
+    # for flat blocks (quantization error zero when all AC=0 and DC is a
+    # multiple of the quantizer step... flat 8x8s quantize losslessly at
+    # any quality because only DC is nonzero and rounding is centered),
+    # near-exact for smooth gradients, and the declared subset must be
+    # ENFORCED (progressive/subsampled inputs raise, not mis-decode).
+    import numpy as np
+    import pytest as _pytest
+
+    from hadoop_gpu_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    def psnr(a, b):
+        mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+        return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+    # flat color: exact
+    img = np.full((16, 24, 3), [200, 64, 32], dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(img, 90)), img)
+
+    # gradient (non-multiple-of-8 dims exercise edge padding)
+    y, x = np.mgrid[0:41, 0:55]
+    grad = np.stack([(x * 4) % 256, (y * 5) % 256, ((x + y) * 3) % 256], axis=-1).astype(
+        np.uint8
+    )
+    assert psnr(grad, decode_jpeg(encode_jpeg(grad, 90))) > 38
+
+    # deterministic noise at high quality
+    rng = np.random.default_rng(42)
+    noise = rng.integers(0, 256, size=(33, 47, 3), dtype=np.uint8)
+    assert psnr(noise, decode_jpeg(encode_jpeg(noise, 95))) > 32
+
+    # grayscale: exact for flat, contract shape (h, w, 3)
+    g = np.full((24, 32), 77, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(g, 90))
+    assert out.shape == (24, 32, 3) and np.array_equal(out[..., 0], g)
+
+    # restart markers: bit-identical to the plain scan at every interval
+    plain = decode_jpeg(encode_jpeg(grad, 90))
+    for ri in (1, 3, 7):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(grad, 90, restart_interval=ri)), plain
+        )
+
+    # subset enforcement: a progressive SOF2 must raise, not mis-decode
+    blob = bytearray(encode_jpeg(img, 90))
+    sof = bytes(blob).find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(blob))
+    # subsampled chroma (sampling factor 0x22 on component 1) must raise
+    blob2 = bytearray(encode_jpeg(img, 90))
+    sof = bytes(blob2).find(b"\xff\xc0")
+    blob2[sof + 2 + 9] = 0x22  # first component's HiVi byte
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(blob2))
+
+
+def test_decode_image_dispatches_jpeg(spark):
+    # JPEG bytes through the production mapInPandas decode path, beside
+    # PNG/GIF — mean_pixel within quantization distance of the source.
+    import numpy as np
+    from pyspark.sql import functions as F2
+
+    from hadoop_gpu_spark.multimodal import decode_image
+    from hadoop_gpu_spark.multimodal.jpeg import encode_jpeg
+
+    imgs = {
+        1: np.full((8, 8, 3), 100, dtype=np.uint8),
+        2: np.full((16, 8, 3), [10, 200, 30], dtype=np.uint8),
+    }
+    rows = [
+        (mid, "image", bytearray(encode_jpeg(px, 90)), px.shape[1], px.shape[0], 0)
+        for mid, px in imgs.items()
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, data binary, meta_width int, meta_height int, meta_ms int",
+    )
+    got = {r["media_id"]: r for r in decode_image(media).collect()}
+    for mid, px in imgs.items():
+        r = got[mid]
+        assert (r["width"], r["height"]) == (px.shape[1], px.shape[0])
+        assert abs(r["mean_pixel"] - float(px.mean())) < 2.0
