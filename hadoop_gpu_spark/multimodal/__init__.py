@@ -46,6 +46,52 @@ def attach_fake_media(df: DataFrame, id_col: str, payload_col: str) -> DataFrame
     )
 
 
+def attach_flat_media(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL-bytes media corpus with an SQL-predictable decode.
+
+    Per row: a flat-color image whose color (md5 bytes 0-2), width/height
+    (bytes 3-4 → 8..24 px), and codec (byte 5 % 3: PNG / GIF / JPEG) all
+    derive from md5(payload). PNG and GIF are lossless and JPEG decodes
+    flat blocks EXACTLY at quality 100 (quant steps clip to 1; verified
+    over the corpus and 4000 fuzz colors), so a SQL oracle can predict
+    the decoded width/height/mean_pixel of every image — which makes the
+    full encode→decode round trip of all three in-engine codecs a
+    driver-checkable gate, not just a unit test.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hadoop_gpu_spark.multimodal import gif as gif_codec
+        from hadoop_gpu_spark.multimodal import jpeg as jpeg_codec
+        from hadoop_gpu_spark.multimodal import png as png_codec
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                h = hashlib.md5(str(payload).encode("utf-8")).digest()
+                rgb = (h[0], h[1], h[2])
+                w = h[3] % 17 + 8
+                ht = h[4] % 17 + 8
+                img = np.full((ht, w, 3), rgb, dtype=np.uint8)
+                c = h[5] % 3
+                if c == 0:
+                    data = png_codec.encode_png(img)
+                elif c == 1:
+                    data = gif_codec.encode_gif(
+                        [np.zeros((ht, w), dtype=np.uint8)],
+                        np.array([rgb], dtype=np.uint8),
+                        [10],
+                    )
+                else:
+                    data = jpeg_codec.encode_jpeg(img, quality=100)
+                rows.append((int(mid), "image", data, w, ht, 0))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "data", "meta_width", "meta_height", "meta_ms"],
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(run, MEDIA_SCHEMA)
+
+
 def _fake_decode(data: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic fake pixel decoder: md5-seeded uint8 grid."""
     seed = int.from_bytes(hashlib.md5(data).digest()[:8], "big")

@@ -2976,23 +2976,43 @@ _MEDIA_H_SQL = "('0x' || substr(md5(text), 1, 4))::BIGINT"
 
 @query(
     "q_multimodal_decode",
-    oracle=f"""
-    WITH m AS (SELECT doc_id AS media_id, {_MEDIA_H_SQL} AS h FROM documents)
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents)
     SELECT media_id,
-           CAST(h % 640 + 16 AS BIGINT) AS width,
-           CAST(h % 480 + 16 AS BIGINT) AS height
-    FROM m WHERE h % 3 = 0
+           CAST(('0x' || substr(h, 7, 2))::BIGINT % 17 + 8 AS BIGINT) AS width,
+           CAST(('0x' || substr(h, 9, 2))::BIGINT % 17 + 8 AS BIGINT) AS height,
+           round((('0x' || substr(h, 1, 2))::BIGINT
+                + ('0x' || substr(h, 3, 2))::BIGINT
+                + ('0x' || substr(h, 5, 2))::BIGINT) / 3.0, 6) AS mean_pixel
+    FROM m
     """,
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hadoop_gpu_spark.multimodal import attach_fake_media, decode_image
+    """REAL encode→decode round trip of all three in-engine image codecs
+    under the SQL gate (upgraded r05 from the fake-plumbing variant):
+    attach_flat_media builds per-doc flat images — color/size/codec all
+    functions of md5(text), codec cycling PNG/GIF/JPEG — and decode_image
+    runs the production real-decode path. PNG/GIF are lossless and the
+    JPEG codec decodes flat blocks exactly at quality 100, so the oracle
+    predicts the DECODED width/height/mean_pixel without running any
+    codec: a single wrong pixel anywhere in any codec fails the hash.
+    The decoded mean equals (r+g+b)/3 in both engines bit-for-bit: both
+    divide the same exact-integer quotient, and IEEE division is
+    correctly rounded.
+
+    100 TB shape: bytes stay in one binary column; encode and decode are
+    Arrow-batched mapInPandas kernels (multimodal/__init__.py) — the
+    production layout for a media-column pipeline."""
+    from hadoop_gpu_spark.multimodal import attach_flat_media, decode_image
 
     docs = T(spark, sf_dir, "documents")
-    media = attach_fake_media(docs, "doc_id", "text")
-    dec = decode_image(media, fake=True)
+    media = attach_flat_media(docs, "doc_id", "text")
+    dec = decode_image(media)
     return dec.select(
-        "media_id", F.col("width").cast("long").alias("width"),
+        "media_id",
+        F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
+        F.round("mean_pixel", 6).alias("mean_pixel"),
     )
 
 
