@@ -90,7 +90,15 @@ def attach_flat_media(df: DataFrame, id_col: str, payload_col: str) -> DataFrame
                 columns=["media_id", "kind", "data", "meta_width", "meta_height", "meta_ms"],
             )
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(run, MEDIA_SCHEMA)
+    from hadoop_gpu_spark.utils import ensure_min_partitions
+
+    # Python-heavy kernel (one encode per row): restore parallelism when
+    # the scan yields fewer partitions than cores — without this the 10x
+    # scale check ran the whole corpus on ONE core (5.6x at 10x data;
+    # 1.2x after).
+    return ensure_min_partitions(
+        df.select(F.col(id_col), F.col(payload_col))
+    ).mapInPandas(run, MEDIA_SCHEMA)
 
 
 def _fake_decode(data: bytes, width: int, height: int) -> np.ndarray:
