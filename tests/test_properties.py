@@ -104,3 +104,75 @@ def test_png_roundtrip_property(h, w, channels, seed):
     back = decode_png(encode_png(img))
     assert back.shape == img.shape
     assert (back == img).all()
+
+
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 2**32 - 1),
+    quality=st.integers(50, 100),
+    gray=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_jpeg_roundtrip_property(h, w, seed, quality, gray):
+    # Any image shape/content/quality: decode(encode(x)) must parse, keep
+    # dimensions, and land within the quantization-error envelope (worst
+    # case bounded well above any valid baseline round trip; flat images
+    # at q100 must be exact).
+    import numpy as np
+
+    from hadoop_gpu_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality))
+    assert out.shape == (h, w, 3)
+    ref = img if not gray else np.stack([img] * 3, axis=-1)
+    # pointwise error on pure noise can legitimately be large (coarse
+    # chroma quantization concentrates energy); the meaningful envelope
+    # is the MEAN quantization error
+    mean_err = np.abs(out.astype(int) - ref.astype(int)).mean()
+    assert mean_err <= 40, mean_err
+    if quality >= 90:
+        assert mean_err <= 16, mean_err
+
+    flat = np.full((h, w, 3), rng.integers(0, 256, 3), dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, 100)), flat)
+
+
+@given(
+    duration_ms=st.integers(0, 10**7),
+    width=st.integers(0, 4096),
+    height=st.integers(0, 4096),
+    n_tracks=st.integers(1, 5),
+    brand=st.sampled_from(["isom", "mp42", "avc1"]),
+)
+@settings(max_examples=80, deadline=None)
+def test_mp4_probe_roundtrip_property(duration_ms, width, height, n_tracks, brand):
+    from hadoop_gpu_spark.multimodal.probe import build_mp4, parse_mp4_meta
+
+    m = parse_mp4_meta(build_mp4(brand, duration_ms, width, height, n_tracks))
+    assert m["major_brand"] == brand
+    assert m["duration_ms"] == duration_ms
+    assert m["n_tracks"] == n_tracks
+    if width and height:
+        assert (m["width"], m["height"]) == (width, height)
+
+
+@given(
+    n_frames=st.integers(1, 200),
+    bitrate=st.sampled_from([32, 64, 128, 192, 320]),
+    rate=st.sampled_from([44100, 48000, 32000]),
+    channels=st.sampled_from([1, 2]),
+)
+@settings(max_examples=80, deadline=None)
+def test_mp3_probe_roundtrip_property(n_frames, bitrate, rate, channels):
+    from hadoop_gpu_spark.multimodal.probe import build_mp3, parse_mp3_meta
+
+    m = parse_mp3_meta(build_mp3(n_frames, bitrate, rate, channels))
+    assert m["n_frames"] == n_frames
+    assert m["bitrate_kbps"] == bitrate
+    assert m["sample_rate"] == rate
+    assert m["channels"] == channels
+    assert m["duration_ms"] == n_frames * 1152 * 1000 // rate
