@@ -101,6 +101,50 @@ def attach_flat_media(df: DataFrame, id_col: str, payload_col: str) -> DataFrame
     ).mapInPandas(run, MEDIA_SCHEMA)
 
 
+def attach_flat_video(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL-bytes animated-GIF corpus with an SQL-predictable frame walk.
+
+    Per row: an animated GIF of ``n = md5[5] % 4 + 2`` full-canvas flat
+    frames at 500 ms each; frame ``i``'s color is bytes 0-2 of
+    ``md5(payload || ':' || i)`` and the canvas is bytes 3-4 of
+    ``md5(payload)`` (8..24 px). Sampling the timeline at 500 ms then
+    lands exactly one sample per frame, and each sampled frame's
+    mean_pixel is (r_i+g_i+b_i)/3 — fully predictable by a SQL oracle,
+    so the real decode -> timeline -> sample path is driver-checkable
+    (same self-verifying pattern as :func:`attach_flat_media`).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hadoop_gpu_spark.multimodal import gif as gif_codec
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                text = str(payload)
+                h = hashlib.md5(text.encode("utf-8")).digest()
+                w = h[3] % 17 + 8
+                ht = h[4] % 17 + 8
+                n = h[5] % 4 + 2
+                colors = [
+                    hashlib.md5(f"{text}:{i}".encode("utf-8")).digest()[:3]
+                    for i in range(n)
+                ]
+                palette = np.array([list(c) for c in colors], dtype=np.uint8)
+                frames = [np.full((ht, w), i, dtype=np.uint8) for i in range(n)]
+                data = gif_codec.encode_gif(frames, palette, [500] * n)
+                rows.append((int(mid), "video", data, w, ht, 500 * n))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "data", "meta_width", "meta_height", "meta_ms"],
+            )
+
+    from hadoop_gpu_spark.utils import ensure_min_partitions
+
+    return ensure_min_partitions(
+        df.select(F.col(id_col), F.col(payload_col))
+    ).mapInPandas(run, MEDIA_SCHEMA)
+
+
 def _fake_decode(data: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic fake pixel decoder: md5-seeded uint8 grid."""
     seed = int.from_bytes(hashlib.md5(data).digest()[:8], "big")
@@ -279,12 +323,16 @@ def frame_sample(df: DataFrame, every_ms: int = 1000, fake: bool = False) -> Dat
                                 r.media_id,
                                 ms,
                                 hashlib.md5(rgb.tobytes()).hexdigest()[:16],
+                                float(rgb.mean()),
                             )
                         )
-                yield pd.DataFrame(rows, columns=["media_id", "frame_ms", "frame_hash"])
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "frame_ms", "frame_hash", "mean_pixel"]
+                )
 
         return df.filter(F.col("kind") == "video").mapInPandas(
-            run, schema="media_id long, frame_ms long, frame_hash string"
+            run,
+            schema="media_id long, frame_ms long, frame_hash string, mean_pixel double",
         )
     frames = df.filter(F.col("kind") == "video").select(
         "media_id",

@@ -3017,35 +3017,43 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Video frame sampling (multimodal.frame_sample): one row per sampled
-# timestamp, frame identity = md5(bytes || ms) — all JVM expressions, so
-# the whole operator (including the hash) is SQL-checkable. Spark-side
-# md5(concat(data, ms-as-ascii-bytes)) == DuckDB md5(text || ms::VARCHAR)
-# because utf8(text)||ascii(ms) is the same byte string.
+# Video frame sampling (multimodal.frame_sample) — REAL bytes since r05:
+# attach_flat_video builds per-doc animated GIFs (n = md5[5]%4+2 flat
+# 500 ms frames, frame i's color = md5(text||':'||i) bytes 0-2), and the
+# production real-mode sampler decodes, walks the delay timeline at
+# 500 ms, and emits each active frame's mean pixel. One sample lands in
+# every frame, so the oracle predicts (media_id, frame_ms, mean_pixel)
+# for the whole corpus without running the codec — a wrong delay, a
+# mis-composited frame, or an off-by-one in the timeline walk all fail
+# the hash. (Frame md5 identity is also emitted by the operator but is
+# not SQL-expressible — DuckDB lacks md5(BLOB) — so the gate pins means.)
 # ---------------------------------------------------------------------------
 @query(
     "q_frame_sample",
-    oracle=f"""
-    WITH m AS (
-      SELECT doc_id AS media_id, text, {_MEDIA_H_SQL} AS h FROM documents),
-    v AS (SELECT media_id, text, CAST(h % 10000 AS BIGINT) AS meta_ms
-          FROM m WHERE h % 3 = 2),
-    fr AS (
-      SELECT media_id, text,
-             unnest(range(0, greatest(meta_ms - 1, 0) + 1, 1000)) AS frame_ms
-      FROM v)
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, text, md5(text) AS h FROM documents),
+    f AS (SELECT media_id, text,
+            unnest(range(0, ('0x' || substr(h, 11, 2))::BIGINT % 4 + 2)) AS i
+          FROM m),
+    c AS (SELECT media_id, CAST(500 * i AS BIGINT) AS frame_ms,
+                 md5(text || ':' || i) AS hf
+          FROM f)
     SELECT media_id, frame_ms,
-           substr(md5(text || frame_ms::VARCHAR), 1, 16) AS frame_hash
-    FROM fr
+           round((('0x' || substr(hf, 1, 2))::BIGINT
+                + ('0x' || substr(hf, 3, 2))::BIGINT
+                + ('0x' || substr(hf, 5, 2))::BIGINT) / 3.0, 6) AS mean_pixel
+    FROM c
     """,
 )
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hadoop_gpu_spark.multimodal import attach_fake_media, frame_sample
+    from hadoop_gpu_spark.multimodal import attach_flat_video, frame_sample
 
     docs = T(spark, sf_dir, "documents")
-    media = attach_fake_media(docs, "doc_id", "text")
-    return frame_sample(media, every_ms=1000, fake=True).select(
-        "media_id", F.col("frame_ms").cast("long").alias("frame_ms"), "frame_hash"
+    media = attach_flat_video(docs, "doc_id", "text")
+    return frame_sample(media, every_ms=500, fake=False).select(
+        "media_id",
+        F.col("frame_ms").cast("long").alias("frame_ms"),
+        F.round("mean_pixel", 6).alias("mean_pixel"),
     )
 
 
