@@ -1,0 +1,219 @@
+"""Randomized differential testing: generated relational queries, Spark
+DataFrame plan vs DuckDB SQL, exact comparison.
+
+The fixed gate queries pin known shapes; this harness samples the
+COMPOSITIONAL space around them — random filter/group/aggregate/join
+combinations over the TPC-H-ish tables — and requires the DataFrame API
+plan and an independently-written SQL text to agree row-for-row. Any
+Catalyst rewrite bug, pushdown misfire, or semantics drift between the
+engine and ANSI SQL shows up as a concrete falsifying spec that
+hypothesis shrinks to a minimal query.
+
+Determinism rules (same as the gate queries, queries.py module
+docstring): money/ratio aggregates compare as floor(x*100) BIGINTs so no
+float accumulation order can flip a hash; min/max/count are exact
+already.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hadoop_gpu_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Column universe: ints (filter by modulo, group by mod-5, min/max),
+# numerics (threshold filters, exact cent-sums), low-cardinality strings
+# (equality filters, group keys).
+TABLES = {
+    "lineitem": {
+        "ints": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "nums": {
+            "l_quantity": [10.0, 25.0, 40.0],
+            "l_extendedprice": [1000.0, 5000.0, 50000.0],
+            "l_discount": [0.02, 0.05, 0.08],
+        },
+        "strs": {"l_returnflag": ["A", "N", "R"], "l_linestatus": ["F", "O"]},
+    },
+    "orders": {
+        "ints": ["o_orderkey", "o_custkey"],
+        "nums": {"o_totalprice": [50000.0, 150000.0, 300000.0]},
+        "strs": {
+            "o_orderstatus": ["F", "O", "P"],
+            "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        },
+    },
+    "customer": {
+        "ints": ["c_custkey", "c_nationkey"],
+        "nums": {"c_acctbal": [0.0, 3000.0, 7000.0]},
+        "strs": {"c_mktsegment": ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]},
+    },
+}
+
+JOIN = {"tables": ("lineitem", "orders"), "on": ("l_orderkey", "o_orderkey")}
+
+
+@st.composite
+def query_spec(draw):
+    joined = draw(st.booleans())
+    if joined:
+        tabs = list(JOIN["tables"])
+    else:
+        tabs = [draw(st.sampled_from(sorted(TABLES)))]
+    cols = {
+        "ints": [c for t in tabs for c in TABLES[t]["ints"]],
+        "nums": {c: v for t in tabs for c, v in TABLES[t]["nums"].items()},
+        "strs": {c: v for t in tabs for c, v in TABLES[t]["strs"].items()},
+    }
+    filters = []
+    for _ in range(draw(st.integers(0, 2))):
+        kind = draw(st.sampled_from(["int_mod", "num_le", "num_gt", "str_eq"]))
+        if kind == "int_mod":
+            c = draw(st.sampled_from(cols["ints"]))
+            k = draw(st.integers(2, 7))
+            r = draw(st.integers(0, 1))
+            filters.append(("int_mod", c, k, r))
+        elif kind in ("num_le", "num_gt"):
+            c = draw(st.sampled_from(sorted(cols["nums"])))
+            v = draw(st.sampled_from(cols["nums"][c]))
+            filters.append((kind, c, v, None))
+        else:
+            c = draw(st.sampled_from(sorted(cols["strs"])))
+            v = draw(st.sampled_from(cols["strs"][c]))
+            filters.append(("str_eq", c, v, None))
+    group = []
+    for _ in range(draw(st.integers(0, 2))):
+        if draw(st.booleans()) and cols["strs"]:
+            c = draw(st.sampled_from(sorted(cols["strs"])))
+            if ("s", c) not in group:
+                group.append(("s", c))
+        else:
+            c = draw(st.sampled_from(cols["ints"]))
+            if ("m", c) not in group:
+                group.append(("m", c))
+    aggs = [("count", None)]
+    for _ in range(draw(st.integers(0, 2))):
+        kind = draw(st.sampled_from(["sum_cents", "min_cents", "max_cents", "max_int", "min_int"]))
+        c = draw(
+            st.sampled_from(
+                sorted(cols["nums"]) if kind.endswith("cents") else cols["ints"]
+            )
+        )
+        if (kind, c) not in aggs:
+            aggs.append((kind, c))
+    return {"joined": joined, "tables": tabs, "filters": filters, "group": group, "aggs": aggs}
+
+
+def _spark_query(spark, spec):
+    if spec["joined"]:
+        li = load_table(spark, "lineitem", SF_DIR)
+        o = load_table(spark, "orders", SF_DIR)
+        df = li.join(o, li[JOIN["on"][0]] == o[JOIN["on"][1]])
+    else:
+        df = load_table(spark, spec["tables"][0], SF_DIR)
+    for kind, c, a, b in spec["filters"]:
+        if kind == "int_mod":
+            df = df.filter(F.col(c) % a == b)
+        elif kind == "num_le":
+            df = df.filter(F.col(c) <= F.lit(a))
+        elif kind == "num_gt":
+            df = df.filter(F.col(c) > F.lit(a))
+        else:
+            df = df.filter(F.col(c) == a)
+    keys = []
+    for g, c in spec["group"]:
+        keys.append(
+            F.col(c).alias(f"k_{c}") if g == "s" else (F.col(c) % 5).alias(f"k_{c}")
+        )
+    aggs = []
+    for kind, c in spec["aggs"]:
+        if kind == "count":
+            aggs.append(F.count(F.lit(1)).alias("cnt"))
+        elif kind == "sum_cents":
+            aggs.append(F.sum(F.floor(F.col(c) * 100).cast("long")).alias(f"sum_{c}"))
+        elif kind == "min_cents":
+            aggs.append(F.min(F.floor(F.col(c) * 100).cast("long")).alias(f"min_{c}"))
+        elif kind == "max_cents":
+            aggs.append(F.max(F.floor(F.col(c) * 100).cast("long")).alias(f"max_{c}"))
+        elif kind == "max_int":
+            aggs.append(F.max(c).alias(f"maxi_{c}"))
+        else:
+            aggs.append(F.min(c).alias(f"mini_{c}"))
+    return (df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)).toPandas()
+
+
+def _sql_query(spec):
+    if spec["joined"]:
+        src = "lineitem JOIN orders ON l_orderkey = o_orderkey"
+    else:
+        src = spec["tables"][0]
+    where = []
+    for kind, c, a, b in spec["filters"]:
+        if kind == "int_mod":
+            where.append(f"{c} % {a} = {b}")
+        elif kind == "num_le":
+            where.append(f"{c} <= {a!r}")
+        elif kind == "num_gt":
+            where.append(f"{c} > {a!r}")
+        else:
+            where.append(f"{c} = '{a}'")
+    keys = [
+        (f"{c} AS k_{c}" if g == "s" else f"{c} % 5 AS k_{c}") for g, c in spec["group"]
+    ]
+    aggs = []
+    for kind, c in spec["aggs"]:
+        if kind == "count":
+            aggs.append("CAST(COUNT(*) AS BIGINT) AS cnt")
+        elif kind == "sum_cents":
+            aggs.append(f"CAST(SUM(CAST(floor({c} * 100) AS BIGINT)) AS BIGINT) AS sum_{c}")
+        elif kind == "min_cents":
+            aggs.append(f"CAST(MIN(CAST(floor({c} * 100) AS BIGINT)) AS BIGINT) AS min_{c}")
+        elif kind == "max_cents":
+            aggs.append(f"CAST(MAX(CAST(floor({c} * 100) AS BIGINT)) AS BIGINT) AS max_{c}")
+        elif kind == "max_int":
+            aggs.append(f"MAX({c}) AS maxi_{c}")
+        else:
+            aggs.append(f"MIN({c}) AS mini_{c}")
+    sql = f"SELECT {', '.join(keys + aggs)} FROM {src}"
+    if where:
+        sql += " WHERE " + " AND ".join(where)
+    if keys:
+        sql += " GROUP BY " + ", ".join(f"k_{c}" for _, c in spec["group"])
+    return sql
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False):
+        out.append(tuple(None if pd.isna(v) else int(v) if isinstance(v, float) and v == int(v) else v for v in row))
+    return sorted(out, key=repr)
+
+
+@given(spec=query_spec())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_relational_queries_match_duckdb(spark, duck, spec):
+    s = _spark_query(spark, spec)
+    d = duck.sql(_sql_query(spec)).df()
+    assert sorted(s.columns) == sorted(d.columns), (s.columns, d.columns)
+    assert _canon(s) == _canon(d), spec
