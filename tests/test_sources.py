@@ -197,3 +197,41 @@ def test_compressed_text_output_roundtrip(spark, tmp_path):
     assert "\t" in blob
     back = {r["k"]: r["v"] for r in sources.read_kv_text(spark, p).collect()}
     assert back == {"k1": "v1", "k2": "v2"}
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    # The operational op for streaming/incremental output: many tiny
+    # files in, few scan-sized files out, identical content.
+    from pyspark.sql import functions as F2
+
+    from hadoop_gpu_spark.sources import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(10_000).withColumn("v", F2.md5(F2.col("id").cast("string")))
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    stats = compact_parquet(spark, src, dst, target_bytes=1 << 30)
+    assert stats["files_in"] >= 64
+    assert stats["files_out"] == 1  # total data far below one target file
+    a = sorted(r["v"] for r in spark.read.parquet(src).collect())
+    b = sorted(r["v"] for r in spark.read.parquet(dst).collect())
+    assert a == b and len(a) == 10_000
+
+
+def test_compact_parquet_partitioned(spark, tmp_path):
+    from pyspark.sql import functions as F2
+
+    from hadoop_gpu_spark.sources import compact_parquet
+
+    src = str(tmp_path / "frag_part")
+    dst = str(tmp_path / "comp_part")
+    df = spark.range(3_000).withColumn("p", (F2.col("id") % 3).cast("int"))
+    df.repartition(48).write.partitionBy("p").parquet(src)  # ~144 files
+    stats = compact_parquet(spark, src, dst, target_bytes=1 << 30, partition_cols=["p"])
+    assert stats["files_out"] <= 3  # at most one file per Hive partition
+    got = spark.read.parquet(dst)
+    assert got.count() == 3_000
+    assert {r["p"] for r in got.select("p").distinct().collect()} == {0, 1, 2}
+    # partition pruning must still work on the compacted layout
+    pruned = got.filter(F2.col("p") == 1)
+    assert pruned.count() == 1_000
