@@ -10,8 +10,11 @@ Decode kernels — all pure stdlib + numpy, no external libraries:
 PNG (:mod:`.png` — struct + zlib, 8-bit gray/RGB/RGBA, all five scanline
 filters), GIF (:mod:`.gif` — LZW, interlace, disposal methods), baseline
 JPEG (:mod:`.jpeg` — SOF0 4:4:4/grayscale, Annex K tables, restart
-markers), and RIFF/WAVE PCM via the stdlib ``wave`` module. Formats
-beyond those (WebP/AVIF, MP3/FLAC, MP4) raise NotImplementedError unless
+markers), FLAC (:mod:`.flac` — 16-bit, fixed/LPC subframes, all stereo
+modes, CRC+md5 verified), and RIFF/WAVE PCM via the stdlib ``wave``
+module; MP4/MP3 container metadata probes without codecs (:mod:`.probe`).
+Formats beyond those (WebP/AVIF, MP3 audio decode, MP4 video decode)
+raise NotImplementedError unless
 ``fake=True``, in which case a deterministic fake decoder (md5-seeded
 dimensions/pixels) exercises the full Spark-side plumbing — schema,
 partitioning, UDF signature, batch shape — which is production-real
@@ -211,11 +214,13 @@ def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
     duration_ms, mean_abs, pcm_hash).
 
     ``fake=False`` (default): REAL decode for RIFF/WAVE PCM bytes via the
-    stdlib ``wave`` module (8/16/32-bit PCM — the second dependency-free
-    codec beside PNG); non-WAV bytes raise NotImplementedError (MP3/FLAC
-    need external libraries). ``fake=True``: md5-seeded deterministic
-    synth samples over the fake corpus. Same Arrow-batched mapInPandas
-    shape as :func:`decode_image`.
+    stdlib ``wave`` module (8/16/32-bit PCM) and for FLAC via the
+    in-engine codec subset (:mod:`.flac` — 16-bit, fixed/LPC/constant/
+    verbatim subframes, all stereo modes, CRC + md5 verified); other
+    formats raise NotImplementedError (MP3 decode needs external
+    libraries — header probing is :func:`probe_media`). ``fake=True``:
+    md5-seeded deterministic synth samples over the fake corpus. Same
+    Arrow-batched mapInPandas shape as :func:`decode_image`.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -242,11 +247,17 @@ def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
                     samples = np.frombuffer(frames, dtype=dtype)
                     if width == 1:  # 8-bit WAV is unsigned, center it
                         samples = samples.astype(np.int16) - 128
+                elif data[:4] == b"fLaC":
+                    from hadoop_gpu_spark.multimodal.flac import decode_flac
+
+                    rate, pcm = decode_flac(data)
+                    nch = pcm.shape[1]
+                    samples = pcm.reshape(-1)  # interleaved, like wave frames
                 else:
                     raise NotImplementedError(
-                        "no in-engine codec for this audio format (WAV/PCM is "
-                        "decoded natively; MP3/FLAC need external libraries) — "
-                        "or pass fake=True"
+                        "no in-engine codec for this audio format (WAV/PCM and "
+                        "FLAC are decoded natively; MP3 needs external "
+                        "libraries) — or pass fake=True"
                     )
                 n = len(samples) // nch
                 rows.append(

@@ -543,3 +543,66 @@ def test_probe_media_dataframe(spark):
     assert got[2]["duration_ms"] == 20 * 1152 * 1000 // 44100
     assert got[3]["container"] == "unknown"
     assert got[4]["container"] == "corrupt"
+
+
+def test_flac_round_trips_and_integrity():
+    # FLAC codec subset (multimodal.flac): lossless means encode->decode
+    # must be BIT-EXACT for every subframe type and stereo assignment;
+    # corrupted frames and wrong PCM must be rejected via CRC/md5, not
+    # silently mis-decoded.
+    import numpy as np
+    import pytest as _pytest
+
+    from hadoop_gpu_spark.multimodal.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(9)
+    t = np.arange(13000)
+    mono = (5000 * np.sin(t / 37) + rng.integers(-300, 300, len(t))).astype(np.int16)
+    stereo = np.stack([mono, (mono * 0.6).astype(np.int16)], axis=-1)
+
+    for sub in ("fixed", "verbatim", "lpc"):
+        sr, out = decode_flac(encode_flac(mono, 22050, subframe=sub))
+        assert sr == 22050 and np.array_equal(out[:, 0], mono), sub
+    for st in ("independent", "left_side", "right_side", "mid_side"):
+        sr, out = decode_flac(encode_flac(stereo, 44100, stereo=st))
+        assert np.array_equal(out, stereo), st
+    # constant runs collapse to CONSTANT subframes and still round-trip
+    sr, out = decode_flac(encode_flac(np.zeros(5000, dtype=np.int16), 8000))
+    assert np.array_equal(out[:, 0], np.zeros(5000, dtype=np.int16))
+
+    # integrity: flip a byte inside frame data -> CRC-16 (or md5) catches it
+    blob = bytearray(encode_flac(mono, 22050))
+    blob[len(blob) // 2] ^= 0xFF
+    with _pytest.raises(ValueError):
+        decode_flac(bytes(blob))
+
+
+def test_decode_audio_dispatches_flac(spark):
+    # FLAC through the production mapInPandas audio path, beside WAV:
+    # sample counts, rate, channels, duration, and the PCM hash of the
+    # exact original samples.
+    import hashlib
+
+    import numpy as np
+
+    from hadoop_gpu_spark.multimodal import decode_audio
+    from hadoop_gpu_spark.multimodal.flac import encode_flac
+
+    rng = np.random.default_rng(21)
+    mono = rng.integers(-2000, 2000, 9000).astype(np.int16)
+    stereo = np.stack([mono, -mono], axis=-1)
+    rows = [
+        (1, "audio", bytearray(encode_flac(mono, 16000)), 0, 0, 0),
+        (2, "audio", bytearray(encode_flac(stereo, 44100, stereo="mid_side")), 0, 0, 0),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, data binary, meta_width int, meta_height int, meta_ms int",
+    )
+    got = {r["media_id"]: r for r in decode_audio(media).collect()}
+    assert got[1]["sample_rate"] == 16000 and got[1]["n_channels"] == 1
+    assert got[1]["n_samples"] == 9000
+    assert got[1]["pcm_hash"] == hashlib.md5(mono.tobytes()).hexdigest()[:16]
+    assert got[2]["sample_rate"] == 44100 and got[2]["n_channels"] == 2
+    assert got[2]["n_samples"] == 9000
+    assert got[2]["pcm_hash"] == hashlib.md5(stereo.reshape(-1).tobytes()).hexdigest()[:16]
