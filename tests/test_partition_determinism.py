@@ -1,0 +1,80 @@
+"""Partition-invariance harness: query output must be a pure function of
+the DATA, never of the physical partitioning.
+
+This is the q_sequence_pack incident class (r03: sampled range
+partitioning + a load-bearing persist made the output depend on the
+session's shuffle layout), generalized into a standing guard: every
+partition-sensitive query runs under two fresh sessions with adversarial
+shuffle.partitions settings (3 vs 17 — neither divides the other, both
+far from the tuned 8/32) and must produce the identical canonical row
+set.
+
+Scope: the queries whose SHAPE makes them susceptible — global sorts,
+sampling, window functions, salting, packing, hash-bucketed dedup,
+driver-side two-pass offsets. Purely key-grouped aggregates cannot
+depend on partitioning by construction and are covered by the oracle
+gate instead. Float-mean queries (k-means, avg aggregates) are excluded:
+double summation order IS partition-dependent in the last ulp, which is
+why the gate queries use decimal/integer-exact aggregates — that rule is
+enforced by the oracle hashes, not here.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from hadoop_gpu_spark.queries import QUERIES
+
+PARTITION_SENSITIVE = [
+    "q_sequence_pack",       # two-pass distributed prefix sum (the incident)
+    "q_total_order_sort",    # sampled range partitioner
+    "q_terasort",            # same, teraformat keys
+    "q_topk",                # global ordering + limit
+    "q_grep_ranked",         # count + rank ordering
+    "q_secondary_sort",      # windows over composite keys
+    "q_moving_window",       # row-frame window
+    "q_md5_sample",          # hash-threshold sampling
+    "q_stratified_sample",   # per-stratum hash ranking
+    "q_token_budget_sample", # ordered cumulative cut
+    "q_ppl_buckets",         # ordered quantile buckets
+    "q_epoch_shuffle",       # per-shard row_number
+    "q_salted_agg",          # two-level salted aggregation
+    "q_salted_join",         # salt + join + de-salt
+    "q_winnow_fingerprint",  # vectorized kernel over arbitrary batches
+    "q_dedup_minhash",       # Arrow-batch kernel signatures
+    "q_dedup_simhash",       # Arrow-batch kernel fingerprints
+    "q_dedup_minhash_pairs", # bucketed pair expansion
+    "q_connected_components",# iterative label propagation
+    "q11_important_stock",   # localCheckpoint two-consumer plan
+]
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False):
+        vals = []
+        for v in row:
+            if pd.isna(v):
+                vals.append(None)
+            elif isinstance(v, float):
+                vals.append(round(v, 9))
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("name", PARTITION_SENSITIVE)
+def test_output_invariant_under_partitioning(name, spark, sf_dir):
+    results = []
+    for parts in ("3", "17"):
+        s = spark.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", parts)
+        results.append(_canon(QUERIES[name](s, sf_dir).toPandas()))
+    assert results[0] == results[1], (
+        f"{name}: output depends on shuffle partitioning "
+        f"({len(results[0])} vs {len(results[1])} canonical rows)"
+    )
+    assert len(results[0]) > 0, f"{name}: empty result at test scale"
