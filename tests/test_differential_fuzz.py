@@ -57,13 +57,16 @@ TABLES = {
 }
 
 JOIN = {"tables": ("lineitem", "orders"), "on": ("l_orderkey", "o_orderkey")}
+JOIN3 = {"tables": ("customer", "orders", "lineitem")}
 
 
 @st.composite
 def query_spec(draw):
-    joined = draw(st.booleans())
-    if joined:
+    joined = draw(st.sampled_from(["none", "two", "three"]))
+    if joined == "two":
         tabs = list(JOIN["tables"])
+    elif joined == "three":
+        tabs = list(JOIN3["tables"])
     else:
         tabs = [draw(st.sampled_from(sorted(TABLES)))]
     cols = {
@@ -99,7 +102,9 @@ def query_spec(draw):
                 group.append(("m", c))
     aggs = [("count", None)]
     for _ in range(draw(st.integers(0, 2))):
-        kind = draw(st.sampled_from(["sum_cents", "min_cents", "max_cents", "max_int", "min_int"]))
+        kind = draw(st.sampled_from(
+            ["sum_cents", "min_cents", "max_cents", "max_int", "min_int", "cnt_distinct"]
+        ))
         c = draw(
             st.sampled_from(
                 sorted(cols["nums"]) if kind.endswith("cents") else cols["ints"]
@@ -107,14 +112,24 @@ def query_spec(draw):
         )
         if (kind, c) not in aggs:
             aggs.append((kind, c))
-    return {"joined": joined, "tables": tabs, "filters": filters, "group": group, "aggs": aggs}
+    having = draw(st.sampled_from([None, 1, 5])) if group else None
+    return {"joined": joined, "tables": tabs, "filters": filters, "group": group,
+            "aggs": aggs, "having": having}
 
 
 def _spark_query(spark, spec):
-    if spec["joined"]:
+    if spec["joined"] == "two":
         li = load_table(spark, "lineitem", SF_DIR)
         o = load_table(spark, "orders", SF_DIR)
         df = li.join(o, li[JOIN["on"][0]] == o[JOIN["on"][1]])
+    elif spec["joined"] == "three":
+        c = load_table(spark, "customer", SF_DIR)
+        o = load_table(spark, "orders", SF_DIR)
+        li = load_table(spark, "lineitem", SF_DIR)
+        df = (
+            c.join(o, c["c_custkey"] == o["o_custkey"])
+            .join(li, o["o_orderkey"] == li["l_orderkey"])
+        )
     else:
         df = load_table(spark, spec["tables"][0], SF_DIR)
     for kind, c, a, b in spec["filters"]:
@@ -143,14 +158,22 @@ def _spark_query(spark, spec):
             aggs.append(F.max(F.floor(F.col(c) * 100).cast("long")).alias(f"max_{c}"))
         elif kind == "max_int":
             aggs.append(F.max(c).alias(f"maxi_{c}"))
+        elif kind == "cnt_distinct":
+            aggs.append(F.countDistinct(c).alias(f"cd_{c}"))
         else:
             aggs.append(F.min(c).alias(f"mini_{c}"))
-    return (df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)).toPandas()
+    out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    if spec.get("having"):
+        out = out.filter(F.col("cnt") > spec["having"])
+    return out.toPandas()
 
 
 def _sql_query(spec):
-    if spec["joined"]:
+    if spec["joined"] == "two":
         src = "lineitem JOIN orders ON l_orderkey = o_orderkey"
+    elif spec["joined"] == "three":
+        src = ("customer JOIN orders ON c_custkey = o_custkey "
+               "JOIN lineitem ON o_orderkey = l_orderkey")
     else:
         src = spec["tables"][0]
     where = []
@@ -178,6 +201,8 @@ def _sql_query(spec):
             aggs.append(f"CAST(MAX(CAST(floor({c} * 100) AS BIGINT)) AS BIGINT) AS max_{c}")
         elif kind == "max_int":
             aggs.append(f"MAX({c}) AS maxi_{c}")
+        elif kind == "cnt_distinct":
+            aggs.append(f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS cd_{c}")
         else:
             aggs.append(f"MIN({c}) AS mini_{c}")
     sql = f"SELECT {', '.join(keys + aggs)} FROM {src}"
@@ -185,6 +210,8 @@ def _sql_query(spec):
         sql += " WHERE " + " AND ".join(where)
     if keys:
         sql += " GROUP BY " + ", ".join(f"k_{c}" for _, c in spec["group"])
+    if spec.get("having"):
+        sql += f" HAVING COUNT(*) > {spec['having']}"
     return sql
 
 
