@@ -158,11 +158,13 @@ def _fake_decode(data: bytes, width: int, height: int) -> np.ndarray:
 def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode → (media_id, width, height, mean_pixel, pixel_hash).
 
-    ``fake=False`` (default): REAL decode via the stdlib PNG codec
-    (:mod:`.png`); non-PNG bytes raise NotImplementedError (JPEG/WebP need
-    libraries this container lacks). ``fake=True``: deterministic stub
-    decoder over the md5-seeded fake corpus. The mapInPandas plumbing is
-    the production shape either way.
+    ``fake=False`` (default): REAL decode via the in-engine codecs — PNG
+    (:mod:`.png`), GIF stills (:mod:`.gif`), baseline JPEG
+    (:mod:`.jpeg`); WebP/AVIF raise NotImplementedError (no
+    dependency-free codec, and no external bytes in this container to
+    validate one against). ``fake=True``: deterministic stub decoder over
+    the md5-seeded fake corpus. The mapInPandas plumbing is the
+    production shape either way.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

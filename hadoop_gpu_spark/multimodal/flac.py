@@ -284,6 +284,8 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
     if channels > 2:
         raise NotImplementedError(f"{channels} channels (subset is 1-2)")
 
+    if total == 0:
+        return sample_rate, np.empty((0, channels), dtype=np.int16)
     chans: list[list[np.ndarray]] = [[] for _ in range(channels)]
     got = 0
     while got < total and pos < len(data):
@@ -337,9 +339,14 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
             raise ValueError("reserved channel assignment")
         if n_sub != channels:
             raise ValueError("frame channel count != STREAMINFO")
-        subs = [
-            _subframe_decode(br, blocksize, fbits + extra[c]) for c in range(n_sub)
-        ]
+        try:
+            subs = [
+                _subframe_decode(br, blocksize, fbits + extra[c]) for c in range(n_sub)
+            ]
+        except IndexError:
+            # corrupted/truncated frames must surface as a decode error,
+            # not a raw out-of-range read
+            raise ValueError("truncated or corrupt FLAC frame") from None
         br.align()
         crc16_stored = struct.unpack(">H", data[br.pos : br.pos + 2])[0]
         if _crc16(data[frame_start : br.pos]) != crc16_stored:

@@ -176,3 +176,34 @@ def test_mp3_probe_roundtrip_property(n_frames, bitrate, rate, channels):
     assert m["sample_rate"] == rate
     assert m["channels"] == channels
     assert m["duration_ms"] == n_frames * 1152 * 1000 // rate
+
+
+@given(
+    n=st.integers(0, 9000),
+    seed=st.integers(0, 2**32 - 1),
+    stereo=st.booleans(),
+    sub=st.sampled_from(["fixed", "verbatim", "lpc"]),
+    mode=st.sampled_from(["independent", "left_side", "right_side", "mid_side"]),
+    blocksize=st.sampled_from([192, 1024, 4096]),
+)
+@settings(max_examples=40, deadline=None)
+def test_flac_lossless_roundtrip_property(n, seed, stereo, sub, mode, blocksize):
+    # FLAC is lossless: any signal, any subframe type, any stereo
+    # assignment, any blocksize must round-trip BIT-exactly (including
+    # n=0 and blocks shorter than the fixed-predictor order).
+    import numpy as np
+
+    from hadoop_gpu_spark.multimodal.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-(2**15), 2**15, size=n).astype(np.int16)
+    if stereo:
+        x = np.stack([x, rng.integers(-(2**15), 2**15, size=n).astype(np.int16)], axis=-1)
+        st_mode = mode
+    else:
+        st_mode = "independent"
+    sr, out = decode_flac(encode_flac(x, 32000, subframe=sub, stereo=st_mode, blocksize=blocksize))
+    assert sr == 32000
+    ref = x if stereo else x[:, None]
+    assert out.shape == ref.shape
+    assert np.array_equal(out, ref)
