@@ -402,3 +402,58 @@ def probe_media(df: DataFrame) -> DataFrame:
         schema="media_id long, container string, duration_ms long, width long, "
         "height long, sample_rate long, n_tracks long",
     )
+
+
+def attach_probe_media(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL-bytes mixed-container corpus (MP4 / MP3 / WAV) with
+    SQL-predictable probe results — the :func:`probe_media` counterpart of
+    attach_flat_media: every container field (kind, duration, dimensions,
+    rate, tracks) is a function of md5(payload), and the builders emit
+    genuinely valid byte structures (:mod:`.probe` builders + stdlib
+    wave), so a SQL oracle can check the parsers end-to-end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        from hadoop_gpu_spark.multimodal.probe import build_mp3, build_mp4
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                h = hashlib.md5(str(payload).encode("utf-8")).digest()
+                kind = h[0] % 3
+                if kind == 0:  # mp4
+                    dur = h[1] * 256 + h[2]  # 0..65535 ms
+                    w = h[3] % 1024 + 16
+                    ht = h[4] % 1024 + 16
+                    tracks = h[5] % 3 + 1
+                    data = build_mp4("isom", dur, w, ht, tracks)
+                    rows.append((int(mid), "video", data, w, ht, dur))
+                elif kind == 1:  # mp3
+                    n_frames = h[1] % 50 + 10
+                    rate = [44100, 48000, 32000][h[2] % 3]
+                    bitrate = [64, 128, 192][h[3] % 3]
+                    data = build_mp3(n_frames, bitrate, rate, 2)
+                    rows.append(
+                        (int(mid), "audio", data, 0, 0, n_frames * 1152 * 1000 // rate)
+                    )
+                else:  # wav
+                    n = h[1] % 4000 + 100
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wf:
+                        wf.setnchannels(1)
+                        wf.setsampwidth(2)
+                        wf.setframerate(8000)
+                        wf.writeframes(b"\x00\x00" * n)
+                    rows.append((int(mid), "audio", buf.getvalue(), 0, 0, n * 1000 // 8000))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "data", "meta_width", "meta_height", "meta_ms"],
+            )
+
+    from hadoop_gpu_spark.utils import ensure_min_partitions
+
+    return ensure_min_partitions(
+        df.select(F.col(id_col), F.col(payload_col))
+    ).mapInPandas(run, MEDIA_SCHEMA)

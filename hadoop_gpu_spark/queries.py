@@ -3924,6 +3924,56 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# PENDING round-6 gate — fully built and locally verified this round, but
+# the r05 window's 50 slots are exhausted by the rotation debt + changed
+# set (see the slot accounting below). Registering a NEW query forces it
+# into the window (policy: new/changed queries must reach the hard
+# signal), so registration waits for round 6; until then the pair below
+# is pinned by tests/test_multimodal.py::test_pending_media_probe_gate
+# against the same DuckDB oracle the driver would run.
+# ===========================================================================
+Q_MEDIA_PROBE_ORACLE = """
+    WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents),
+    x AS (SELECT media_id,
+            ('0x' || substr(h, 1, 2))::BIGINT AS b0,
+            ('0x' || substr(h, 3, 2))::BIGINT AS b1,
+            ('0x' || substr(h, 5, 2))::BIGINT AS b2,
+            ('0x' || substr(h, 7, 2))::BIGINT AS b3,
+            ('0x' || substr(h, 9, 2))::BIGINT AS b4,
+            ('0x' || substr(h, 11, 2))::BIGINT AS b5
+          FROM m),
+    r AS (SELECT *,
+            CASE b2 % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS rate
+          FROM x)
+    SELECT media_id,
+           CASE b0 % 3 WHEN 0 THEN 'mp4' WHEN 1 THEN 'mp3' ELSE 'wav' END AS container,
+           CAST(CASE b0 % 3
+                WHEN 0 THEN b1 * 256 + b2
+                WHEN 1 THEN ((b1 % 50 + 10) * 1152 * 1000) // rate
+                ELSE ((b1 % 4000 + 100) * 1000) // 8000 END AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN b0 % 3 = 0 THEN b3 % 1024 + 16 ELSE 0 END AS BIGINT) AS width,
+           CAST(CASE WHEN b0 % 3 = 0 THEN b4 % 1024 + 16 ELSE 0 END AS BIGINT) AS height,
+           CAST(CASE b0 % 3 WHEN 0 THEN 0 WHEN 1 THEN rate ELSE 8000 END AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN b0 % 3 = 0 THEN b5 % 3 + 1 ELSE 1 END AS BIGINT) AS n_tracks
+    FROM r
+"""
+
+
+def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-metadata probing gate (pending r06 registration): REAL
+    MP4 / MP3 / WAV byte structures built per doc (every field a function
+    of md5(text), builders emit genuinely valid streams), then the
+    production probe_media kernel parses them back — the codec-free
+    validate/measure/route pass of a media-corpus pipeline under the SQL
+    oracle."""
+    from hadoop_gpu_spark.multimodal import attach_probe_media, probe_media
+
+    docs = T(spark, sf_dir, "documents")
+    media = attach_probe_media(docs, "doc_id", "text")
+    return probe_media(media)
+
+
+# ===========================================================================
 # Driver-window ordering.
 #
 # The driver correctness-checks the FIRST 50 registered queries each round

@@ -606,3 +606,23 @@ def test_decode_audio_dispatches_flac(spark):
     assert got[2]["sample_rate"] == 44100 and got[2]["n_channels"] == 2
     assert got[2]["n_samples"] == 9000
     assert got[2]["pcm_hash"] == hashlib.md5(stereo.reshape(-1).tobytes()).hexdigest()[:16]
+
+
+def test_pending_media_probe_gate(spark, sf_dir):
+    # The r06-pending q_media_probe gate, verified NOW against the exact
+    # DuckDB oracle the driver will run once a window slot frees up
+    # (see the PENDING note in queries.py).
+    import duckdb
+
+    from hadoop_gpu_spark.queries import Q_MEDIA_PROBE_ORACLE, q_media_probe
+    from tests.oracle import compare_frames
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    got = q_media_probe(spark, sf_dir).toPandas()
+    want = con.sql(Q_MEDIA_PROBE_ORACLE).df()
+    errs = compare_frames(got, want)
+    assert not errs, errs[:3]
+    assert set(got["container"]) == {"mp4", "mp3", "wav"}
