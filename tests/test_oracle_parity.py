@@ -52,3 +52,31 @@ def test_oracle_parity_sf01_full(spark, name):
     # round-4 sweep that proved 108/108).
     errs = check_query(spark, name, "/root/testdata/sf0.01")
     assert not errs, f"{name}: " + "; ".join(errs)
+
+
+def test_no_oracle_emits_driver_unsafe_types():
+    # Root cause of the two-round q_sequence_pack driver red (found r05):
+    # DuckDB's SUM(BIGINT) returns HUGEINT, and a HUGEINT output column
+    # reaches pandas as float64 — a dtype-strict comparator then hashes
+    # oracle "98.0" against Spark's "98" and fails, while rows and schema
+    # stay green and every dtype-normalizing local comparator says the
+    # values match. Guard: every oracle's OUTPUT columns must bind to
+    # driver-safe types (no HUGEINT/UHUGEINT/UBIGINT). Binding only — no
+    # execution — so this covers all oracles in milliseconds.
+    import duckdb
+
+    from hadoop_gpu_spark.queries import ORACLES
+    from hadoop_gpu_spark.tables import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    offenders = []
+    for name, sql in ORACLES.items():
+        rel = con.sql(sql)
+        for col, typ in zip(rel.columns, [str(t) for t in rel.types]):
+            if typ in ("HUGEINT", "UHUGEINT", "UBIGINT"):
+                offenders.append((name, col, typ))
+    assert not offenders, offenders
