@@ -457,3 +457,50 @@ def attach_probe_media(df: DataFrame, id_col: str, payload_col: str) -> DataFram
     return ensure_min_partitions(
         df.select(F.col(id_col), F.col(payload_col))
     ).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def attach_flat_audio(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL-bytes audio corpus (WAV / FLAC) with an SQL-predictable
+    decode: per row a constant-amplitude mono 16-bit signal whose format
+    (md5 byte 0 % 2), length (byte 1 -> 1000..4999 samples), rate (byte 2
+    -> 8/16/32 kHz), and amplitude (byte 3 * 8 - 1020) all derive from
+    md5(payload). Constant signals decode exactly in both codecs (WAV is
+    raw PCM; FLAC collapses to CONSTANT subframes and is lossless), so a
+    SQL oracle can predict rate / sample count / mean_abs for the whole
+    corpus — the audio counterpart of attach_flat_media."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        from hadoop_gpu_spark.multimodal.flac import encode_flac
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                h = hashlib.md5(str(payload).encode("utf-8")).digest()
+                n = h[1] % 4000 + 1000
+                rate = [8000, 16000, 32000][h[2] % 3]
+                amp = h[3] * 8 - 1020
+                sig = np.full(n, amp, dtype=np.int16)
+                if h[0] % 2 == 0:
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wf:
+                        wf.setnchannels(1)
+                        wf.setsampwidth(2)
+                        wf.setframerate(rate)
+                        wf.writeframes(sig.tobytes())
+                    data = buf.getvalue()
+                else:
+                    data = encode_flac(sig, rate)
+                rows.append((int(mid), "audio", data, 0, 0, n * 1000 // rate))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "data", "meta_width", "meta_height", "meta_ms"],
+            )
+
+    from hadoop_gpu_spark.utils import ensure_min_partitions
+
+    return ensure_min_partitions(
+        df.select(F.col(id_col), F.col(payload_col))
+    ).mapInPandas(run, MEDIA_SCHEMA)

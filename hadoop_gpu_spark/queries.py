@@ -3974,6 +3974,40 @@ Q_MEDIA_PROBE_ORACLE = """
 """
 
 
+Q_AUDIO_DECODE_ORACLE = """
+    WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents)
+    SELECT media_id,
+           CAST(CASE ('0x' || substr(h, 5, 2))::BIGINT % 3
+                WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 32000 END AS BIGINT)
+             AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(('0x' || substr(h, 3, 2))::BIGINT % 4000 + 1000 AS BIGINT)
+             AS n_samples,
+           CAST(abs(('0x' || substr(h, 7, 2))::BIGINT * 8 - 1020) AS DOUBLE)
+             AS mean_abs
+    FROM m
+"""
+
+
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV + FLAC decode gate (pending r06 registration, like
+    q_media_probe): constant-amplitude signals built per doc, decoded by
+    the production decode_audio kernel; rate / sample count / mean
+    amplitude are exact and SQL-predicted. mean_abs of a constant signal
+    is the exactly-representable |amp| in both engines."""
+    from hadoop_gpu_spark.multimodal import attach_flat_audio, decode_audio
+
+    docs = T(spark, sf_dir, "documents")
+    media = attach_flat_audio(docs, "doc_id", "text")
+    return decode_audio(media).select(
+        "media_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        "mean_abs",
+    )
+
+
 def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Container-metadata probing gate (pending r06 registration): REAL
     MP4 / MP3 / WAV byte structures built per doc (every field a function

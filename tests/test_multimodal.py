@@ -626,3 +626,21 @@ def test_pending_media_probe_gate(spark, sf_dir):
     errs = compare_frames(got, want)
     assert not errs, errs[:3]
     assert set(got["container"]) == {"mp4", "mp3", "wav"}
+
+
+def test_pending_audio_decode_gate(spark, sf_dir):
+    # The r06-pending q_audio_decode gate (real WAV + FLAC through
+    # decode_audio), verified against the DuckDB oracle now.
+    import duckdb
+
+    from hadoop_gpu_spark.queries import Q_AUDIO_DECODE_ORACLE, q_audio_decode
+    from tests.oracle import compare_frames
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    got = q_audio_decode(spark, sf_dir).toPandas()
+    want = con.sql(Q_AUDIO_DECODE_ORACLE).df()
+    errs = compare_frames(got, want)
+    assert not errs, errs[:3]
