@@ -51,6 +51,19 @@ def compare_frames(s: pd.DataFrame, o: pd.DataFrame, float_rtol: float = 1e-9) -
     s, o = normalize(s), normalize(o)
     for c in s.columns:
         sv, ov = s[c], o[c]
+        # Dtype-KIND mismatch (int on one side, float on the other) is a
+        # driver-visible formatting hazard even when values are equal
+        # after normalization: a dtype-strict comparator hashes "98" vs
+        # "98.0" and fails. This silently hid the q_sequence_pack HUGEINT
+        # defect for two rounds — flag it, don't normalize it away.
+        if pd.api.types.is_integer_dtype(sv) != pd.api.types.is_integer_dtype(ov) and (
+            pd.api.types.is_numeric_dtype(sv) and pd.api.types.is_numeric_dtype(ov)
+        ):
+            errs.append(
+                f"col {c}: dtype-kind mismatch spark={sv.dtype} oracle={ov.dtype} "
+                f"(int-vs-float formats differently under a strict hasher)"
+            )
+            continue
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
             sv = sv.astype(float)
             ov = ov.astype(float)
