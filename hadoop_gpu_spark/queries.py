@@ -3943,9 +3943,12 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the r05 window's 50 slots are exhausted by the rotation debt + changed
 # set (see the slot accounting below). Registering a NEW query forces it
 # into the window (policy: new/changed queries must reach the hard
-# signal), so registration waits for round 6; until then the pair below
-# is pinned by tests/test_multimodal.py::test_pending_media_probe_gate
-# against the same DuckDB oracle the driver would run.
+# signal), so registration waits for round 6; until then the gates below
+# (q_media_probe, q_audio_decode, q_pii_redact, q_sq8_quantize,
+# q_pq_encode, q_stream_topk) are pinned by
+# tests/test_multimodal.py::test_pending_media_probe_gate and
+# tests/test_pending_gates.py against the same DuckDB oracles the driver
+# would run (plus the driver-safe-output-type binding guard).
 # ===========================================================================
 Q_MEDIA_PROBE_ORACLE = """
     WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents),
@@ -4020,6 +4023,148 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     media = attach_probe_media(docs, "doc_id", "text")
     return probe_media(media)
+
+
+# ---------------------------------------------------------------------------
+# PENDING r06 gate: PII redaction (emails / phones / IPv4) over the
+# documents corpus. Synthetic PII is injected deterministically from
+# md5(text) (the corpus ships none), counts are taken pre-redaction, and
+# the whole pass is regexp column expressions — map-only, zero shuffles,
+# patterns held to the Java/RE2 common subset so the DuckDB oracle
+# reproduces the redaction byte-for-byte. functions/pii.py.
+# ---------------------------------------------------------------------------
+def _pii_oracle() -> str:
+    from hadoop_gpu_spark.functions.pii import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+        SYNTH_PII_SQL,
+    )
+
+    return f"""
+    WITH pii AS ({SYNTH_PII_SQL}),
+    r AS (SELECT doc_id, text,
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '{EMAIL_RE}', '<EMAIL>', 'g'),
+              '{PHONE_RE}', '<PHONE>', 'g'),
+              '{IPV4_RE}', '<IP>', 'g') AS red
+          FROM pii)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+           md5(red) AS redacted_hash,
+           CAST(length(red) AS BIGINT) AS redacted_len
+    FROM r
+    """
+
+
+Q_PII_REDACT_ORACLE = _pii_oracle()
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub gate (pending r06 registration): inject deterministic
+    synthetic PII, count matches per family on the original text, redact
+    email -> phone -> IPv4, and emit the redacted hash + length."""
+    from hadoop_gpu_spark.functions.pii import (
+        attach_synthetic_pii,
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    pii = attach_synthetic_pii(docs, "doc_id", "text")
+    counts = pii_counts(F.col("text"))
+    red = redact_pii(F.col("text"))
+    return pii.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_ips"].alias("n_ips"),
+        F.md5(F.encode(red, "UTF-8")).alias("redacted_hash"),
+        F.length(red).cast("long").alias("redacted_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PENDING r06 gate: int8 scalar quantization of the embeddings corpus
+# (similarity/quantize.py). One partial-aggregated pass learns the
+# per-dimension |max| (the 64-double model), then the corpus quantizes
+# map-only with the model as a broadcast literal. Integer outputs keep the
+# gate hash order-independent.
+# ---------------------------------------------------------------------------
+def _sq8_oracle() -> str:
+    from hadoop_gpu_spark.similarity.quantize import SQ8_SQL
+
+    return SQ8_SQL
+
+
+Q_SQ8_QUANTIZE_ORACLE = _sq8_oracle()
+
+
+def q_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization gate (pending r06 registration)."""
+    from hadoop_gpu_spark.similarity.quantize import sq8_quantize
+
+    return sq8_quantize(T(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# PENDING r06 gate: product-quantization encode (similarity/quantize.py) —
+# 64-dim vectors to 8 centroid indices (PQ8x4bit) against a deterministic
+# dyadic codebook; map-only, codebook constant-folded into codegen, and
+# the SQL twin is generated from the same codebook values so every float
+# expression tree matches bit-for-bit.
+# ---------------------------------------------------------------------------
+def _pq_oracle() -> str:
+    from hadoop_gpu_spark.similarity.quantize import pq_codebook, pq_encode_sql
+
+    return pq_encode_sql(pq_codebook())
+
+
+Q_PQ_ENCODE_ORACLE = _pq_oracle()
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode gate (pending r06 registration)."""
+    from hadoop_gpu_spark.similarity.quantize import pq_encode
+
+    return pq_encode(T(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# PENDING r06 gate: streaming top-k event types per hour through the
+# foreachBatch snapshot sink (streaming/__init__.py:topk_per_window_snapshot)
+# — the rank-over-a-streaming-aggregate pattern plus the
+# idempotent-overwrite sink, neither exercised by the existing stream
+# gates. Snapshot size is |windows| * k regardless of input volume.
+# ---------------------------------------------------------------------------
+Q_STREAM_TOPK_ORACLE = """
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2)
+    SELECT hour, event_type, cnt, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY hour
+                                   ORDER BY cnt DESC, event_type ASC) AS rank
+      FROM h)
+    WHERE rank <= 3
+"""
+
+
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hourly top-3 event types (pending r06 registration)."""
+    import tempfile
+
+    from hadoop_gpu_spark.streaming import (
+        events_stream,
+        topk_per_window_snapshot,
+        windowed_counts,
+    )
+
+    agg = windowed_counts(events_stream(spark, sf_dir))
+    out_dir = tempfile.mkdtemp(prefix="q_stream_topk_")
+    snap = topk_per_window_snapshot(agg, out_dir, k=3)
+    return snap.select("hour", "event_type", "cnt", "rank")
 
 
 # ===========================================================================

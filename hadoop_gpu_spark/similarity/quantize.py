@@ -1,0 +1,287 @@
+"""Embedding compression kernels: int8 scalar quantization + product
+quantization (PQ) encode.
+
+The reference's vector surface is dense-matrix arithmetic (matmul /
+k-means — ``A/matmul``, ``A/kmeans``); it has no vector-compression
+operator. At 100 TB an embedding corpus is routinely stored quantized
+(int8 scalar quantization ~4x, PQ ~32x) with ANN running over the codes,
+so these kernels join the beyond-reference similarity set next to
+``similarity/ann.py`` (brute-force / IVF / LSH).
+
+Scale + determinism design:
+
+- Both kernels are MAP-ONLY over the corpus once their (tiny) model is
+  known: the int8 scale vector (d doubles) and the PQ codebook
+  (n_sub * n_cent * sub_dim doubles) ride along in the plan/closure;
+  the 100 TB corpus never shuffles. int8 stays in whole-stage codegen
+  (pure expressions); PQ runs as an Arrow-batched numpy kernel (the
+  expression twin blows the 64 KB codegen method limit — see
+  ``pq_encode_expr``), proven bit-identical by parity fuzz.
+- The per-dimension |max| for int8 is one partial-aggregated pass
+  (posexplode -> max(abs)); only (pos, float) pairs shuffle, 32 rows per
+  partition after partial agg.
+- Cross-engine bit-parity rules (the gate runs the same math in DuckDB):
+  every arithmetic step is double precision with an explicit cast, the
+  expression trees are generated left-to-right identically on both
+  sides, codebook entries are dyadic rationals (k/16) that render to
+  exact short decimal literals, and ties in the argmin resolve to the
+  lowest centroid index via an ordered CASE chain on both engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import reduce
+
+import numpy as np
+import pandas as pd  # module-level: pandas_udf type hints resolve against module globals
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# int8 scalar quantization
+# --------------------------------------------------------------------------
+
+
+def dim_absmax(df: DataFrame, col: str = "embedding") -> list[float]:
+    """Per-dimension max(|x|) over an ``array<float>`` column.
+
+    One distributed pass: posexplode -> partial max(abs) per partition ->
+    d-row final agg; the driver receives d floats (the quantization
+    model), never the data.
+    """
+    rows = (
+        df.select(F.posexplode(col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("x"))).alias("amax"))
+        .collect()
+    )
+    out = [0.0] * (max(r["pos"] for r in rows) + 1)
+    for r in rows:
+        out[r["pos"]] = float(r["amax"])
+    return out
+
+
+def sq8_codes(col: Column, amax: list[float]) -> Column:
+    """Symmetric int8 codes: ``q_i = round(x_i / amax_i * 127)``.
+
+    Zero-amax dimensions (constant-zero feature) quantize to 0 instead of
+    dividing by zero. float->double casts are exact; a single divide and
+    multiply are correctly rounded in both engines, so codes are
+    bit-reproducible cross-engine.
+    """
+    amax_lit = F.array(*[F.lit(float(a)) for a in amax])
+    return F.zip_with(
+        col,
+        amax_lit,
+        lambda x, a: F.when(a == 0.0, F.lit(0).cast("long")).otherwise(
+            F.round(x.cast("double") / a * 127.0).cast("long")
+        ),
+    )
+
+
+def sq8_quantize(df: DataFrame, id_col: str = "vec_id", col: str = "embedding") -> DataFrame:
+    """Corpus-level int8 quantization: id, codes, and integer summaries
+    (integer outputs are order-independent, so the gate hash is exact)."""
+    amax = dim_absmax(df, col)
+    q = sq8_codes(F.col(col), amax)
+    return df.select(
+        F.col(id_col),
+        F.aggregate(q, F.lit(0).cast("long"), lambda s, v: s + v).alias("q_sum"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda s, v: s + F.abs(v)).alias("q_abs_sum"),
+        F.md5(F.encode(F.concat_ws(",", F.transform(q, lambda v: v.cast("string"))), "UTF-8")).alias(
+            "q_hash"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (encode against a fixed deterministic codebook)
+# --------------------------------------------------------------------------
+
+
+def pq_codebook(n_sub: int = 8, n_cent: int = 16, sub_dim: int = 8) -> list[list[list[float]]]:
+    """Deterministic PQ codebook: entry (s, k, d) = (md5 byte % 33 - 16)/16.
+
+    Dyadic rationals in [-1, 1] — exactly representable doubles whose
+    ``repr`` is a short exact literal, so the identical codebook can be
+    embedded in both the Spark plan and the SQL oracle. Training a
+    data-adaptive codebook is k-means — ``ml/kmeans.py`` — and composes:
+    pass its centroids here instead.
+    """
+    book = []
+    for s in range(n_sub):
+        cents = []
+        for k in range(n_cent):
+            ent = []
+            for d in range(sub_dim):
+                byte = hashlib.md5(f"pq:{s}:{k}:{d}".encode()).digest()[0]
+                ent.append((byte % 33 - 16) / 16.0)
+            cents.append(ent)
+        book.append(cents)
+    return book
+
+
+def _sub_dists(emb: Column, cents: list[list[float]], s: int, sub_dim: int) -> list[Column]:
+    """Squared L2 distance of subvector ``s`` to each centroid — explicit
+    left-to-right sum of squared diffs (bit-identical to the SQL twin)."""
+    dists = []
+    for ent in cents:
+        terms = []
+        for d, c in enumerate(ent):
+            diff = emb[s * sub_dim + d].cast("double") - F.lit(float(c))
+            terms.append(diff * diff)
+        dists.append(reduce(lambda a, b: a + b, terms))
+    return dists
+
+
+def _argmin(dists: list[Column]) -> Column:
+    """Lowest index attaining the minimum (ordered CASE chain — the same
+    first-match-wins tie rule the SQL twin uses)."""
+    m = F.least(*dists)
+    expr = F.lit(None).cast("long")
+    out = None
+    for k, dk in enumerate(dists):
+        cond = dk == m
+        out = F.when(cond, F.lit(k).cast("long")) if out is None else out.when(
+            cond, F.lit(k).cast("long")
+        )
+    return out.otherwise(expr)
+
+
+def pq_encode_expr(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    book: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Expression-variant PQ encode — the ORACLE-SPEC ANCHOR, not the
+    production path: with a full 8x16x8 codebook the collapsed projection
+    exceeds the JVM's 64 KB method limit and Spark drops out of
+    whole-stage codegen (observed at sf0.01), recomputing each subspace's
+    distances in LEAST and again per CASE arm. ``pq_encode`` (Arrow/numpy,
+    bit-identical by ``tests/test_pending_gates.py`` parity fuzz) is the
+    path queries take — the same anchor/kernel split every dedup
+    fingerprint family uses (``dedup/minhash.py:83``)."""
+    book = book if book is not None else pq_codebook()
+    sub_dim = len(book[0][0])
+    emb = F.col(col)
+    codes = [
+        _argmin(_sub_dists(emb, cents, s, sub_dim)).alias(f"c{s}")
+        for s, cents in enumerate(book)
+    ]
+    out = df.select(F.col(id_col), *codes)
+    return out.withColumn(
+        "pq_code", F.concat_ws("-", *[F.col(f"c{s}") for s in range(len(book))])
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    book: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Production PQ encode: one Arrow-batched numpy kernel per executor
+    core — (N, K, D) broadcasted squared diffs accumulated LEFT-TO-RIGHT
+    along D (never ``np.sum``, whose pairwise association would drift
+    from the SQL twin's bit pattern), then first-occurrence argmin (the
+    same lowest-index tie rule as the CASE chain). Map-only, codebook in
+    the closure (a broadcast at scale), no shuffle."""
+    book_v = book if book is not None else pq_codebook()
+    n_sub = len(book_v)
+    sub_dim = len(book_v[0][0])
+    C = np.asarray(book_v, dtype=np.float64)  # (S, K, D)
+
+    @F.pandas_udf("array<long>")
+    def pq_codes(embs: pd.Series) -> pd.Series:
+        if not len(embs):
+            return pd.Series([], dtype=object)
+        X = np.asarray(embs.tolist(), dtype=np.float64)  # float32 -> exact
+        out = np.empty((X.shape[0], n_sub), dtype=np.int64)
+        for s in range(n_sub):
+            xs = X[:, s * sub_dim : (s + 1) * sub_dim]
+            sq = xs[:, None, :] - C[s][None, :, :]
+            sq *= sq
+            acc = sq[:, :, 0].copy()
+            for d in range(1, sub_dim):
+                acc += sq[:, :, d]
+            out[:, s] = acc.argmin(axis=1)
+        return pd.Series(list(out))
+
+    arr = pq_codes(F.col(col))
+    out = df.select(F.col(id_col), arr.alias("__pq"))
+    cols = [F.col("__pq")[s].alias(f"c{s}") for s in range(n_sub)]
+    return out.select(F.col(id_col), *cols).withColumn(
+        "pq_code", F.concat_ws("-", *[F.col(f"c{s}") for s in range(n_sub)])
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL twins (DuckDB oracle fragments)
+# --------------------------------------------------------------------------
+
+
+def _fmt(x: float) -> str:
+    """Exact decimal literal for a dyadic rational (repr of a /16 value
+    is already exact and short)."""
+    return repr(float(x))
+
+
+def pq_encode_sql(book: list[list[list[float]]], table: str = "embeddings") -> str:
+    """Generate the DuckDB twin of ``pq_encode`` (1-based list indexing,
+    same left-to-right float expression trees, same CASE tie rule)."""
+    n_sub = len(book)
+    sub_dim = len(book[0][0])
+    dist_cols = []
+    for s, cents in enumerate(book):
+        for k, ent in enumerate(cents):
+            terms = [
+                f"(embedding[{s * sub_dim + d + 1}]::DOUBLE - {_fmt(c)})"
+                f" * (embedding[{s * sub_dim + d + 1}]::DOUBLE - {_fmt(c)})"
+                for d, c in enumerate(ent)
+            ]
+            dist_cols.append(f"{' + '.join(terms)} AS d{s}_{k}")
+    mins = [
+        f"LEAST({', '.join(f'd{s}_{k}' for k in range(len(book[s])))}) AS m{s}"
+        for s in range(n_sub)
+    ]
+    cases = []
+    for s in range(n_sub):
+        whens = " ".join(
+            f"WHEN d{s}_{k} = m{s} THEN {k}" for k in range(len(book[s]))
+        )
+        cases.append(f"CAST(CASE {whens} END AS BIGINT) AS c{s}")
+    code_concat = " || '-' || ".join(f"c{s}" for s in range(n_sub))
+    return f"""
+    WITH dists AS (SELECT vec_id, {', '.join(dist_cols)} FROM {table}),
+    mins AS (SELECT *, {', '.join(mins)} FROM dists),
+    codes AS (SELECT vec_id, {', '.join(cases)} FROM mins)
+    SELECT vec_id, {', '.join(f'c{s}' for s in range(n_sub))},
+           {code_concat} AS pq_code
+    FROM codes
+    """
+
+
+SQ8_SQL = """
+    WITH d AS (
+      SELECT pos, max(abs(x)) AS amax FROM (
+        SELECT unnest(embedding) AS x,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM embeddings)
+      GROUP BY pos),
+    a AS (SELECT list(amax ORDER BY pos) AS am FROM d),
+    q AS (
+      SELECT vec_id,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CASE WHEN am[i] = 0 THEN CAST(0 AS BIGINT)
+                         ELSE CAST(round(embedding[i]::DOUBLE / am[i]::DOUBLE * 127.0)
+                                   AS BIGINT) END) AS qs
+      FROM embeddings, a)
+    SELECT vec_id,
+           CAST(list_sum(qs) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qs, v -> abs(v))) AS BIGINT) AS q_abs_sum,
+           md5(array_to_string(qs, ',')) AS q_hash
+    FROM q
+"""

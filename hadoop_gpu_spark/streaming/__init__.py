@@ -286,3 +286,46 @@ def stream_stream_join(
         f"{right_type}_id",
         (F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts")).alias("gap_s"),
     )
+
+
+def topk_per_window_snapshot(
+    agg_stream: DataFrame, out_dir: str, k: int = 3
+) -> DataFrame:
+    """Streaming top-k via the foreachBatch snapshot-sink pattern.
+
+    Rank functions are not allowed on a streaming aggregate, so the
+    standard shape is: stream the windowed aggregate in ``complete`` mode
+    into ``foreachBatch``, rank the (small) full aggregate as a normal
+    batch frame each micro-batch, and idempotently OVERWRITE a parquet
+    snapshot — the final snapshot after an availableNow drain is the
+    answer. At scale the snapshot is |windows| * k rows (bounded by the
+    watermark horizon), regardless of input volume; overwrite-per-batch
+    makes replays/retries idempotent (the exactly-once story for
+    non-transactional sinks).
+
+    ``agg_stream`` must expose (hour, event_type, cnt) — i.e.
+    ``windowed_counts`` output; ranking is cnt DESC, event_type ASC per
+    hour with row_number semantics (ties break to the lexicographically
+    first type, the same deterministic rule every ranked gate uses).
+    """
+    from pyspark.sql.window import Window
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        w = Window.partitionBy("hour").orderBy(
+            F.col("cnt").desc(), F.col("event_type").asc()
+        )
+        (
+            batch_df.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+
+    q = (
+        agg_stream.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return agg_stream.sparkSession.read.parquet(out_dir)

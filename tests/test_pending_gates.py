@@ -1,0 +1,176 @@
+"""r06-PENDING gate queries, verified NOW against the exact DuckDB oracle
+the driver will run once window slots free up (same pattern as
+tests/test_multimodal.py::test_pending_media_probe_gate; see the PENDING
+note in queries.py). Covers the four gates added after the r05 window
+froze: PII redaction, int8 scalar quantization, PQ encode, and the
+streaming foreachBatch top-k snapshot.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle import compare_frames, duckdb_con
+
+PENDING = ["q_pii_redact", "q_sq8_quantize", "q_pq_encode", "q_stream_topk"]
+
+
+@pytest.mark.parametrize("name", PENDING)
+def test_pending_gate_oracle(spark, sf_dir, name):
+    from hadoop_gpu_spark import queries as q
+
+    fn = getattr(q, name)
+    oracle = getattr(q, f"Q_{name[2:].upper()}_ORACLE")
+    got = fn(spark, sf_dir).toPandas()
+    con = duckdb_con(sf_dir)
+    want = con.sql(oracle).df()
+    con.close()
+    errs = compare_frames(got, want)
+    assert not errs, f"{name}: " + "; ".join(errs[:3])
+
+
+def test_pending_oracles_emit_driver_safe_types(sf_dir):
+    # Same binding-level guard the registered oracles get
+    # (test_oracle_parity.py::test_no_oracle_emits_driver_unsafe_types):
+    # pending gates must not ship a HUGEINT-shaped driver red in r06.
+    from hadoop_gpu_spark import queries as q
+
+    con = duckdb_con(sf_dir)
+    offenders = []
+    for name in [*PENDING, "q_media_probe", "q_audio_decode"]:
+        rel = con.sql(getattr(q, f"Q_{name[2:].upper()}_ORACLE"))
+        for col, typ in zip(rel.columns, [str(t) for t in rel.types]):
+            if typ in ("HUGEINT", "UHUGEINT", "UBIGINT"):
+                offenders.append(f"{name}.{col}: {typ}")
+    con.close()
+    assert not offenders, offenders
+
+
+def test_pii_counts_vary(spark, sf_dir):
+    # The md5-derived injection must make every family's count vary
+    # across documents — a constant-count gate would pass vacuously.
+    from hadoop_gpu_spark.queries import q_pii_redact
+
+    pdf = q_pii_redact(spark, sf_dir).toPandas()
+    assert set(pdf["n_emails"]) >= {1, 2}
+    assert 0 in set(pdf["n_phones"]) and 1 in set(pdf["n_phones"])
+    assert 0 in set(pdf["n_ips"]) and 1 in set(pdf["n_ips"])
+    # Redaction is never vacuous: every doc had at least its email
+    # replaced, so the redacted text embeds the token.
+    assert (pdf["redacted_len"] > 0).all()
+
+
+def test_pii_regex_engine_parity_on_edge_strings(spark):
+    # The Java (Spark) and RE2 (DuckDB) engines must agree on the full
+    # match set for the declared pattern subset — exercised on adversarial
+    # strings, not just the synthetic corpus: boundary digits, greedy
+    # domain backtracking, adjacent PII, 4-letter TLD cap, non-PII
+    # lookalikes.
+    import duckdb
+
+    from hadoop_gpu_spark.functions.pii import EMAIL_RE, IPV4_RE, PHONE_RE, redact_pii
+    from pyspark.sql import functions as F
+
+    cases = [
+        "a@b.io tail",
+        "x user.name+tag@sub.domain.org y",
+        "toolongtld@host.example stays",
+        "ip 1.2.3.4 and 255.255.255.255.",
+        "no-break1234.5.6.7.8999 inside digits",
+        "call +1-200-300-4000+1-200-300-4000",
+        "adjacent a@b.de1.2.3.4",
+        "dots..everywhere@..x.yz",
+        "not an email @ here, not a phone +1-20-300-4000",
+    ]
+    sdf = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i long, t string")
+    got = {
+        r["i"]: r["red"]
+        for r in sdf.select("i", redact_pii(F.col("t")).alias("red")).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(cases):
+        want = con.execute(
+            "SELECT regexp_replace(regexp_replace(regexp_replace(?,"
+            " ?, '<EMAIL>', 'g'), ?, '<PHONE>', 'g'), ?, '<IP>', 'g')",
+            [s, EMAIL_RE, PHONE_RE, IPV4_RE],
+        ).fetchone()[0]
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+    con.close()
+
+
+def test_sq8_zero_dimension_guard(spark):
+    # A constant-zero dimension must quantize to 0, not divide by zero.
+    from pyspark.sql import functions as F
+
+    from hadoop_gpu_spark.similarity.quantize import dim_absmax, sq8_codes
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 2.0, -4.0]), (2, [0.0, 1.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    amax = dim_absmax(df)
+    assert amax == [0.0, 2.0, 4.0]
+    rows = {r["vec_id"]: r["q"] for r in df.select("vec_id", sq8_codes(F.col("embedding"), amax).alias("q")).collect()}
+    assert rows[1] == [0, 127, -127]
+    assert rows[2] == [0, 64, 127]  # round(0.5*127)=round(63.5) HALF_UP -> 64
+
+
+def test_pq_codebook_is_dyadic_and_deterministic():
+    from hadoop_gpu_spark.similarity.quantize import pq_codebook
+
+    b1, b2 = pq_codebook(), pq_codebook()
+    assert b1 == b2
+    vals = [c for s in b1 for k in s for c in k]
+    assert all(v * 16 == int(v * 16) for v in vals)  # dyadic /16
+    assert min(vals) >= -1.0 and max(vals) <= 1.0
+    assert len(b1) == 8 and len(b1[0]) == 16 and len(b1[0][0]) == 8
+
+
+def test_pq_encode_tie_breaks_to_lowest_index(spark):
+    # Two identical centroids -> the code must be the LOWER index on both
+    # engines (ordered CASE chain). Build a 1-subspace book with a
+    # duplicated centroid that exactly matches the vector.
+    from hadoop_gpu_spark.similarity.quantize import pq_encode
+
+    book = [[[0.5, -0.5], [0.25, 0.25], [0.25, 0.25]]]
+    df = spark.createDataFrame(
+        [(7, [0.25, 0.25])], "vec_id long, embedding array<float>"
+    )
+    row = pq_encode(df, book=book).collect()[0]
+    assert row["c0"] == 1 and row["pq_code"] == "1"
+
+
+def test_pq_expr_pandas_parity_fuzz(spark):
+    # The expression anchor and the Arrow/numpy production kernel must be
+    # BIT-identical (left-to-right accumulation + first-min tie rule on
+    # both) — same proof style as the dedup kernel twins.
+    import numpy as np
+
+    from hadoop_gpu_spark.similarity.quantize import (
+        pq_codebook,
+        pq_encode,
+        pq_encode_expr,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(v) for v in rng.normal(0, 0.7, 64).astype(np.float32)])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    book = pq_codebook()
+    a = {r["vec_id"]: r["pq_code"] for r in pq_encode(df, book=book).collect()}
+    b = {r["vec_id"]: r["pq_code"] for r in pq_encode_expr(df, book=book).collect()}
+    assert a == b
+
+
+def test_stream_topk_snapshot_shape(spark, sf_dir):
+    # <=3 rows per hour, ranks are 1..n contiguous, counts non-increasing.
+    from hadoop_gpu_spark.queries import q_stream_topk
+
+    pdf = q_stream_topk(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    for _, grp in pdf.sort_values("rank").groupby("hour"):
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert len(grp) <= 3
+        assert list(grp["cnt"]) == sorted(grp["cnt"], reverse=True)
