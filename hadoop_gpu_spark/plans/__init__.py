@@ -33,8 +33,14 @@ def has_cartesian(df: DataFrame) -> bool:
 
 
 def wholestage_codegen_ids(df: DataFrame) -> int:
-    """Number of WholeStageCodegen spans (more fused = fewer breaks)."""
-    return formatted_plan(df).count("WholeStageCodegen")
+    """Number of distinct WholeStageCodegen spans (more fused = fewer
+    breaks). Formatted explain labels codegen'd operators with
+    ``[codegen id : N]`` rather than a WholeStageCodegen node, so count
+    distinct ids."""
+    import re
+
+    ids = re.findall(r"codegen id : (\d+)", formatted_plan(df))
+    return len(set(ids))
 
 
 def shuffled_columns(df: DataFrame, keyed_only: bool = True) -> set[str]:

@@ -4112,8 +4112,10 @@ def q_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # PENDING r06 gate: product-quantization encode (similarity/quantize.py) —
 # 64-dim vectors to 8 centroid indices (PQ8x4bit) against a deterministic
-# dyadic codebook; map-only, codebook constant-folded into codegen, and
-# the SQL twin is generated from the same codebook values so every float
+# dyadic codebook; map-only. Production path is the Arrow/numpy kernel
+# (the full-codebook expression twin exceeds the 64 KB codegen method
+# limit and is kept as the oracle-spec anchor, parity-fuzz-pinned); the
+# SQL twin is generated from the same codebook values so every float
 # expression tree matches bit-for-bit.
 # ---------------------------------------------------------------------------
 def _pq_oracle() -> str:

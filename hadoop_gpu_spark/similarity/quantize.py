@@ -188,7 +188,12 @@ def pq_encode(
     along D (never ``np.sum``, whose pairwise association would drift
     from the SQL twin's bit pattern), then first-occurrence argmin (the
     same lowest-index tie rule as the CASE chain). Map-only, codebook in
-    the closure (a broadcast at scale), no shuffle."""
+    the closure (a broadcast at scale), no keyed shuffle — only the
+    ensure_min_partitions round-robin spread every Python-kernel entry
+    point applies (a no-op on real many-row-group inputs)."""
+    from hadoop_gpu_spark.utils import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
     book_v = book if book is not None else pq_codebook()
     n_sub = len(book_v)
     sub_dim = len(book_v[0][0])

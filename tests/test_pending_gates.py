@@ -164,6 +164,55 @@ def test_pq_expr_pandas_parity_fuzz(spark):
     assert a == b
 
 
+def test_pii_redact_is_map_only(spark, sf_dir):
+    # The scrub must ride the scan: zero Exchange nodes (each document is
+    # redacted where it sits — the plan shape that survives 100 TB) and
+    # the whole pass fused into whole-stage codegen.
+    from hadoop_gpu_spark import plans
+    from hadoop_gpu_spark.queries import q_pii_redact
+
+    df = q_pii_redact(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "Exchange" not in plan, plan
+    assert plans.wholestage_codegen_ids(df) >= 1
+
+
+def test_pq_encode_never_shuffles(spark, sf_dir):
+    # Map-only Arrow kernel: no KEYED shuffle (the only Exchange allowed
+    # is ensure_min_partitions' round-robin spread, a no-op at scale),
+    # and the Python stage is Arrow-batched (ArrowEvalPython), not
+    # row-at-a-time (BatchEvalPython).
+    from hadoop_gpu_spark import plans
+    from hadoop_gpu_spark.queries import q_pq_encode
+
+    df = q_pq_encode(spark, sf_dir)
+    assert plans.shuffled_columns(df) == set()
+    plan = plans.formatted_plan(df)
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_sq8_plan_shapes(spark, sf_dir):
+    # Model pass: only exploded (pos, x) pairs cross the Exchange after a
+    # partial (map-side) aggregate — the full embedding array never
+    # shuffles. Encode pass: map-only with the model as plan literals.
+    from pyspark.sql import functions as F
+
+    from hadoop_gpu_spark import plans
+    from hadoop_gpu_spark.queries import q_sq8_quantize
+    from hadoop_gpu_spark.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    agg = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("x"))).alias("amax"))
+    )
+    assert "embedding" not in plans.shuffled_columns(agg)
+    assert plans.formatted_plan(agg).count("HashAggregate") >= 2  # partial+final
+    encode_plan = plans.formatted_plan(q_sq8_quantize(spark, sf_dir))
+    assert "Exchange" not in encode_plan, encode_plan
+
+
 def test_stream_topk_snapshot_shape(spark, sf_dir):
     # <=3 rows per hour, ranks are 1..n contiguous, counts non-increasing.
     from hadoop_gpu_spark.queries import q_stream_topk
