@@ -1,0 +1,104 @@
+"""From-scratch distributed Bloom filter (build + membership prefilter).
+
+Reference analog: ``M/io/BloomMapFile.java`` applies a Bloom filter to
+key lookups in a MapFile; here the same structure becomes a JOIN
+PREFILTER — the shape that matters at 100 TB: build a compact bitset
+over the small/trusted side's keys, broadcast it, and drop big-side rows
+BEFORE they reach the shuffle. False positives are later removed by an
+exact verify join, so composed pipelines (``decontaminate`` gate) remain
+EXACT while the shuffle only carries bloom-positive rows; false
+negatives cannot occur, so nothing is ever lost.
+
+Scale design:
+
+- Bit positions are computed JVM-side (``xxhash64`` with k different
+  seed literals + ``pmod``) — the Python kernels only look bits up, so
+  build and probe agree on hashes by construction.
+- Build is the treeAggregate shape: each partition folds its rows into a
+  LOCAL m-bit bitset via ``mapInPandas`` (one m/8-byte row out per
+  partition), the driver ORs the partials — the data never shuffles and
+  driver traffic is partitions x m/8 bytes, independent of row count.
+- Probe is an Arrow-batched pandas UDF holding the (broadcast) bitset in
+  its closure; membership is vectorized numpy over (N, k) positions.
+- Sizing rule: false-positive rate ~ (1 - e^(-kn/m))^k; an overloaded
+  bloom degrades to pass-through (prunes nothing) but never to
+  incorrectness — size m at ~10 bits per expected distinct key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd  # module-level: pandas_udf type hints resolve against module globals
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bloom_positions(col: Column, m_bits: int, k: int) -> Column:
+    """The k bit positions for a value: ``pmod(xxhash64(seed_i, col), m)``
+    — JVM expressions, so build and probe can never disagree."""
+    return F.array(
+        *[F.pmod(F.xxhash64(F.lit(i), col), F.lit(m_bits)) for i in range(k)]
+    )
+
+
+def build_bloom(df: DataFrame, col: str, m_bits: int = 1 << 20, k: int = 4) -> bytes:
+    """Fold a column into an m-bit Bloom bitset (returned as bytes).
+
+    One narrow pass: per-partition local bitsets (mapInPandas), OR-merged
+    on the driver. m_bits must be a multiple of 8.
+    """
+    assert m_bits % 8 == 0
+    nbytes = m_bits // 8
+    parts = df.select(bloom_positions(F.col(col), m_bits, k).alias("pos"))
+
+    def fold(batches):
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            p = np.concatenate([np.asarray(v, dtype=np.int64) for v in pdf["pos"]])
+            # |= with repeated byte indices needs unbuffered accumulation
+            np.bitwise_or.at(bits, p >> 3, (1 << (p & 7)).astype(np.uint8))
+        if seen:
+            yield pd.DataFrame({"b": [bits.tobytes()]})
+
+    out = np.zeros(nbytes, dtype=np.uint8)
+    for row in parts.mapInPandas(fold, "b binary").collect():
+        out |= np.frombuffer(row["b"], dtype=np.uint8)
+    return out.tobytes()
+
+
+def bloom_might_contain(bloom: bytes, col: Column, m_bits: int, k: int) -> Column:
+    """Boolean membership column: True if every one of the value's k bits
+    is set (i.e. possibly in the set; False means DEFINITELY absent)."""
+    bits = np.frombuffer(bloom, dtype=np.uint8)
+
+    @F.pandas_udf("boolean")
+    def contains(pos: pd.Series) -> pd.Series:
+        if not len(pos):
+            return pd.Series([], dtype=bool)
+        P = np.stack([np.asarray(v, dtype=np.int64) for v in pos])
+        byte = bits[P >> 3]
+        mask = (1 << (P & 7)).astype(np.uint8)
+        return pd.Series(((byte & mask) == mask).all(axis=1))
+
+    return contains(bloom_positions(col, m_bits, k))
+
+
+def bloom_prefiltered_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """EXACT semi join with a Bloom prefilter on the big side: rows whose
+    key is definitely absent from ``small`` never reach the shuffle; the
+    surviving candidates (true matches + bloom false positives) go
+    through a normal semi join that removes the false positives."""
+    bloom = build_bloom(small.select(on), on, m_bits, k)
+    cand = big.filter(bloom_might_contain(bloom, F.col(on), m_bits, k))
+    return cand.join(small.select(on).distinct(), on, "left_semi")

@@ -3945,7 +3945,7 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # into the window (policy: new/changed queries must reach the hard
 # signal), so registration waits for round 6; until then the gates below
 # (q_media_probe, q_audio_decode, q_pii_redact, q_sq8_quantize,
-# q_pq_encode, q_stream_topk) are pinned by
+# q_pq_encode, q_stream_topk, q_ann_pq, q_bloom_decontaminate) are pinned by
 # tests/test_multimodal.py::test_pending_media_probe_gate and
 # tests/test_pending_gates.py against the same DuckDB oracles the driver
 # would run (plus the driver-safe-output-type binding guard).
@@ -4132,6 +4132,78 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_gpu_spark.similarity.quantize import pq_encode
 
     return pq_encode(T(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# PENDING r06 gate: Bloom-prefiltered decontamination (operators/bloom.py)
+# — the scale twin of q_contamination: the eval side's gram rows are
+# dropped by a broadcast Bloom bitset over the train grams BEFORE any
+# shuffle; the surviving candidates go through the exact semi-join verify
+# that removes Bloom false positives, so the output (eval docs sharing NO
+# 8-gram with the train split) is exact and the oracle is plain SQL.
+# Reference analog: M/io/BloomMapFile.java:79 (bloom-gated key lookup),
+# re-expressed as a join prefilter.
+# ---------------------------------------------------------------------------
+Q_BLOOM_DECONTAMINATE_ORACLE = f"""
+    WITH g AS (SELECT doc_id, doc_id % 2 AS part, unnest({_gram_hash_sql(8)}) AS gh
+               FROM documents),
+    tr AS (SELECT DISTINCT gh FROM g WHERE part = 0),
+    ev AS (SELECT doc_id, gh FROM g WHERE part = 1),
+    dirty AS (SELECT DISTINCT doc_id FROM ev JOIN tr USING (gh))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM ev
+    WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+    GROUP BY doc_id
+"""
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean-eval-docs gate (pending r06 registration): eval docs whose
+    distinct word-8-grams never appear in the train split, found via
+    Bloom prefilter + exact verify."""
+    from hadoop_gpu_spark.operators.bloom import bloom_might_contain, build_bloom
+    from hadoop_gpu_spark.operators.fields import tokenize
+
+    m_bits, k = 1 << 20, 4
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    g = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 2).alias("part"),
+        F.explode(_gram_hashes(tokenize("text"), 8)).alias("gh"),
+    )
+    train = g.filter(F.col("part") == 0).select("gh")
+    ev = g.filter(F.col("part") == 1).select("doc_id", "gh")
+    bloom = build_bloom(train, "gh", m_bits, k)
+    cand = ev.filter(bloom_might_contain(bloom, F.col("gh"), m_bits, k))
+    dirty = cand.join(train.distinct(), "gh", "left_semi").select("doc_id").distinct()
+    return (
+        ev.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+        .join(dirty, "doc_id", "left_anti")
+        .select("doc_id", "n_grams")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PENDING r06 gate: ADC top-k over PQ codes (similarity/quantize.py:
+# pq_adc_topk) — the search half of product quantization, completing the
+# ANN family (brute force / IVF / LSH / PQ-ADC). Same query convention as
+# q_ann_topk (vec_id < 8, k = 5); corpus scans once as 4-bit codes, each
+# query ships a broadcast LUT of subspace distances.
+# ---------------------------------------------------------------------------
+def _adc_oracle() -> str:
+    from hadoop_gpu_spark.similarity.quantize import pq_adc_sql, pq_codebook
+
+    return pq_adc_sql(pq_codebook())
+
+
+Q_ANN_PQ_ORACLE = _adc_oracle()
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-k gate (pending r06 registration)."""
+    from hadoop_gpu_spark.similarity.quantize import pq_adc_topk
+
+    return pq_adc_topk(T(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------

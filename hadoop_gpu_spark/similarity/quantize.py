@@ -223,6 +223,70 @@ def pq_encode(
     )
 
 
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    book: list[list[list[float]]] | None = None,
+    n_queries: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over PQ codes — the
+    search half of the PQ story (``pq_encode`` is the build half),
+    completing the ANN family next to brute-force / IVF / LSH
+    (``similarity/ann.py``).
+
+    Scale shape: the corpus is scanned ONCE as codes (4 bits/subspace —
+    the 32x-compressed representation); each query contributes a
+    (n_sub x n_cent) LUT of subspace distances computed driver-side from
+    the codebook (tiny, exact) and broadcast, so scoring is a
+    broadcast-join + per-row LUT lookups — no keyed shuffle until the
+    |corpus| x |queries| scored rows rank per query. ADC distances use
+    the same left-to-right accumulation as the encode kernel, so the SQL
+    twin (``pq_adc_sql``) matches bit-for-bit.
+    """
+    spark = df.sparkSession
+    book_v = book if book is not None else pq_codebook()
+    n_sub = len(book_v)
+    sub_dim = len(book_v[0][0])
+    C = np.asarray(book_v, dtype=np.float64)
+
+    codes = pq_encode(df, id_col, col, book_v).drop("pq_code")
+    qrows = (
+        df.filter(F.col(id_col) < n_queries).select(id_col, col).collect()
+    )
+    lut_rows = []
+    for r in qrows:
+        x = np.asarray(r[col], dtype=np.float64)
+        per_s = []
+        for s in range(n_sub):
+            xs = x[s * sub_dim : (s + 1) * sub_dim]
+            sq = xs[None, :] - C[s]
+            sq *= sq
+            acc = sq[:, 0].copy()
+            for d in range(1, sub_dim):
+                acc += sq[:, d]
+            per_s.append([float(v) for v in acc])
+        lut_rows.append((int(r[id_col]), per_s))
+    lut_df = spark.createDataFrame(lut_rows, "qid long, lut array<array<double>>")
+
+    j = codes.crossJoin(F.broadcast(lut_df)).filter(F.col(id_col) != F.col("qid"))
+    terms = [
+        F.expr(f"element_at(element_at(lut, {s + 1}), cast(c{s} as int) + 1)")
+        for s in range(n_sub)
+    ]
+    adc = reduce(lambda a, b: a + b, terms)
+    scored = j.select("qid", F.col(id_col).alias("nid"), adc.alias("adc"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", F.round("adc", 9).alias("adc"), "rank")
+    )
+
+
 # --------------------------------------------------------------------------
 # SQL twins (DuckDB oracle fragments)
 # --------------------------------------------------------------------------
@@ -234,9 +298,10 @@ def _fmt(x: float) -> str:
     return repr(float(x))
 
 
-def pq_encode_sql(book: list[list[list[float]]], table: str = "embeddings") -> str:
-    """Generate the DuckDB twin of ``pq_encode`` (1-based list indexing,
-    same left-to-right float expression trees, same CASE tie rule)."""
+def _pq_sql_parts(book: list[list[list[float]]]) -> tuple[list[str], list[str], list[str]]:
+    """Shared SQL fragments: per-centroid distance columns (explicit
+    left-to-right sums), per-subspace LEAST columns, and the
+    first-match-wins argmin CASE columns."""
     n_sub = len(book)
     sub_dim = len(book[0][0])
     dist_cols = []
@@ -258,6 +323,14 @@ def pq_encode_sql(book: list[list[list[float]]], table: str = "embeddings") -> s
             f"WHEN d{s}_{k} = m{s} THEN {k}" for k in range(len(book[s]))
         )
         cases.append(f"CAST(CASE {whens} END AS BIGINT) AS c{s}")
+    return dist_cols, mins, cases
+
+
+def pq_encode_sql(book: list[list[list[float]]], table: str = "embeddings") -> str:
+    """Generate the DuckDB twin of ``pq_encode`` (1-based list indexing,
+    same left-to-right float expression trees, same CASE tie rule)."""
+    n_sub = len(book)
+    dist_cols, mins, cases = _pq_sql_parts(book)
     code_concat = " || '-' || ".join(f"c{s}" for s in range(n_sub))
     return f"""
     WITH dists AS (SELECT vec_id, {', '.join(dist_cols)} FROM {table}),
@@ -266,6 +339,43 @@ def pq_encode_sql(book: list[list[list[float]]], table: str = "embeddings") -> s
     SELECT vec_id, {', '.join(f'c{s}' for s in range(n_sub))},
            {code_concat} AS pq_code
     FROM codes
+    """
+
+
+def pq_adc_sql(
+    book: list[list[list[float]]],
+    table: str = "embeddings",
+    n_queries: int = 8,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of ``pq_adc_topk``: the dists CTE doubles as the
+    per-query LUT (d{s}_{k} for a query row IS its subspace-k table
+    entry), corpus codes come from the same argmin CASE chain, and the
+    ADC score is the left-to-right sum over subspaces of a
+    CASE-code-lookup into the query's LUT row."""
+    n_sub = len(book)
+    dist_cols, mins, cases = _pq_sql_parts(book)
+    adc_terms = []
+    for s in range(n_sub):
+        whens = " ".join(
+            f"WHEN {kk} THEN q.d{s}_{kk}" for kk in range(len(book[s]))
+        )
+        adc_terms.append(f"(CASE e.c{s} {whens} END)")
+    adc = " + ".join(adc_terms)
+    return f"""
+    WITH dists AS (SELECT vec_id, {', '.join(dist_cols)} FROM {table}),
+    mins AS (SELECT *, {', '.join(mins)} FROM dists),
+    codes AS (SELECT vec_id, {', '.join(cases)} FROM mins),
+    lut AS (SELECT * FROM dists WHERE vec_id < {n_queries}),
+    scored AS (
+      SELECT q.vec_id AS qid, e.vec_id AS nid, {adc} AS adc
+      FROM codes e, lut q WHERE e.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT qid, nid, adc,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY adc ASC, nid ASC) AS rank
+      FROM scored)
+    SELECT qid, nid, round(adc, 9) AS adc, rank FROM ranked WHERE rank <= {k}
     """
 
 

@@ -12,7 +12,14 @@ import pytest
 
 from tests.oracle import compare_frames, duckdb_con
 
-PENDING = ["q_pii_redact", "q_sq8_quantize", "q_pq_encode", "q_stream_topk"]
+PENDING = [
+    "q_pii_redact",
+    "q_sq8_quantize",
+    "q_pq_encode",
+    "q_stream_topk",
+    "q_ann_pq",
+    "q_bloom_decontaminate",
+]
 
 
 @pytest.mark.parametrize("name", PENDING)
@@ -138,6 +145,44 @@ def test_pq_encode_tie_breaks_to_lowest_index(spark):
     )
     row = pq_encode(df, book=book).collect()[0]
     assert row["c0"] == 1 and row["pq_code"] == "1"
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    # Every inserted key must test positive (false negatives are
+    # impossible by construction — assert it anyway, it is the property
+    # exactness rests on), and absent keys must mostly prune.
+    from pyspark.sql import functions as F
+
+    from hadoop_gpu_spark.operators.bloom import bloom_might_contain, build_bloom
+
+    m_bits, k = 1 << 16, 4
+    inserted = spark.range(0, 2000).select((F.col("id") * 7 + 3).alias("v"))
+    bloom = build_bloom(inserted, "v", m_bits, k)
+    n_in = inserted.filter(bloom_might_contain(bloom, F.col("v"), m_bits, k)).count()
+    assert n_in == 2000  # zero false negatives
+    absent = spark.range(0, 2000).select((F.col("id") * 7 + 4).alias("v"))
+    n_fp = absent.filter(bloom_might_contain(bloom, F.col("v"), m_bits, k)).count()
+    assert n_fp < 200  # ~(1-e^-kn/m)^k ~ 0.01 at this sizing; prunes >90%
+
+
+def test_bloom_prefiltered_semi_join_is_exact(spark):
+    # The composed prefilter+verify must equal the plain semi join row
+    # for row — bloom false positives removed, nothing lost.
+    from pyspark.sql import functions as F
+
+    from hadoop_gpu_spark.operators.bloom import bloom_prefiltered_semi_join
+
+    big = spark.range(0, 5000).select((F.col("id") % 977).alias("key"), "id")
+    small = spark.range(0, 200).select((F.col("id") * 3).alias("key"))
+    got = sorted(
+        (r["key"], r["id"])
+        for r in bloom_prefiltered_semi_join(big, small, "key", 1 << 14, 4).collect()
+    )
+    want = sorted(
+        (r["key"], r["id"])
+        for r in big.join(small.distinct(), "key", "left_semi").collect()
+    )
+    assert got == want and len(got) > 0
 
 
 def test_pq_expr_pandas_parity_fuzz(spark):
