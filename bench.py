@@ -23,23 +23,42 @@ from hadoop_gpu_spark.queries import QUERIES
 # q_join_broadcast was retired from HEADLINE for that budget (its timing
 # was redundant with q_join_star; the query itself remains registered).
 #
-# Round 5 is the full-rotation round: 46 of the 50 window slots are
-# consumed by changed-since-green queries (16) plus the entire r01/r02
-# stale-evidence cohort (37, 7 overlapping) — see the _DRIVER_WINDOW slot
-# accounting. That leaves 4 flex slots, so HEADLINE shrinks to 7 for this
-# round only: the 4 perf sentinels below plus the 3 changed queries that
-# were already headline (q_sequence_pack, q_dedup_minhash,
-# q_dedup_simhash). The r04 headline queries dropped here are all
-# unchanged + r04-green; they rotate back in round 6, and their r04
-# minima remain the comparison base.
+# Round 6 restores the full r04 21-query macro set (the r05 trim was the
+# documented one-round cost of the full stale-evidence rotation; see the
+# _DRIVER_WINDOW slot accounting — all 21 are windowed this round).
+#
+# Bench record notes — cross-round comparison base:
+# - The official BENCH_r05 record (same-7 total 7.17s) ran CONTENDED: its
+#   own spread column shows 1.63-1.65x on q01/q21 vs r04's <=1.25x, and an
+#   independent same-machine rerun measured 5.84s with spreads <=1.23 (q01
+#   and minhash BEAT their r04 minima; simhash confirmed the r05
+#   schema-cache win at 0.426s). Treat r04 minima (total 12.043s over the
+#   21 set) plus the r05 rerun figures as the standing comparison base —
+#   an r06-vs-r05-official delta is NOT a 2x win, it is mostly the load
+#   artifact unwinding. The load-guard fields below exist so future
+#   contaminated records are self-describing.
 HEADLINE = [
-    "q01_pricing_summary",   # decimal-exact agg, single scan
-    "q21_waiting_orders",    # salted skew join
-    "q_kmeans",              # iterative ML (centroid broadcast loop)
-    "q_winnow_fingerprint",  # vectorized fingerprint kernel (r04 8.3x win)
-    "q_sequence_pack",       # two-pass prefix sum + the red-row watch
-    "q_dedup_minhash",       # LSH dedup signature path (converged kernel)
-    "q_dedup_simhash",       # simhash kernel (r04 bench-discrepancy watch)
+    "q01_pricing_summary",        # decimal-exact agg, single scan
+    "q_wordcount",                # tokenize + explode + count
+    "q_join_star",                # tagged reduce-side star join
+    "q_value_histogram",          # per-key histogram agg
+    "q_total_order_sort",         # sampled range partition sort
+    "q_topk",                     # sort-by-count-desc top-k
+    "q_events_hourly",            # time-bucketed agg
+    "q_dedup_exact",              # hash-groupBy exact dedup
+    "q_dedup_minhash",            # LSH dedup signature path
+    "q_ann_topk",                 # brute-force cosine top-k
+    "q_kmeans",                   # iterative ML (centroid broadcast loop)
+    "q03_shipping_priority",      # 3-way join + agg + top-10
+    "q05_local_supplier_volume",  # 6-way join
+    "q_dedup_simhash",            # simhash kernel (schema-cache win watch)
+    "q09_product_type_profit",    # multi-join profit rollup
+    "q13_customer_distribution",  # outer join + double agg
+    "q21_waiting_orders",         # salted skew join
+    "q_winnow_fingerprint",       # vectorized fingerprint kernel
+    "q_sequence_pack",            # two-pass prefix sum
+    "q_ann_lsh",                  # LSH-bucketed ANN
+    "q_pretrain_pipeline",        # composed quality->dedup->mixture plan
 ]
 
 
@@ -47,6 +66,18 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    # Load guard (VERDICT r05 #2: the official r05 record ran under
+    # machine contention and became a misleading comparison base). Record
+    # the 1-min load average per core at start; if the machine is already
+    # busy, stamp the record contended=true so readers know the minima
+    # are environment-limited, not code-limited.
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:  # pragma: no cover - getloadavg absent on some OSes
+        load1 = 0.0
+    ncpu = os.cpu_count() or 1
+    load_per_cpu_start = round(load1 / ncpu, 3)
 
     spark = get_spark(app_name="hgs-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -94,6 +125,11 @@ def main() -> None:
         print(f"# {name}: min {times[name]}s  spread x{spread[name]}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+    # Contention verdict: pre-existing load at start, or the spread
+    # diagnostic itself (many queries with max/min >= 1.5 means something
+    # was stealing cycles between passes — the r05 signature).
+    wide = sum(1 for s in spread.values() if s >= 1.5)
+    contended = load_per_cpu_start > 0.25 or wide >= max(2, len(spread) // 4)
     print(
         json.dumps(
             {
@@ -103,6 +139,8 @@ def main() -> None:
                 "queries": times,
                 "spread": spread,
                 "sf": sf,
+                "load_per_cpu_start": load_per_cpu_start,
+                "contended": contended,
             }
         )
     )

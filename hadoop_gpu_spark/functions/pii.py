@@ -15,8 +15,9 @@ Design rules:
   executors) and RE2 (the DuckDB oracle) agree exactly: ASCII classes,
   bounded repetition, ``\\b`` word boundaries. No backreferences, no
   lookaround, no Unicode classes — those diverge between engines and are
-  banned here by ``tests/test_text_pipeline.py`` which runs both engines
-  over the same corpus and requires identical redactions.
+  banned here by ``tests/test_pending_gates.py``
+  (``test_pii_regex_engine_parity_on_edge_strings``), which runs both
+  engines over the same corpus and requires identical redactions.
 - Counts are taken BEFORE redaction; redaction order is fixed
   (email -> phone -> IPv4) so a pattern can never match inside another
   pattern's replacement token.

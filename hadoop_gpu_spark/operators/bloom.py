@@ -18,8 +18,9 @@ Scale design:
   LOCAL m-bit bitset via ``mapInPandas`` (one m/8-byte row out per
   partition), the driver ORs the partials — the data never shuffles and
   driver traffic is partitions x m/8 bytes, independent of row count.
-- Probe is an Arrow-batched pandas UDF holding the (broadcast) bitset in
-  its closure; membership is vectorized numpy over (N, k) positions.
+- Probe is an Arrow-batched pandas UDF reading the bitset from a real
+  SparkContext broadcast (shipped once per executor, not per task);
+  membership is vectorized numpy over (N, k) positions.
 - Sizing rule: false-positive rate ~ (1 - e^(-kn/m))^k; an overloaded
   bloom degrades to pass-through (prunes nothing) but never to
   incorrectness — size m at ~10 bits per expected distinct key.
@@ -73,11 +74,24 @@ def build_bloom(df: DataFrame, col: str, m_bits: int = 1 << 20, k: int = 4) -> b
 
 def bloom_might_contain(bloom: bytes, col: Column, m_bits: int, k: int) -> Column:
     """Boolean membership column: True if every one of the value's k bits
-    is set (i.e. possibly in the set; False means DEFINITELY absent)."""
-    bits = np.frombuffer(bloom, dtype=np.uint8)
+    is set (i.e. possibly in the set; False means DEFINITELY absent).
+
+    The bitset rides as a SparkContext broadcast, NOT a task closure:
+    under the module's sizing rule (~10 bits per distinct key) a large
+    key set yields a multi-hundred-MB bitset, and a closure ships with
+    EVERY task while a broadcast ships once per executor (torrent
+    protocol). Falls back to closure capture only when no session is
+    active (plain-column unit-test contexts).
+    """
+    from pyspark.sql import SparkSession
+
+    session = SparkSession.getActiveSession()
+    bc = session.sparkContext.broadcast(bloom) if session is not None else None
+    raw = None if bc is not None else bloom
 
     @F.pandas_udf("boolean")
     def contains(pos: pd.Series) -> pd.Series:
+        bits = np.frombuffer(bc.value if bc is not None else raw, dtype=np.uint8)
         if not len(pos):
             return pd.Series([], dtype=bool)
         P = np.stack([np.asarray(v, dtype=np.int64) for v in pos])

@@ -3725,6 +3725,14 @@ def q_pipes_native_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the batch near_dedup pipeline, same division of labor as production
 # streaming ingest.
 # ---------------------------------------------------------------------------
+# Oracle-side NULL semantics note (for the oracle SQL just below):
+# COUNT(DISTINCT props) ignores NULL props rows per SQL, so the streaming
+# side filters `props IS NOT NULL` BEFORE building its dedup key (see the
+# query body). The stream is not dropping rows the batch query counts —
+# it is matching the NULL semantics this aggregate already has. (Kept
+# outside the decorator, not as a SQL `--` comment, because the oracle
+# string and the decorated source block are part of the query's change
+# fingerprint.)
 @query(
     "q_stream_dedup",
     oracle="""
@@ -3939,16 +3947,15 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# PENDING round-6 gate — fully built and locally verified this round, but
-# the r05 window's 50 slots are exhausted by the rotation debt + changed
-# set (see the slot accounting below). Registering a NEW query forces it
-# into the window (policy: new/changed queries must reach the hard
-# signal), so registration waits for round 6; until then the gates below
-# (q_media_probe, q_audio_decode, q_pii_redact, q_sq8_quantize,
-# q_pq_encode, q_stream_topk, q_ann_pq, q_bloom_decontaminate) are pinned by
-# tests/test_multimodal.py::test_pending_media_probe_gate and
+# Round-6 gate cohort — built and locally oracle-verified during r05
+# (while that round's 50 window slots were consumed by the rotation debt
+# + changed set), REGISTERED in r06 and placed in the r06 driver window
+# for their first hard-signal rows. The gates (q_media_probe,
+# q_audio_decode, q_pii_redact, q_sq8_quantize, q_pq_encode,
+# q_stream_topk, q_ann_pq, q_bloom_decontaminate) remain additionally
+# pinned by tests/test_multimodal.py::test_pending_media_probe_gate and
 # tests/test_pending_gates.py against the same DuckDB oracles the driver
-# would run (plus the driver-safe-output-type binding guard).
+# runs (plus the driver-safe-output-type binding guard).
 # ===========================================================================
 Q_MEDIA_PROBE_ORACLE = """
     WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents),
@@ -3992,12 +3999,13 @@ Q_AUDIO_DECODE_ORACLE = """
 """
 
 
+@query("q_audio_decode", oracle=Q_AUDIO_DECODE_ORACLE)
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real WAV + FLAC decode gate (pending r06 registration, like
-    q_media_probe): constant-amplitude signals built per doc, decoded by
-    the production decode_audio kernel; rate / sample count / mean
-    amplitude are exact and SQL-predicted. mean_abs of a constant signal
-    is the exactly-representable |amp| in both engines."""
+    """Real WAV + FLAC decode gate (registered r06, like q_media_probe):
+    constant-amplitude signals built per doc, decoded by the production
+    decode_audio kernel; rate / sample count / mean amplitude are exact
+    and SQL-predicted. mean_abs of a constant signal is the
+    exactly-representable |amp| in both engines."""
     from hadoop_gpu_spark.multimodal import attach_flat_audio, decode_audio
 
     docs = T(spark, sf_dir, "documents")
@@ -4011,8 +4019,9 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_media_probe", oracle=Q_MEDIA_PROBE_ORACLE)
 def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Container-metadata probing gate (pending r06 registration): REAL
+    """Container-metadata probing gate (registered r06): REAL
     MP4 / MP3 / WAV byte structures built per doc (every field a function
     of md5(text), builders emit genuinely valid streams), then the
     production probe_media kernel parses them back — the codec-free
@@ -4026,7 +4035,7 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# PENDING r06 gate: PII redaction (emails / phones / IPv4) over the
+# r06 gate (registered r06): PII redaction (emails / phones / IPv4) over the
 # documents corpus. Synthetic PII is injected deterministically from
 # md5(text) (the corpus ships none), counts are taken pre-redaction, and
 # the whole pass is regexp column expressions — map-only, zero shuffles,
@@ -4062,8 +4071,9 @@ def _pii_oracle() -> str:
 Q_PII_REDACT_ORACLE = _pii_oracle()
 
 
+@query("q_pii_redact", oracle=Q_PII_REDACT_ORACLE)
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub gate (pending r06 registration): inject deterministic
+    """PII scrub gate (registered r06): inject deterministic
     synthetic PII, count matches per family on the original text, redact
     email -> phone -> IPv4, and emit the redacted hash + length."""
     from hadoop_gpu_spark.functions.pii import (
@@ -4087,7 +4097,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# PENDING r06 gate: int8 scalar quantization of the embeddings corpus
+# r06 gate (registered r06): int8 scalar quantization of the embeddings corpus
 # (similarity/quantize.py). One partial-aggregated pass learns the
 # per-dimension |max| (the 64-double model), then the corpus quantizes
 # map-only with the model as a broadcast literal. Integer outputs keep the
@@ -4102,15 +4112,16 @@ def _sq8_oracle() -> str:
 Q_SQ8_QUANTIZE_ORACLE = _sq8_oracle()
 
 
+@query("q_sq8_quantize", oracle=Q_SQ8_QUANTIZE_ORACLE)
 def q_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """int8 embedding quantization gate (pending r06 registration)."""
+    """int8 embedding quantization gate (registered r06)."""
     from hadoop_gpu_spark.similarity.quantize import sq8_quantize
 
     return sq8_quantize(T(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------
-# PENDING r06 gate: product-quantization encode (similarity/quantize.py) —
+# r06 gate (registered r06): product-quantization encode (similarity/quantize.py) —
 # 64-dim vectors to 8 centroid indices (PQ8x4bit) against a deterministic
 # dyadic codebook; map-only. Production path is the Arrow/numpy kernel
 # (the full-codebook expression twin exceeds the 64 KB codegen method
@@ -4127,15 +4138,16 @@ def _pq_oracle() -> str:
 Q_PQ_ENCODE_ORACLE = _pq_oracle()
 
 
+@query("q_pq_encode", oracle=Q_PQ_ENCODE_ORACLE)
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ encode gate (pending r06 registration)."""
+    """PQ encode gate (registered r06)."""
     from hadoop_gpu_spark.similarity.quantize import pq_encode
 
     return pq_encode(T(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------
-# PENDING r06 gate: Bloom-prefiltered decontamination (operators/bloom.py)
+# r06 gate (registered r06): Bloom-prefiltered decontamination (operators/bloom.py)
 # — the scale twin of q_contamination: the eval side's gram rows are
 # dropped by a broadcast Bloom bitset over the train grams BEFORE any
 # shuffle; the surviving candidates go through the exact semi-join verify
@@ -4156,8 +4168,9 @@ Q_BLOOM_DECONTAMINATE_ORACLE = f"""
 """
 
 
+@query("q_bloom_decontaminate", oracle=Q_BLOOM_DECONTAMINATE_ORACLE)
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Clean-eval-docs gate (pending r06 registration): eval docs whose
+    """Clean-eval-docs gate (registered r06): eval docs whose
     distinct word-8-grams never appear in the train split, found via
     Bloom prefilter + exact verify."""
     from hadoop_gpu_spark.operators.bloom import bloom_might_contain, build_bloom
@@ -4184,7 +4197,7 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# PENDING r06 gate: ADC top-k over PQ codes (similarity/quantize.py:
+# r06 gate (registered r06): ADC top-k over PQ codes (similarity/quantize.py:
 # pq_adc_topk) — the search half of product quantization, completing the
 # ANN family (brute force / IVF / LSH / PQ-ADC). Same query convention as
 # q_ann_topk (vec_id < 8, k = 5); corpus scans once as 4-bit codes, each
@@ -4199,15 +4212,16 @@ def _adc_oracle() -> str:
 Q_ANN_PQ_ORACLE = _adc_oracle()
 
 
+@query("q_ann_pq", oracle=Q_ANN_PQ_ORACLE)
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-ADC top-k gate (pending r06 registration)."""
+    """PQ-ADC top-k gate (registered r06)."""
     from hadoop_gpu_spark.similarity.quantize import pq_adc_topk
 
     return pq_adc_topk(T(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------
-# PENDING r06 gate: streaming top-k event types per hour through the
+# r06 gate (registered r06): streaming top-k event types per hour through the
 # foreachBatch snapshot sink (streaming/__init__.py:topk_per_window_snapshot)
 # — the rank-over-a-streaming-aggregate pattern plus the
 # idempotent-overwrite sink, neither exercised by the existing stream
@@ -4225,8 +4239,10 @@ Q_STREAM_TOPK_ORACLE = """
 """
 
 
+@query("q_stream_topk", oracle=Q_STREAM_TOPK_ORACLE)
 def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming hourly top-3 event types (pending r06 registration)."""
+    """Streaming hourly top-3 event types (registered r06)."""
+    import os
     import tempfile
 
     from hadoop_gpu_spark.streaming import (
@@ -4236,7 +4252,13 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     agg = windowed_counts(events_stream(spark, sf_dir))
-    out_dir = tempfile.mkdtemp(prefix="q_stream_topk_")
+    # Fixed per-process scratch path (repo convention — see
+    # q_db_count_pageview): the snapshot sink writes mode("overwrite"), so
+    # repeated gate/bench invocations (warm cycles, min-of-3) reuse one
+    # directory instead of accumulating orphaned mkdtemp snapshots.
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"hgs_stream_topk_{os.getpid()}"
+    )
     snap = topk_per_window_snapshot(agg, out_dir, k=3)
     return snap.select("hour", "event_type", "cnt", "rank")
 
@@ -4254,86 +4276,81 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # outside the window were all green in a previous round and are unchanged
 # since. New queries land AFTER the window and rotate in next round.
 #
-# Round 5 window — the full-rotation round. Slot accounting (the window
-# is a hard 50; every set below MUST be inside it):
+# Round 6 window. Slot accounting (the window is a hard 50; every set
+# below MUST be inside it):
 #
-# - changed-since-last-green (mechanically enforced by
-#   tests/test_plans.py::test_changed_queries_are_windowed): 16 queries —
-#   the dedup kernel convergence (minhash/simhash consumers), the pipes
-#   mapInPandas port, the GIF disposal fix (multimodal pair), the
-#   q_stream_dedup key fix, q11's localCheckpoint, the IVF vectorized
-#   assign, and q_sequence_pack (red r04, evidence artifact added).
-# - stale-evidence rotation (VERDICT r04 #2): all 37 queries whose latest
-#   driver row was r01 (4) or r02 (33) — after this round no query's
-#   latest driver row is older than two rounds.
-# - changed ∪ stale = 46 (7 overlap), leaving exactly 4 flex slots, which
-#   go to bench HEADLINE perf sentinels. bench.py's HEADLINE therefore
-#   shrinks to 7 this round (the 4 sentinels + the 3 changed headline
-#   queries) — the other r04 headline queries are unchanged and r04-green,
-#   and rotate back next round.
-#
-# Round 6 plan: re-expand HEADLINE, rotate the (then-oldest) 23 r03-latest
-# cohort plus whatever r04 greens age out.
+# - NEW queries (no driver row yet; mechanically enforced by
+#   tests/test_plans.py::test_changed_queries_are_windowed): the 8 gates
+#   built during r05 and registered this round — q_media_probe,
+#   q_audio_decode, q_pii_redact, q_sq8_quantize, q_pq_encode, q_ann_pq,
+#   q_bloom_decontaminate, q_stream_topk.
+# - bench HEADLINE (policy c: a benched time without a same-round
+#   correctness row is not a result): HEADLINE re-expands to the full
+#   r04 21-query macro set this round (VERDICT r05 #3), so all 21 are
+#   windowed. All were r04- or r05-green and unchanged.
+# - stale-evidence rotation (two-round policy): the 21 queries whose
+#   latest driver row is r03 — after this round every query's latest
+#   row is r04+ (the 39 r04-latest greens age to the edge and rotate
+#   in r07, which fits: 39 < 50).
+# - 8 + 21 + 21 = exactly 50, zero overlap, zero flex slots. Any query
+#   whose implementation changes this round must therefore already be in
+#   one of these three sets (the changed-queries test enforces it).
 # ===========================================================================
 _DRIVER_WINDOW = [
-    # bench HEADLINE perf sentinels (kept in sync with bench.HEADLINE)
+    # NEW r06 gates (first driver rows)
+    "q_media_probe",
+    "q_audio_decode",
+    "q_pii_redact",
+    "q_sq8_quantize",
+    "q_pq_encode",
+    "q_ann_pq",
+    "q_bloom_decontaminate",
+    "q_stream_topk",
+    # bench HEADLINE — full r04 21-query macro set (kept in sync with
+    # bench.HEADLINE)
     "q01_pricing_summary",
-    "q21_waiting_orders",
-    "q_kmeans",
-    "q_winnow_fingerprint",
-    # changed: red-r04 + determinism-evidence round (artifacts/, digest tests)
-    "q_sequence_pack",
-    # changed: dedup kernel convergence onto the vectorized twins
+    "q_wordcount",
+    "q_join_star",
+    "q_value_histogram",
+    "q_total_order_sort",
+    "q_topk",
+    "q_events_hourly",
+    "q_dedup_exact",
     "q_dedup_minhash",
+    "q_ann_topk",
+    "q_kmeans",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
     "q_dedup_simhash",
-    "q_dedup_minhash_pairs",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash_pairs",
-    "q_dedup_edit_distance",
-    "q_connected_components",
-    "q_near_dedup_survivors",
-    # changed: pipes mapInPandas port + exchange cleanup
-    "q_pipe_lang_counts",
-    "q_pipes_native_wordcount",
-    # changed: GIF disposal handling (decode path shared by both)
-    "q_multimodal_decode",
-    "q_frame_sample",
-    # changed: collision-free dedup key / persist hygiene / IVF kernel
-    "q_stream_dedup",
-    "q11_important_stock",
-    "q_ann_ivf",
-    # stale rotation: latest driver row r01
-    "q_inverse_map",
-    "q_json_extract",
-    "q_moving_window",
-    "q_pi_estimator",
-    # stale rotation: latest driver row r02
-    "q02_min_cost_supplier",
-    "q04_order_priority",
-    "q06_forecast_revenue",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_parts_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
-    "q22_global_sales",
-    "q_approx_stats",
-    "q_cogroup_join",
-    "q_cube",
-    "q_dedup_embedding",
-    "q_except",
-    "q_hybrid_token_stats",
-    "q_join_anti",
-    "q_kmeans_grouped",
-    "q_matmul_blocked",
-    "q_salted_agg",
-    "q_scalar_funcs",
+    "q09_product_type_profit",
+    "q13_customer_distribution",
+    "q21_waiting_orders",
+    "q_winnow_fingerprint",
+    "q_sequence_pack",
+    "q_ann_lsh",
+    "q_pretrain_pipeline",
+    # stale rotation: latest driver row r03
+    "q_asof_join",
+    "q_boilerplate_ratio",
+    "q_contamination",
+    "q_db_count_pageview",
+    "q_dedup_fingerprint",
+    "q_join_expr_composite",
+    "q_join_override",
+    "q_join_semi",
+    "q_kvjob_wordcount",
+    "q_kvjob_wordcount_pandas",
+    "q_mixture_weights",
+    "q_ngram_freq",
+    "q_quality_filter",
+    "q_range_join",
+    "q_repetition_ratio",
+    "q_rollup",
+    "q_salted_join",
+    "q_stratified_sample",
+    "q_tfidf_topterms",
+    "q_token_count_bpe",
+    "q_union_distinct",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -274,12 +274,18 @@ def test_measured_routing_follows_reference_scan(spark, monkeypatch):
         assert by_path["gpu"] == {p for p in range(8) if p >= x_exp}
         return alpha, by_path
 
-    # GPU 5x faster: measured alpha ~5 -> the scan must push most (or
-    # all) partitions to the GPU side
-    a_fast, fast = routed(cpu_cost=0.05, gpu_cost=0.01)
+    # GPU 15x faster: measured alpha ~15 -> the scan must push most (or
+    # all) partitions to the GPU side. 15x (not 5x) separation so the
+    # ratio survives absolute scheduler-preemption jitter under machine
+    # load: preemption adds the SAME absolute time to both paths' batch
+    # timers, and at 5x a ~50 ms stall compressed the measured ratio
+    # under the threshold (observed once when a second Spark session ran
+    # concurrently); at 15x the jitter needed to break the >2 assert is
+    # >100 ms per batch, beyond anything a loaded-but-working box shows.
+    a_fast, fast = routed(cpu_cost=0.15, gpu_cost=0.01)
     assert a_fast > 2, a_fast
-    # mirror skew, GPU 5x slower: alpha < 1 -> CPU keeps (almost) all
-    a_slow, slow = routed(cpu_cost=0.01, gpu_cost=0.05)
+    # mirror skew, GPU 15x slower: alpha < 1 -> CPU keeps (almost) all
+    a_slow, slow = routed(cpu_cost=0.01, gpu_cost=0.15)
     assert a_slow < 1, a_slow
     assert len(slow["cpu"]) > len(fast["cpu"])
     assert len(fast["gpu"]) > len(slow["gpu"])

@@ -1,9 +1,12 @@
-"""r06-PENDING gate queries, verified NOW against the exact DuckDB oracle
-the driver will run once window slots free up (same pattern as
-tests/test_multimodal.py::test_pending_media_probe_gate; see the PENDING
-note in queries.py). Covers the four gates added after the r05 window
-froze: PII redaction, int8 scalar quantization, PQ encode, and the
-streaming foreachBatch top-k snapshot.
+"""r06 gate queries, verified against the exact DuckDB oracle the driver
+runs (same pattern as
+tests/test_multimodal.py::test_pending_media_probe_gate; see the gate
+cohort note in queries.py). Covers the six gates added after the r05
+window froze: PII redaction, int8 scalar quantization, PQ encode, the
+streaming foreachBatch top-k snapshot, PQ-ADC top-k, and Bloom
+decontamination. All eight gates (these six plus q_media_probe /
+q_audio_decode in test_multimodal.py) were registered and windowed in
+round 6; this suite remains as the local fast-path oracle check.
 """
 
 from __future__ import annotations

@@ -329,3 +329,27 @@ def test_persist_always_paired_with_cleanup():
             assert n_persist == 0, f"{py.name}: bare .persist() in gate-query code"
         elif n_persist:
             assert n_unpersist > 0, f"{py.name}: .persist() without .unpersist()"
+
+
+def test_docstring_test_references_exist():
+    # Doc-to-test integrity (VERDICT r05 #3: functions/pii.py cited a
+    # test file that did not exist — doc drift in a module whose safety
+    # argument was "banned by that test"). Every `tests/<name>.py` path
+    # and every `tests/<name>.py::<test_name>` reference mentioned
+    # anywhere in package sources must point at a real file (and, for ::
+    # references, a test that actually exists in it).
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    pkg = root / "hadoop_gpu_spark"
+    pat = re.compile(r"tests/([A-Za-z0-9_]+\.py)(?:::([A-Za-z0-9_]+))?")
+    missing = []
+    for py in sorted(pkg.rglob("*.py")):
+        for m in pat.finditer(py.read_text()):
+            path = root / "tests" / m.group(1)
+            if not path.exists():
+                missing.append(f"{py.relative_to(root)}: {m.group(0)} (no such file)")
+            elif m.group(2) and m.group(2) not in path.read_text():
+                missing.append(f"{py.relative_to(root)}: {m.group(0)} (no such test)")
+    assert not missing, "\n".join(missing)
