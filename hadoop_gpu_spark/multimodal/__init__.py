@@ -258,8 +258,10 @@ def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
                 else:
                     raise NotImplementedError(
                         "no in-engine codec for this audio format (WAV/PCM and "
-                        "FLAC are decoded natively; MP3 needs external "
-                        "libraries) — or pass fake=True"
+                        "FLAC are decoded natively; MP3 full decode is "
+                        "PERMANENTLY DE-SCOPED — see ARCHITECTURE.md "
+                        "'MP3 decode de-scope decision'; frame-header "
+                        "probing is probe_media) — or pass fake=True"
                     )
                 n = len(samples) // nch
                 rows.append(
