@@ -98,3 +98,33 @@ def fingerprint(text: Column | str, width: int = 16) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     canon = F.array_join(F.array_sort(F.array_distinct(tokenize(c))), " ")
     return F.substring(F.md5(F.encode(canon, "UTF-8")), 1, width)
+
+
+# Explicit whitespace class shared by normalize_text and its DuckDB
+# oracle twin: Java's \s includes \x0B (vertical tab), RE2's does not —
+# spelling the class out keeps both engines byte-identical (the same
+# engine-parity discipline as functions/pii.py).
+_WS = " \\t\\n\\r\\f"
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonicalize text for dedup keying: ASCII-lowercase (translate,
+    not lower() — locale/Unicode-independent in both engines), replace
+    every char outside [a-z0-9 + whitespace] with a space, collapse
+    whitespace runs, trim. Output alphabet is [a-z0-9 ] only, so
+    length/hash comparisons are engine-safe. Pure column expressions —
+    map-only, zero shuffles, whole-stage codegen."""
+    c = F.col(text) if isinstance(text, str) else text
+    low = F.translate(c, _UPPER, _LOWER)
+    cleaned = F.regexp_replace(low, f"[^a-z0-9{_WS}]", " ")
+    return F.trim(F.regexp_replace(cleaned, f"[{_WS}]+", " "))
+
+
+NORMALIZE_TEXT_SQL_TMPL = (
+    "trim(regexp_replace(regexp_replace("
+    "translate({col}, '" + _UPPER + "', '" + _LOWER + "'), "
+    "'[^a-z0-9 \\t\\n\\r\\f]', ' ', 'g'), "
+    "'[ \\t\\n\\r\\f]+', ' ', 'g'))"
+)

@@ -4264,6 +4264,211 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# PENDING round-7 gate cohort — the r06 window's 50 slots are exactly
+# consumed (8 new gates + 21-query HEADLINE + 21-query r03 rotation, see
+# the slot accounting below), so these four NEW operators ship
+# UNREGISTERED this round (the same pattern that carried the 8 r05→r06
+# gates): fully implemented, pinned against the exact DuckDB oracle the
+# driver will run by tests/test_pending_gates.py (PENDING_R07), and
+# registered + windowed in round 7. r07 slot math: ~25 r04-latest rows
+# aging out + 21 HEADLINE + these 4 = 50.
+# ===========================================================================
+def _chunk_oracle() -> str:
+    from hadoop_gpu_spark.operators.chunking import chunk_sql
+
+    return chunk_sql("documents", "doc_id", "text", window=64, stride=48)
+
+
+Q_CHUNK_DOCUMENTS_ORACLE = _chunk_oracle()
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (pending r07 registration): every
+    document exploded into 64-token chunks every 48 tokens (16-token
+    overlap), keyed by chunk hash — the context-window prep pass of a
+    training/RAG pipeline. Map-only narrow plan, zero Python."""
+    from hadoop_gpu_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        T(spark, sf_dir, "documents"), "doc_id", "text", window=64, stride=48
+    )
+
+
+Q_DOMAIN_CAP_ORACLE = """
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(source || chr(0) || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rank
+      FROM documents)
+    SELECT doc_id, source, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 8
+"""
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling (pending r07 registration): keep at most
+    8 docs per source by deterministic md5 rank — the crawl-pipeline
+    domain cap. Exercises the skew-armored two-stage path (narrow
+    per-partition pre-cap, then the keyed ranking window)."""
+    from hadoop_gpu_spark.operators.sampling import domain_cap
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
+    out = domain_cap(docs, "source", "doc_id", n=8, pre_cap=True)
+    return out.select("doc_id", "source", F.col("rank").cast("long").alias("rank"))
+
+
+# Distance-to-centroid outliers, NOT norm outliers: the embeddings corpus
+# is unit-normalized (every L2 norm is exactly 1.0), so a norm z-score
+# has zero variance — the meaningful corruption signal on unit vectors is
+# ANGULAR: distance from the corpus centroid. Every cross-row float sum
+# (the per-dimension centroid, the per-row squared distance joined across
+# an engine boundary, the distance moments) goes through the repo's
+# order-independent decimal-quantization convention; zero-variance
+# degenerates to z = 0 via an explicit CASE on both engines instead of a
+# division (ANSI mode raises DIVIDE_BY_ZERO even for doubles).
+Q_EMBEDDING_OUTLIERS_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (SELECT vec_id,
+                  unnest(range(1, 1 + len(v))) AS i,
+                  unnest(v) AS x
+           FROM e),
+    cent AS (SELECT i,
+                    CAST(SUM(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                      / COUNT(*) AS c
+             FROM ex GROUP BY i),
+    d AS (SELECT vec_id,
+                 sqrt(CAST(SUM(CAST(round((x - c) * (x - c), 9)
+                                    AS DECIMAL(28,12))) AS DOUBLE)) AS dist
+          FROM ex JOIN cent USING (i) GROUP BY vec_id),
+    q AS (SELECT vec_id, dist,
+                 CAST(round(dist, 6) AS DECIMAL(18,6)) AS dq
+          FROM d),
+    s AS (SELECT SUM(dq) AS sn, SUM(dq * dq) AS ssq, COUNT(*) AS n FROM q),
+    zc AS (SELECT vec_id, dist,
+                  CAST(sn AS DOUBLE) / n AS mean,
+                  CAST(ssq AS DOUBLE) / n
+                    - (CAST(sn AS DOUBLE) / n) * (CAST(sn AS DOUBLE) / n) AS var,
+                  CAST(dq AS DOUBLE) AS dqd
+           FROM q, s)
+    SELECT vec_id,
+           round(dist, 9) AS dist,
+           CASE WHEN var > 0
+                THEN round((dqd - mean) / sqrt(var), 6) ELSE 0.0 END AS z,
+           abs(CASE WHEN var > 0
+                THEN round((dqd - mean) / sqrt(var), 6) ELSE 0.0 END) > 2
+             AS is_outlier
+    FROM zc
+"""
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier flagging (pending r07 registration): z-score of
+    each vector's distance to the corpus centroid — the corrupt-embedding
+    filter a vector pipeline runs before indexing (the corpus is
+    unit-normalized, so norm-based scoring is degenerate; angular
+    distance from the centroid is the signal). Centroid is a 64-double
+    model computed with order-independent decimal sums and collected to
+    the driver (same k-row-collect class as k-means centroids), then
+    rides every task as an array literal — the corpus scans twice, maps
+    only, and never shuffles rows."""
+    d_col = "embedding"
+    emb = T(spark, sf_dir, "embeddings")
+
+    # pass 1: per-dimension centroid (decimal-exact, order-independent)
+    ex = emb.select(F.posexplode(d_col).alias("pos", "x"))
+    cent_rows = (
+        ex.groupBy("pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("x").cast("double"), 6).cast("decimal(18,6)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        .collect()
+    )
+    cent = [r["c"] for r in sorted(cent_rows, key=lambda r: r["pos"])]
+    cent_lit = F.array(*[F.lit(float(c)) for c in cent])
+
+    # pass 2: per-row distance (decimal-quantized term sum), then moments
+    terms = F.zip_with(
+        F.col(d_col),
+        cent_lit,
+        lambda x, c: F.round(
+            (x.cast("double") - c) * (x.cast("double") - c), 9
+        ).cast("decimal(28,12)"),
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            terms,
+            F.lit(0).cast("decimal(28,12)"),
+            # re-cast each step: decimal addition widens precision by one
+            # and F.aggregate requires the lambda to return the acc type;
+            # 28,12 cannot overflow here (64 terms, each < 4e9)
+            lambda acc, t: (acc + t).cast("decimal(28,12)"),
+        ).cast("double")
+    )
+    d = emb.select(
+        "vec_id",
+        dist.alias("dist"),
+        F.round(dist, 6).cast("decimal(18,6)").alias("dq"),
+    )
+    stats = d.agg(
+        F.sum("dq").alias("sn"),
+        F.sum(F.col("dq") * F.col("dq")).alias("ssq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = d.crossJoin(F.broadcast(stats))
+    mean = F.col("sn").cast("double") / F.col("n")
+    var = F.col("ssq").cast("double") / F.col("n") - mean * mean
+    z = F.when(
+        var > 0,
+        F.round((F.col("dq").cast("double") - mean) / F.sqrt(var), 6),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "vec_id",
+        F.round("dist", 9).alias("dist"),
+        z.alias("z"),
+        (F.abs(z) > 2).alias("is_outlier"),
+    )
+
+
+def _normalize_oracle() -> str:
+    from hadoop_gpu_spark.functions.text import NORMALIZE_TEXT_SQL_TMPL
+
+    norm = NORMALIZE_TEXT_SQL_TMPL.format(col="text")
+    return f"""
+    SELECT doc_id,
+           md5({norm}) AS norm_hash,
+           CAST(length({norm}) AS BIGINT) AS norm_len
+    FROM documents
+    """
+
+
+Q_TEXT_NORMALIZE_ORACLE = _normalize_oracle()
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-canonicalization pass (pending r07 registration):
+    ASCII-lower via translate (locale-free), strip non-alphanumerics,
+    collapse whitespace — emit the canonical hash + length. Patterns
+    held to the Java/RE2 common subset (explicit whitespace classes, no
+    \\s — Java's includes \\x0B, RE2's does not), same engine-parity
+    discipline as functions/pii.py."""
+    from hadoop_gpu_spark.functions.text import normalize_text
+
+    docs = T(spark, sf_dir, "documents")
+    norm = normalize_text("text")
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(norm, "UTF-8")).alias("norm_hash"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+# ===========================================================================
 # Driver-window ordering.
 #
 # The driver correctness-checks the FIRST 50 registered queries each round

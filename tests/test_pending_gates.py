@@ -24,8 +24,18 @@ PENDING = [
     "q_bloom_decontaminate",
 ]
 
+# r07 cohort — built + oracle-pinned in r06 while the r06 window was
+# exactly full (8 gates + 21 HEADLINE + 21 rotation); registration and
+# driver rows land in round 7 (see the PENDING section in queries.py).
+PENDING_R07 = [
+    "q_chunk_documents",
+    "q_domain_cap",
+    "q_embedding_outliers",
+    "q_text_normalize",
+]
 
-@pytest.mark.parametrize("name", PENDING)
+
+@pytest.mark.parametrize("name", [*PENDING, *PENDING_R07])
 def test_pending_gate_oracle(spark, sf_dir, name):
     from hadoop_gpu_spark import queries as q
 
@@ -47,7 +57,7 @@ def test_pending_oracles_emit_driver_safe_types(sf_dir):
 
     con = duckdb_con(sf_dir)
     offenders = []
-    for name in [*PENDING, "q_media_probe", "q_audio_decode"]:
+    for name in [*PENDING, *PENDING_R07, "q_media_probe", "q_audio_decode"]:
         rel = con.sql(getattr(q, f"Q_{name[2:].upper()}_ORACLE"))
         for col, typ in zip(rel.columns, [str(t) for t in rel.types]):
             if typ in ("HUGEINT", "UHUGEINT", "UBIGINT"):
@@ -271,3 +281,117 @@ def test_stream_topk_snapshot_shape(spark, sf_dir):
         assert list(grp["rank"]) == list(range(1, len(grp) + 1))
         assert len(grp) <= 3
         assert list(grp["cnt"]) == sorted(grp["cnt"], reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# r07 cohort behavioral tests (beyond the oracle pins above).
+# ---------------------------------------------------------------------------
+def test_chunk_documents_window_arithmetic(spark):
+    # Hand-checkable case: 10 tokens, window 4, stride 3 -> starts
+    # 0,3,6,9 with chunk lengths 4,4,4,1; empty doc yields no chunks.
+    from hadoop_gpu_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, "   "), (3, "a b")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, "doc_id", "text", window=4, stride=3).toPandas()
+    d1 = out[out.doc_id == 1].sort_values("chunk_id")
+    assert list(d1.start_token) == [0, 3, 6, 9]
+    assert list(d1.n_tokens) == [4, 4, 4, 1]
+    assert list(d1.chunk_id) == [0, 1, 2, 3]
+    assert (out.doc_id != 2).all()
+    d3 = out[out.doc_id == 3]
+    assert len(d3) == 1 and int(d3.n_tokens.iloc[0]) == 2
+
+
+def test_chunk_documents_plan_is_narrow_and_jvm_only(spark, sf_dir):
+    # Map-only narrow plan: no shuffle, no Python evaluation node — the
+    # whole pass must stay inside whole-stage codegen.
+    from hadoop_gpu_spark.queries import q_chunk_documents
+
+    plan = q_chunk_documents(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_text_normalize_plan_is_narrow_and_jvm_only(spark, sf_dir):
+    from hadoop_gpu_spark.queries import q_text_normalize
+
+    plan = q_text_normalize(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_normalize_text_engine_parity_on_edge_strings(spark):
+    # Java vs RE2 agreement on the exact normalize pipeline, exercised on
+    # the adversarial chars where the engines' \s classes differ
+    # (\x0B vertical tab), plus unicode, case, punctuation runs.
+    import duckdb
+
+    from hadoop_gpu_spark.functions.text import NORMALIZE_TEXT_SQL_TMPL, normalize_text
+    from pyspark.sql import functions as F2
+
+    edge = [
+        "Hello, World!",
+        "tabs\tand\nnewlines\rand\x0bvertical\x0ctabs",
+        "unicode: café über ☃ snowman",
+        "MIXED case 123 with   runs    of spaces",
+        "",
+        "!!!@@@###",
+        "\x0b\x0b\x0b",
+        "a\x00b",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(edge)], "i long, s string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", normalize_text("s").alias("n")).collect()
+    }
+    con = duckdb.connect()
+    expr = NORMALIZE_TEXT_SQL_TMPL.format(col="s")
+    for i, s in enumerate(edge):
+        want = con.sql(f"SELECT {expr} AS n FROM (SELECT ? AS s)", params=[s]).fetchone()[0]
+        assert got[i] == want, (i, repr(s), repr(got[i]), repr(want))
+    con.close()
+
+
+def test_domain_cap_precap_matches_plain_window(spark, sf_dir):
+    # The skew-armored two-stage path must be RESULT-IDENTICAL to the
+    # plain ranking window (any key's global top-n is a subset of the
+    # union of its per-partition top-n).
+    from hadoop_gpu_spark.operators.sampling import domain_cap
+    from hadoop_gpu_spark.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    a = domain_cap(docs, "source", "doc_id", n=5, pre_cap=True).toPandas()
+    b = domain_cap(docs, "source", "doc_id", n=5, pre_cap=False).toPandas()
+    key = ["source", "doc_id", "rank"]
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist())
+    )
+    assert a.groupby("source")["doc_id"].count().max() <= 5
+    assert set(a["rank"]) <= set(range(1, 6))
+
+
+def test_embedding_outliers_zero_variance_degenerates_to_zero(spark):
+    # All-identical vectors: every distance-to-centroid is 0, variance is
+    # 0 — the CASE guard must emit z = 0 everywhere instead of raising
+    # DIVIDE_BY_ZERO (ANSI mode raises even for double division).
+    from pyspark.sql import functions as F2
+
+    import hadoop_gpu_spark.queries as q
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 2.0]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    import hadoop_gpu_spark.tables as tables
+
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda spark_, name, sf: df
+        out = q.q_embedding_outliers(spark, "unused").toPandas()
+    finally:
+        tables.load_table = orig
+    assert (out["z"] == 0.0).all()
+    assert (~out["is_outlier"]).all()
