@@ -37,6 +37,14 @@ from hadoop_gpu_spark.queries import QUERIES
 #   an r06-vs-r05-official delta is NOT a 2x win, it is mostly the load
 #   artifact unwinding. The load-guard fields below exist so future
 #   contaminated records are self-describing.
+# - Two r06 minima sit above their r04 records for KNOWN, accepted
+#   reasons, not regressions introduced this round: q_ann_lsh ~0.79s vs
+#   0.579s (the r05 dedup/ANN kernel convergence moved signatures onto
+#   the Arrow/numpy kernels — r05's own 10x table measured lsh at 0.87s
+#   at 1x, the price of flat 10x scaling), and q_pretrain_pipeline
+#   ~0.86s vs 0.651s (unchanged plan, all-JVM; the r04 number was
+#   measured at list position 21-of-21 under maximal tiered-JIT warmth,
+#   before whole-set warm cycles made timings position-independent).
 HEADLINE = [
     "q01_pricing_summary",        # decimal-exact agg, single scan
     "q_wordcount",                # tokenize + explode + count
