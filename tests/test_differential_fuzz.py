@@ -244,3 +244,75 @@ def test_random_relational_queries_match_duckdb(spark, duck, spec):
     d = duck.sql(_sql_query(spec)).df()
     assert sorted(s.columns) == sorted(d.columns), (s.columns, d.columns)
     assert _canon(s) == _canon(d), spec
+
+
+# ---------------------------------------------------------------------------
+# r06 additions: differential fuzz for the r07 pending operators.
+# ---------------------------------------------------------------------------
+_norm_text = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",),  # no lone surrogates (invalid UTF-8)
+        max_codepoint=0x2FFF,
+    ),
+    max_size=80,
+)
+
+
+@given(texts=st.lists(_norm_text, min_size=1, max_size=12))
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_normalize_text_fuzz_matches_duckdb(spark, texts):
+    # Engine-parity fuzz for the canonicalization pipeline: arbitrary
+    # unicode (controls, \x0b/\x0c, CJK, combining marks) must normalize
+    # byte-identically under Java regex (Spark) and RE2 (DuckDB) — the
+    # claim the explicit-whitespace-class discipline exists to guarantee.
+    from hadoop_gpu_spark.functions.text import NORMALIZE_TEXT_SQL_TMPL, normalize_text
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "i long, s string"
+    )
+    got = {r["i"]: r["n"] for r in df.select("i", normalize_text("s").alias("n")).collect()}
+    con = duckdb.connect()
+    expr = NORMALIZE_TEXT_SQL_TMPL.format(col="s")
+    for i, s in enumerate(texts):
+        want = con.sql(f"SELECT {expr} AS n FROM (SELECT ? AS s)", params=[s]).fetchone()[0]
+        assert got[i] == want, (repr(s), repr(got[i]), repr(want))
+    con.close()
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["tok%d" % i for i in range(9)]), max_size=30),
+        min_size=1,
+        max_size=8,
+    ),
+    window=st.integers(1, 8),
+    stride=st.integers(1, 8),
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunk_documents_fuzz_matches_python_model(spark, docs, window, stride):
+    # Independent-implementation differential: chunk_documents (Spark
+    # expressions) vs a five-line Python reference over arbitrary token
+    # counts (including 0) and window/stride combinations (including
+    # stride > window, i.e. gaps).
+    from hadoop_gpu_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["start_token"], r["n_tokens"])
+        for r in chunk_documents(df, "doc_id", "text", window, stride).collect()
+    )
+    want = []
+    for i, toks in enumerate(docs):
+        for ci, start in enumerate(range(0, len(toks), stride)):
+            want.append((i, ci, start, len(toks[start : start + window])))
+    assert got == sorted(want), (window, stride, docs)

@@ -331,3 +331,54 @@ def test_exact_dedup_stream_state_spans_micro_batches(spark, tmp_path):
     assert got.filter(F.col("props").startswith("new-")).count() == 2
     # every surviving repeat payload is the batch-1 copy
     assert got.filter((F.col("batch") == 2) & ~F.col("props").startswith("new-")).count() == 0
+
+
+def test_dedup_state_recovers_across_restart(spark, tmp_path):
+    # State-store recovery, the layer the file-source restart test above
+    # does not exercise: a watermarked dropDuplicates drain commits its
+    # hash state to the checkpoint; a RESTART with NEW files whose
+    # payloads overlap the first batch must recover that state and emit
+    # only the genuinely-new payloads. This is the cross-batch streaming
+    # dedup contract (q_stream_dedup's operator) surviving a stop/start.
+    import datetime
+
+    from hadoop_gpu_spark.streaming import exact_dedup_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    ts = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def write_batch(fname, payloads):
+        spark.createDataFrame(
+            [(ts, p) for p in payloads], "ts timestamp, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / fname))
+
+    def drain():
+        stream = (
+            spark.readStream.schema("ts timestamp, text string")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            exact_dedup_stream(stream, text_col="text", watermark="90 days")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch("b1", ["p1", "p2", "p3", "p3"])
+    drain()
+    got1 = sorted(r["text"] for r in spark.read.parquet(out).collect())
+    assert got1 == ["p1", "p2", "p3"]  # in-batch dupe collapsed
+
+    # overlap p2/p3 + two new payloads, then restart from the checkpoint
+    write_batch("b2", ["p2", "p3", "p4", "p5"])
+    drain()
+    got2 = sorted(r["text"] for r in spark.read.parquet(out).collect())
+    assert got2 == ["p1", "p2", "p3", "p4", "p5"], got2  # state recovered
