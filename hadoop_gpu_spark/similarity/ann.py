@@ -262,6 +262,33 @@ def lsh_signature_pandas(vec_col, signs: list[list[int]]):
     return _udf(vec)
 
 
+def lsh_signature_pandas_auto(vec_col, n_bits: int):
+    """:func:`lsh_signature_pandas` without the driver-side dimension
+    probe: ``lsh_signs`` is a pure function of (n_bits, dim), so each
+    executor derives the IDENTICAL sign matrix lazily from its first
+    batch's vector length (memoized per dim for the worker lifetime).
+    Removes the one-row ``first()`` job a probe-based caller pays per
+    invocation — at cluster scale that probe is a full scan-stage launch
+    just to read one array length."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    memo: dict[int, list[list[int]]] = {}
+
+    @pandas_udf(LongType())
+    def _udf(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype="int64")
+        dim = len(vecs.iloc[0])
+        signs = memo.get(dim)
+        if signs is None:
+            signs = memo[dim] = lsh_signs(n_bits, dim)
+        return pd.Series(_signatures_np(vecs, signs))
+
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return _udf(vec)
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -282,12 +309,13 @@ def lsh_bucket_topk(
     """
     from hadoop_gpu_spark.utils import ensure_min_partitions
 
-    first = corpus.select(F.size(vec_col).alias("n")).first()
-    signs = lsh_signs(n_bits, first["n"])
+    # No driver-side dimension probe: the auto kernel derives the sign
+    # matrix from each batch's vector length (identical values — lsh_signs
+    # is pure in (n_bits, dim)), saving a one-row scan job per invocation.
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("__qv"),
-        lsh_signature_pandas(vec_col, signs).alias("__sig"),
+        lsh_signature_pandas_auto(vec_col, n_bits).alias("__sig"),
     )
     # signature computed in the scan projection: at cluster scale the scan
     # has many partitions, so the Arrow-batched UDF is already parallel
@@ -297,7 +325,7 @@ def lsh_bucket_topk(
         corpus.select(
             F.col(id_col).alias("nid"),
             F.col(vec_col).alias("__cv"),
-            lsh_signature_pandas(vec_col, signs).alias("__sig"),
+            lsh_signature_pandas_auto(vec_col, n_bits).alias("__sig"),
         )
     )
     pairs = c.join(F.broadcast(q), "__sig").filter(F.col("qid") != F.col("nid"))
