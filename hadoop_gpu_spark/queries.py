@@ -4469,6 +4469,32 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# PENDING round-8 gate — the r07 window is already exactly spoken for
+# (25 r04-latest + 21 HEADLINE + the 4 PENDING_R07 gates = 50), so this
+# ships a round early, oracle-pinned by tests (same pattern as every
+# pending cohort): registration and the driver row land in round 8.
+# ===========================================================================
+def _funnel_oracle() -> str:
+    from hadoop_gpu_spark.operators.funnel import funnel_sql
+
+    return funnel_sql("events", "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+Q_FUNNEL_ORACLE = _funnel_oracle()
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel per user (pending r08
+    registration): first-completion time of each step strictly after the
+    previous step, one shuffle total (see operators/funnel.py); times
+    exposed as epoch-micros BIGINTs (never raw sub-second timestamps)."""
+    from hadoop_gpu_spark.operators.funnel import funnel
+
+    ev = T(spark, sf_dir, "events")
+    return funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+# ===========================================================================
 # Driver-window ordering.
 #
 # The driver correctness-checks the FIRST 50 registered queries each round

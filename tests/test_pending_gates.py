@@ -395,3 +395,84 @@ def test_embedding_outliers_zero_variance_degenerates_to_zero(spark):
         tables.load_table = orig
     assert (out["z"] == 0.0).all()
     assert (~out["is_outlier"]).all()
+
+
+# ---------------------------------------------------------------------------
+# r08 pending gate: q_funnel (operators/funnel.py).
+# ---------------------------------------------------------------------------
+def test_funnel_gate_oracle(spark, sf_dir):
+    from hadoop_gpu_spark import queries as q
+
+    got = q.q_funnel(spark, sf_dir).toPandas()
+    con = duckdb_con(sf_dir)
+    want = con.sql(q.Q_FUNNEL_ORACLE).df()
+    con.close()
+    errs = compare_frames(got, want)
+    assert not errs, "; ".join(errs[:3])
+
+
+def test_funnel_partial_paths_and_strict_ordering(spark):
+    # The gate corpus is dense (every user completes all 3 steps), so the
+    # partial paths need explicit coverage: missing steps, out-of-order
+    # completion, same-timestamp strictness, and entities with no first
+    # step (excluded entirely).
+    import datetime
+
+    from hadoop_gpu_spark.operators.funnel import funnel
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: full funnel in order
+        (1, ts(0), "view"), (1, ts(1), "click"), (1, ts(2), "purchase"),
+        # user 2: view only
+        (2, ts(0), "view"),
+        # user 3: purchase BEFORE click -> only 2 steps count
+        (3, ts(0), "view"), (3, ts(2), "click"), (3, ts(1), "purchase"),
+        # user 4: no view at all -> excluded from output
+        (4, ts(0), "click"), (4, ts(1), "purchase"),
+        # user 5: click at the SAME timestamp as view -> strict > fails
+        (5, ts(0), "view"), (5, ts(0), "click"),
+        # user 6: second view earlier than first click; click equals the
+        # LATER view's time -> still counts (min view is the anchor)
+        (6, ts(5), "view"), (6, ts(1), "view"), (6, ts(5), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r["user_id"]: (r["t_view"], r["t_click"], r["t_purchase"], r["steps_completed"])
+        for r in funnel(df, "user_id", "ts", "event_type", ["view", "click", "purchase"]).collect()
+    }
+
+    def us(minutes):
+        return int(ts(minutes).replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+
+    assert out[1] == (us(0), us(1), us(2), 3)
+    assert out[2] == (us(0), None, None, 1)
+    assert out[3] == (us(0), us(2), None, 2)
+    assert 4 not in out
+    assert out[5] == (us(0), None, None, 1)
+    assert out[6] == (us(1), us(5), None, 2)
+    assert set(out) == {1, 2, 3, 5, 6}
+
+
+def test_funnel_survives_small_arrow_batches_and_repartitioning(spark, sf_dir):
+    # The kernel must concatenate a partition's Arrow batches before
+    # resolving (an entity's events can span batches) and be invariant to
+    # the input's physical layout.
+    from hadoop_gpu_spark.operators.funnel import funnel
+    from hadoop_gpu_spark.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    steps = ["view", "click", "purchase"]
+    base = funnel(ev, "user_id", "ts", "event_type", steps).toPandas()
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    s2.conf.set("spark.sql.shuffle.partitions", "3")
+    ev2 = load_table(s2, "events", sf_dir).repartition(5)
+    tiny = funnel(ev2, "user_id", "ts", "event_type", steps).toPandas()
+    key = ["user_id", "t_view", "t_click", "t_purchase", "steps_completed"]
+    canon = lambda d: sorted(map(tuple, d[key].fillna(-1).values.tolist()))
+    assert canon(base) == canon(tiny)
