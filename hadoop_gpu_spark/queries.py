@@ -4494,6 +4494,26 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
 
 
+def _pq_train_oracle() -> str:
+    from hadoop_gpu_spark.similarity.quantize import pq_train_sql
+
+    return pq_train_sql()
+
+
+Q_PQ_TRAIN_ORACLE = _pq_train_oracle()
+
+
+def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-adaptive PQ codebook training (pending r08 registration):
+    k-means on an INTEGER LATTICE so every Lloyd step — init order,
+    distances, argmin ties, centroid floor-division updates — is exact
+    and the oracle replays the identical iterations; the gate compares
+    the trained 128-row codebooks themselves (all-int, driver-safe)."""
+    from hadoop_gpu_spark.similarity.quantize import pq_train
+
+    return pq_train(T(spark, sf_dir, "embeddings"))
+
+
 # ===========================================================================
 # Driver-window ordering.
 #

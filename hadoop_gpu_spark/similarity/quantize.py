@@ -400,3 +400,197 @@ SQ8_SQL = """
            md5(array_to_string(qs, ',')) AS q_hash
     FROM q
 """
+
+
+# --------------------------------------------------------------------------
+# PQ codebook TRAINING — integer-lattice k-means (engine-exact Lloyd)
+# --------------------------------------------------------------------------
+PQ_TRAIN_SCALE = 1_000_000
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_cent: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Train a data-adaptive PQ codebook with k-means run ENTIRELY on an
+    integer lattice, so every step is exact and engine-reproducible —
+    unlike float-mean Lloyd (``ml/kmeans.py``), whose centroid averages
+    depend on double summation order in the last ulp:
+
+    - subvector elements quantize once to floor(x * 1e6) int64s (the
+      lsh_signature trick);
+    - distances are exact int64 arithmetic, argmin ties resolve to the
+      lowest centroid index;
+    - init = the first ``n_cent`` DISTINCT subvectors per subspace in
+      md5 order (pure function of the data, no RNG);
+    - centroid update = elementwise FLOOR-DIVISION of exact int sums
+      (floor(sum/n) stays on the lattice; empty clusters keep their
+      previous centroid);
+    - therefore the trained book is bit-identical across partitionings,
+      sessions, and engines — the DuckDB twin (:func:`pq_train_sql`)
+      replays the identical iterations and the gate compares the BOOKS.
+
+    Returns (sub, cluster_id, c0..c{sub_dim-1}) int64 rows — n_sub *
+    n_cent of them. Scale shape: per iteration one broadcast join
+    (n_cent-fold fanout of the subvector rows) + one (n_sub * n_cent)-row
+    aggregate with map-side combine; only the 128-row book circulates
+    through the driver (the k-means contract). Production PQ trains on a
+    sample; pass a sampled df for that.
+    """
+    spark = df.sparkSession
+    d_cols = [f"d{d}" for d in range(sub_dim)]
+
+    def q_elem(s: int, d: int) -> Column:
+        x = F.col(col)[s * sub_dim + d].cast("double") * float(PQ_TRAIN_SCALE)
+        return F.floor(x).cast("long")
+
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("long").alias("sub"),
+                *[q_elem(s, d).alias(c) for d, c in enumerate(d_cols)],
+            )
+            for s in range(n_sub)
+        ]
+    )
+    rows = df.select(F.col(id_col).alias("vid"), F.inline(structs))
+    rows = rows.localCheckpoint(eager=True)  # scanned 2*iters+1 times
+
+    from pyspark.sql.window import Window
+
+    # deterministic init: md5-ordered distinct subvectors
+    dv = rows.select("sub", *d_cols).distinct()
+    h = F.md5(F.encode(F.concat_ws(",", *[F.col(c).cast("string") for c in d_cols]), "UTF-8"))
+    w = Window.partitionBy("sub").orderBy(h, *[F.col(c) for c in d_cols])
+    ini = (
+        dv.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_cent)
+        .select("sub", (F.col("rn") - 1).cast("long").alias("cluster"), *d_cols)
+    )
+    book = [
+        (int(r["sub"]), int(r["cluster"]), *[int(r[c]) for c in d_cols])
+        for r in ini.collect()
+    ]
+
+    book_schema = "sub long, cluster long, " + ", ".join(f"c{d} long" for d in range(sub_dim))
+    for _ in range(iters):
+        bdf = spark.createDataFrame(book, book_schema)
+        cand = rows.join(F.broadcast(bdf), "sub")
+        dist = None
+        for d in range(sub_dim):
+            t = (F.col(f"d{d}") - F.col(f"c{d}")) * (F.col(f"d{d}") - F.col(f"c{d}"))
+            dist = t if dist is None else dist + t
+        best = (
+            cand.withColumn("dist", dist)
+            .groupBy("vid", "sub", *d_cols)
+            .agg(F.min(F.struct("dist", "cluster")).alias("b"))
+            .select("sub", F.col("b.cluster").alias("cluster"), *d_cols)
+        )
+        upd = best.groupBy("sub", "cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(c).alias(f"s{d}") for d, c in enumerate(d_cols)],
+        )
+        new = {(int(r["sub"]), int(r["cluster"])): r for r in upd.collect()}
+        nxt = []
+        for sub, cluster, *cs in book:
+            r = new.get((sub, cluster))
+            if r is None:
+                nxt.append((sub, cluster, *cs))  # empty cluster: keep centroid
+            else:
+                n = int(r["n"])
+                # exact floor division of exact int sums (lattice-preserving)
+                nxt.append(
+                    (sub, cluster, *[int(r[f"s{d}"]) // n for d in range(sub_dim)])
+                )
+        book = nxt
+
+    return spark.createDataFrame(
+        [(s, c, *cs) for s, c, *cs in book],
+        "sub long, cluster_id long, " + ", ".join(f"c{d} long" for d in range(sub_dim)),
+    )
+
+
+def pq_train_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_cent: int = 16,
+    iters: int = 2,
+) -> str:
+    """DuckDB twin of :func:`pq_train`: replays the identical
+    integer-lattice iterations as chained CTEs. Exactness notes: DuckDB
+    SUM(BIGINT) returns HUGEINT — all arithmetic on it is exact and the
+    final centroid columns CAST back to BIGINT (driver-safe types);
+    floor division of a possibly-negative exact sum uses the pmod
+    identity (s - ((s % n) + n) % n) / n, which equals Python's // and
+    Spark's int(sum)//n for positive n."""
+    d_cols = [f"d{d}" for d in range(sub_dim)]
+
+    def sub_select(s: int) -> str:
+        els = ", ".join(
+            f"CAST(floor(CAST({col}[{s * sub_dim + d + 1}] AS DOUBLE) * {PQ_TRAIN_SCALE}.0) AS BIGINT) AS d{d}"
+            for d in range(sub_dim)
+        )
+        return f"SELECT {id_col} AS vid, CAST({s} AS BIGINT) AS sub, {els} FROM {table}"
+
+    rows = " UNION ALL ".join(sub_select(s) for s in range(n_sub))
+    dstr = ", ".join(f"CAST({c} AS VARCHAR)" for c in d_cols)
+    dlist = ", ".join(d_cols)
+    ctes = [
+        f"rows AS ({rows})",
+        f"dv AS (SELECT DISTINCT sub, {dlist} FROM rows)",
+        f"""ini AS (
+          SELECT sub, {dlist},
+                 ROW_NUMBER() OVER (PARTITION BY sub
+                                    ORDER BY md5(concat_ws(',', {dstr})), {dlist}) - 1 AS cluster
+          FROM dv)""",
+        "book0 AS (SELECT sub, cluster, "
+        + ", ".join(f"{c} AS c{d}" for d, c in enumerate(d_cols))
+        + f" FROM ini WHERE cluster < {n_cent})",
+    ]
+    for i in range(1, iters + 1):
+        dist = " + ".join(
+            f"(r.d{d} - b.c{d}) * (r.d{d} - b.c{d})" for d in range(sub_dim)
+        )
+        rcols = ", ".join(f"r.d{d}" for d in range(sub_dim))
+        ctes.append(
+            f"""cand{i} AS (
+              SELECT r.vid, r.sub, {rcols}, b.cluster, {dist} AS dist
+              FROM rows r JOIN book{i - 1} b USING (sub))"""
+        )
+        ctes.append(
+            f"""asg{i} AS (
+              SELECT vid, sub, {dlist}, cluster FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vid, sub
+                                             ORDER BY dist, cluster) AS rn
+                FROM cand{i}) WHERE rn = 1)"""
+        )
+        sums = ", ".join(f"SUM(d{d}) AS s{d}" for d in range(sub_dim))
+        ctes.append(
+            f"""upd{i} AS (
+              SELECT sub, cluster, COUNT(*) AS n, {sums}
+              FROM asg{i} GROUP BY sub, cluster)"""
+        )
+        upds = ", ".join(
+            f"CASE WHEN u.n IS NULL THEN b.c{d} "
+            f"ELSE (u.s{d} - ((u.s{d} % u.n) + u.n) % u.n) // u.n END AS c{d}"
+            for d in range(sub_dim)
+        )
+        ctes.append(
+            f"""book{i} AS (
+              SELECT b.sub, b.cluster, {upds}
+              FROM book{i - 1} b LEFT JOIN upd{i} u USING (sub, cluster))"""
+        )
+    final = ", ".join(f"CAST(c{d} AS BIGINT) AS c{d}" for d in range(sub_dim))
+    return (
+        "WITH " + ", ".join(ctes) + f"""
+    SELECT sub, cluster AS cluster_id, {final} FROM book{iters}
+    """
+    )

@@ -476,3 +476,73 @@ def test_funnel_survives_small_arrow_batches_and_repartitioning(spark, sf_dir):
     key = ["user_id", "t_view", "t_click", "t_purchase", "steps_completed"]
     canon = lambda d: sorted(map(tuple, d[key].fillna(-1).values.tolist()))
     assert canon(base) == canon(tiny)
+
+
+# ---------------------------------------------------------------------------
+# r08 pending gate: q_pq_train (integer-lattice k-means codebook training).
+# ---------------------------------------------------------------------------
+def test_pq_train_gate_oracle(spark, sf_dir):
+    from hadoop_gpu_spark import queries as q
+
+    got = q.q_pq_train(spark, sf_dir).toPandas()
+    con = duckdb_con(sf_dir)
+    want = con.sql(q.Q_PQ_TRAIN_ORACLE).df()
+    con.close()
+    errs = compare_frames(got, want)
+    assert not errs, "; ".join(errs[:3])
+    assert len(got) == 128  # 8 subspaces x 16 centroids
+
+
+def test_pq_train_actually_trains(spark, sf_dir):
+    # The trained book must differ from the md5-ordered init (Lloyd moved
+    # centroids) and assignments against it must use every subspace. A
+    # training run that returns its init would pass the oracle vacuously
+    # (the oracle replays the same iterations) — this pins that the
+    # iterations DO something.
+    from hadoop_gpu_spark.similarity.quantize import pq_train
+    from hadoop_gpu_spark.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    trained = pq_train(emb).toPandas().sort_values(["sub", "cluster_id"])
+    init_only = pq_train(emb, iters=0).toPandas().sort_values(["sub", "cluster_id"])
+    d_cols = [f"c{d}" for d in range(8)]
+    assert not trained[d_cols].equals(init_only[d_cols])
+    # centroids stay on the quantized lattice and inside the data range
+    assert trained[d_cols].abs().max().max() <= 2_000_000
+
+
+def test_pq_train_invariant_under_partitioning(spark, sf_dir):
+    # The whole point of the integer lattice: identical book under
+    # adversarial shuffle layouts AND input re-slicing (float-mean Lloyd
+    # cannot promise this; see ml/kmeans.py docstring).
+    from hadoop_gpu_spark.similarity.quantize import pq_train
+    from hadoop_gpu_spark.tables import load_table
+
+    books = []
+    for parts, inparts in (("3", 1), ("17", 5)):
+        s = spark.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", parts)
+        emb = load_table(s, "embeddings", sf_dir).repartition(inparts)
+        b = pq_train(emb).toPandas().sort_values(["sub", "cluster_id"]).reset_index(drop=True)
+        books.append(b)
+    assert books[0].equals(books[1])
+
+
+def test_pq_train_composes_with_encode(spark, sf_dir):
+    # Train -> encode: the trained int-lattice book converts to floats
+    # (c / 1e6) and drives the existing PQ encoder; every vector must get
+    # a full 8-subspace code with centroids in range.
+    from hadoop_gpu_spark.similarity.quantize import pq_encode, pq_train
+    from hadoop_gpu_spark.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    rows = pq_train(emb).collect()
+    book = [[None] * 16 for _ in range(8)]
+    for r in rows:
+        book[int(r["sub"])][int(r["cluster_id"])] = [
+            r[f"c{d}"] / 1_000_000.0 for d in range(8)
+        ]
+    out = pq_encode(emb, book=book).toPandas()
+    assert len(out) == emb.count()
+    for s in range(8):
+        assert out[f"c{s}"].between(0, 15).all()
