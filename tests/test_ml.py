@@ -226,3 +226,37 @@ def test_assign_pandas_matches_expression(spark, sf_dir):
     }
     assert expr == fast
     assert len(expr) > 100
+
+
+def test_kmeans_iteration_plan_shape(spark, sf_dir):
+    """The q_kmeans gate's returned frame is a local k-row scan (the Lloyd
+    loop runs at construction), so registry-wide plan checks can't see the
+    iteration cost. Assert the PER-ITERATION plan directly — the thing a
+    1000-executor run repeats max_iter times: assignment is a narrow map
+    (argmin over a constant-folded centroid literal — zero exchanges, no
+    join), and the recalc aggregate adds exactly ONE exchange carrying
+    k-row partials (map-side combine), never the points."""
+    import re
+
+    from hadoop_gpu_spark import plans
+    from hadoop_gpu_spark.ml.kmeans import _with_nearest
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    points = emb.select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    cents = [(i, float(i), float(-i)) for i in range(8)]
+
+    assigned = _with_nearest(points, cents, ["x", "y"])
+    p_assign = plans.formatted_plan(assigned)
+    assert not re.search(r"^\s*\(\d+\) Exchange\b", p_assign, re.M)
+    assert "Join" not in p_assign and "BatchEvalPython" not in p_assign
+
+    recalc = assigned.groupBy("cluster_id").agg(
+        F.avg("x").alias("x"), F.avg("y").alias("y"), F.count(F.lit(1)).alias("n")
+    )
+    p_recalc = plans.formatted_plan(recalc)
+    assert len(re.findall(r"^\s*\(\d+\) Exchange\b", p_recalc, re.M)) == 1
+    assert "HashAggregate" in p_recalc  # partial/final = combiner pattern
