@@ -316,3 +316,202 @@ def test_chunk_documents_fuzz_matches_python_model(spark, docs, window, stride):
         for ci, start in enumerate(range(0, len(toks), stride)):
             want.append((i, ci, start, len(toks[start : start + window])))
     assert got == sorted(want), (window, stride, docs)
+
+
+# ---------------------------------------------------------------------------
+# r06 continuation: window-function and set-operation fuzz legs — the two
+# operator families the relational grammar above doesn't reach, and the
+# substrate of a large query cohort (secondary sort, moving window, top-k,
+# sessionization; union/intersect/except gates).
+# ---------------------------------------------------------------------------
+# Tables with a VERIFIED-unique key (total order available). The synthetic
+# lineitem is NOT here for positional functions: a 150-example soak of this
+# leg found 1161 duplicate (l_orderkey, l_linenumber) groups at sf0.001 —
+# unlike real TPC-H — so no small column set totally orders it, and
+# row_number/lag/lead over a non-total order are legitimately
+# engine-divergent (not a bug in either engine).
+_TOTAL_ORDER_KEYS = {
+    "orders": ["o_orderkey"],
+    "customer": ["c_custkey"],
+}
+# Row tags for the rank legs: rank/dense_rank per row are pure functions of
+# the row's sort-key VALUE (1 + count of strictly-smaller / distinct-smaller
+# keys), so ties — even duplicate tag pairs — cannot make the output
+# multiset nondeterministic; lineitem is safe here.
+_ROW_TAGS = {"lineitem": ["l_orderkey", "l_linenumber"], **_TOTAL_ORDER_KEYS}
+
+
+@st.composite
+def window_spec(draw):
+    fn = draw(
+        st.sampled_from(
+            ["row_number", "rank", "dense_rank", "lag", "lead", "running_sum"]
+        )
+    )
+    pool = _ROW_TAGS if fn in ("rank", "dense_rank") else _TOTAL_ORDER_KEYS
+    table = draw(st.sampled_from(sorted(pool)))
+    cols = TABLES[table]
+    part = draw(
+        st.sampled_from(
+            [None]
+            + [("s", c) for c in sorted(cols["strs"])]
+            + [("m", c) for c in cols["ints"]]
+        )
+    )
+    ordcol = draw(st.sampled_from(cols["ints"]))
+    desc = draw(st.booleans())
+    valcol = draw(st.sampled_from(cols["ints"]))
+    topk = draw(st.sampled_from([None, 3])) if fn == "row_number" else None
+    return {
+        "table": table, "part": part, "ordcol": ordcol, "desc": desc,
+        "fn": fn, "valcol": valcol, "topk": topk,
+    }
+
+
+def _window_frames(spark, spec):
+    """Build (spark_df, duckdb_sql) for one window spec.
+
+    Determinism: rank/dense_rank order by the (possibly tied) sort key
+    alone — their VALUES are functions of key equality, not row order.
+    Everything positional (row_number, lag, lead, running sum) gets the
+    table's unique key appended so the order is total.
+    """
+    from pyspark.sql.window import Window
+
+    t, fn = spec["table"], spec["fn"]
+    uniq = _ROW_TAGS[t]
+    d = " DESC" if spec["desc"] else ""
+    order_cols = [spec["ordcol"]] if fn in ("rank", "dense_rank") else [
+        spec["ordcol"], *[u for u in uniq if u != spec["ordcol"]]
+    ]
+    sql_order = ", ".join(f"{c}{d}" for c in order_cols)
+    spark_order = [F.col(c).desc() if spec["desc"] else F.col(c).asc() for c in order_cols]
+
+    if spec["part"] is None:
+        w = Window.orderBy(*spark_order)
+        sql_part = ""
+        part_sel_spark, part_sel_sql = [], []
+    else:
+        kind, c = spec["part"]
+        pexpr_spark = F.col(c) if kind == "s" else (F.col(c) % 5)
+        pexpr_sql = c if kind == "s" else f"{c} % 5"
+        w = Window.partitionBy(pexpr_spark).orderBy(*spark_order)
+        sql_part = f"PARTITION BY {pexpr_sql} "
+        part_sel_spark = [pexpr_spark.alias("pk")]
+        part_sel_sql = [f"{pexpr_sql} AS pk"]
+
+    v = spec["valcol"]
+    if fn == "row_number":
+        col, sqlf = F.row_number().over(w), "ROW_NUMBER()"
+    elif fn == "rank":
+        col, sqlf = F.rank().over(w), "RANK()"
+    elif fn == "dense_rank":
+        col, sqlf = F.dense_rank().over(w), "DENSE_RANK()"
+    elif fn == "lag":
+        col, sqlf = F.lag(v, 1).over(w), f"LAG({v}, 1)"
+    elif fn == "lead":
+        col, sqlf = F.lead(v, 1).over(w), f"LEAD({v}, 1)"
+    else:  # running_sum — frame must be ROWS (total order makes it exact)
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        col = F.sum(v).over(w)
+        sqlf = (
+            f"SUM({v})"  # OVER clause appended below with the ROWS frame
+        )
+    frame = (
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        if fn == "running_sum"
+        else ""
+    )
+    over = f"OVER ({sql_part}ORDER BY {sql_order}{frame})"
+    wv_sql = f"CAST({sqlf} {over} AS BIGINT) AS wv"
+
+    df = load_table(spark, t, SF_DIR).select(
+        *uniq, *part_sel_spark, col.cast("long").alias("wv")
+    )
+    sql = f"SELECT {', '.join([*uniq, *part_sel_sql, wv_sql])} FROM {t}"
+    if spec["topk"]:
+        df = df.filter(F.col("wv") <= spec["topk"])
+        sql = f"SELECT * FROM ({sql}) WHERE wv <= {spec['topk']}"
+    return df, sql
+
+
+@given(spec=window_spec())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_window_queries_match_duckdb(spark, duck, spec):
+    df, sql = _window_frames(spark, spec)
+    s, d = df.toPandas(), duck.sql(sql).df()
+    assert sorted(s.columns) == sorted(d.columns), (s.columns, d.columns)
+    assert _canon(s) == _canon(d), (spec, sql)
+
+
+@st.composite
+def setop_spec(draw):
+    # set semantics are order-free — every table qualifies
+    table = draw(st.sampled_from(sorted(_ROW_TAGS)))
+    cols = TABLES[table]
+    proj = [draw(st.sampled_from(cols["ints"])), draw(st.sampled_from(sorted(cols["strs"])))]
+    op = draw(st.sampled_from(
+        ["union_all", "union", "intersect", "intersect_all", "except", "except_all"]
+    ))
+
+    def one_filter():
+        kind = draw(st.sampled_from(["int_mod", "num_le", "str_eq", "none"]))
+        if kind == "int_mod":
+            c = draw(st.sampled_from(cols["ints"]))
+            return ("int_mod", c, draw(st.integers(2, 5)), draw(st.integers(0, 1)))
+        if kind == "num_le":
+            c = draw(st.sampled_from(sorted(cols["nums"])))
+            return ("num_le", c, draw(st.sampled_from(cols["nums"][c])), None)
+        if kind == "str_eq":
+            c = draw(st.sampled_from(sorted(cols["strs"])))
+            return ("str_eq", c, draw(st.sampled_from(cols["strs"][c])), None)
+        return None
+
+    return {"table": table, "proj": proj, "op": op,
+            "f1": one_filter(), "f2": one_filter()}
+
+
+def _setop_side(spark, table, proj, filt):
+    df = load_table(spark, table, SF_DIR)
+    sql_where = ""
+    if filt is not None:
+        kind, c, a, b = filt
+        if kind == "int_mod":
+            df, sql_where = df.filter(F.col(c) % a == b), f" WHERE {c} % {a} = {b}"
+        elif kind == "num_le":
+            df, sql_where = df.filter(F.col(c) <= F.lit(a)), f" WHERE {c} <= {a!r}"
+        else:
+            df, sql_where = df.filter(F.col(c) == a), f" WHERE {c} = '{a}'"
+    return df.select(*proj), f"SELECT {', '.join(proj)} FROM {table}{sql_where}"
+
+
+@given(spec=setop_spec())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_set_operations_match_duckdb(spark, duck, spec):
+    a, sql_a = _setop_side(spark, spec["table"], spec["proj"], spec["f1"])
+    b, sql_b = _setop_side(spark, spec["table"], spec["proj"], spec["f2"])
+    op = spec["op"]
+    if op == "union_all":
+        df, kw = a.unionAll(b), "UNION ALL"
+    elif op == "union":
+        df, kw = a.union(b).distinct(), "UNION"
+    elif op == "intersect":
+        df, kw = a.intersect(b), "INTERSECT"
+    elif op == "intersect_all":
+        df, kw = a.intersectAll(b), "INTERSECT ALL"
+    elif op == "except":
+        df, kw = a.subtract(b), "EXCEPT"
+    else:
+        df, kw = a.exceptAll(b), "EXCEPT ALL"
+    sql = f"({sql_a}) {kw} ({sql_b})"
+    s, d = df.toPandas(), duck.sql(sql).df()
+    assert sorted(s.columns) == sorted(d.columns), (s.columns, d.columns)
+    assert _canon(s) == _canon(d), (spec, sql)
