@@ -3613,15 +3613,25 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").cast("long").alias("sum_tokens"),
     )
-    t = agg.agg(
-        F.sum("n_docs").cast("double").alias("total"),
-        F.count(F.lit(1)).cast("double").alias("n_langs"),
-    )
-    return agg.crossJoin(F.broadcast(t)).select(
+    # Corpus totals via a global window over the |langs|-row aggregate, NOT
+    # a crossJoin(broadcast(agg.agg(...))): referencing `agg` from two plan
+    # branches recomputed the ENTIRE upstream pipeline (scan, md5,
+    # tokenize, quality window) once per branch — column pruning makes the
+    # branches' aggregates differ, so exchange reuse never kicks in. The
+    # window form computes the pipeline once; its single-partition exchange
+    # carries |langs| rows. Plan: 7 exchanges -> 4; same-session A/B at
+    # sf0.1 measured ~15% faster end-to-end (0.99 vs 1.20, 0.86 vs 1.03
+    # min-of-5 twice) — locally the doubled branch was partly masked by
+    # page-cache scan reuse, but at 100 TB the scan is the dominant cost
+    # and this halves it.
+    wall = Window.partitionBy(F.lit(1))
+    total = F.sum("n_docs").over(wall).cast("double")
+    n_langs = F.count(F.lit(1)).over(wall).cast("double")
+    return agg.select(
         "lang",
         "n_docs",
         "sum_tokens",
-        F.round(F.col("total") / (F.col("n_langs") * F.col("n_docs")), 9).alias("weight"),
+        F.round(total / (n_langs * F.col("n_docs")), 9).alias("weight"),
     )
 
 

@@ -43,7 +43,6 @@ INTENTIONAL_NESTED_LOOP = {
     "q_matmul_gram",           # gram product: all column-pairs by design
     "q_mixture_weights",       # broadcast per-language target weights
     "q_ppl_buckets",           # broadcast corpus-level NLL quantiles
-    "q_pretrain_pipeline",     # composed plan embeds the mixture-stats stage
     "q_range_join",            # bounded interval join (broadcast ranges)
     "q_tfidf_topterms",        # broadcast corpus document-frequency stats
     "q_unigram_logprob",       # broadcast unigram frequency model
@@ -79,7 +78,10 @@ HEADLINE_EXCHANGE_BUDGET = {
     "q_winnow_fingerprint": 1,
     "q_sequence_pack": 2,
     "q_ann_lsh": 2,
-    "q_pretrain_pipeline": 7,
+    # r06: was 7 — the mixture-stats scalars moved from a second plan
+    # branch (which recomputed the whole upstream pipeline) onto a global
+    # window over the |langs|-row aggregate.
+    "q_pretrain_pipeline": 4,
 }
 
 
