@@ -3379,14 +3379,17 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     s = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    t = s.agg(
-        F.sum("n_docs").cast("double").alias("total"),
-        F.count(F.lit(1)).cast("double").alias("n_langs"),
-    )
-    return s.crossJoin(F.broadcast(t)).select(
+    # Corpus totals as a global window over the |langs|-row aggregate —
+    # not crossJoin(broadcast(s.agg(...))), whose second plan branch
+    # re-scanned documents and re-ran the groupBy (pruned branches defeat
+    # exchange reuse; same fix as q_pretrain_pipeline, r06).
+    wall = Window.partitionBy(F.lit(1))
+    total = F.sum("n_docs").over(wall).cast("double")
+    n_langs = F.count(F.lit(1)).over(wall).cast("double")
+    return s.select(
         "lang",
         "n_docs",
-        F.round(F.col("total") / (F.col("n_langs") * F.col("n_docs")), 9).alias("weight"),
+        F.round(total / (n_langs * F.col("n_docs")), 9).alias("weight"),
     )
 
 

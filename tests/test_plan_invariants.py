@@ -41,7 +41,6 @@ INTENTIONAL_NESTED_LOOP = {
     "q_ann_pq",                # broadcast ADC LUT per query vector
     "q_ann_topk",              # brute-force baseline: all-pairs BY DESIGN
     "q_matmul_gram",           # gram product: all column-pairs by design
-    "q_mixture_weights",       # broadcast per-language target weights
     "q_ppl_buckets",           # broadcast corpus-level NLL quantiles
     "q_range_join",            # bounded interval join (broadcast ranges)
     "q_tfidf_topterms",        # broadcast corpus document-frequency stats
