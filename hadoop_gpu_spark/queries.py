@@ -2794,23 +2794,27 @@ def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     gr = docs.select("doc_id", F.explode(_gram_hashes(tokenize("text"), 3)).alias("gh"))
     freq = gr.groupBy("gh").agg(F.count(F.lit(1)).alias("nd"))
     frequent = freq.filter(F.col("nd") >= 5).select("gh")
-    n_grams = gr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    boiler = (
-        gr.join(F.broadcast(frequent), "gh", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    # ONE counting pass: total grams and boilerplate grams come from the
+    # same aggregation — a left join against the broadcast frequent set
+    # (unique gh, so no row multiplication) with a conditional count,
+    # instead of a left_semi + a second groupBy + a doc_id join. The
+    # former three evaluations of the tokenize+gram+explode subtree
+    # (freq, n_grams, boiler) drop to the two inherent to the
+    # broadcast-stats shape (r06 continuation; values unchanged — a
+    # missing match counts 0 exactly where na.fill(0) used to).
+    flagged = gr.join(
+        F.broadcast(frequent.withColumn("__b", F.lit(1))), "gh", "left"
     )
-    return (
-        n_grams.join(boiler, "doc_id", "left")
-        .na.fill(0, ["n_boiler"])
-        .select(
-            "doc_id",
-            "n_grams",
-            "n_boiler",
-            F.round(F.col("n_boiler") / F.col("n_grams").cast("double"), 9).alias(
-                "boiler_ratio"
-            ),
-        )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("__b").alias("n_boiler"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "n_boiler",
+        F.round(F.col("n_boiler") / F.col("n_grams").cast("double"), 9).alias(
+            "boiler_ratio"
+        ),
     )
 
 
