@@ -515,3 +515,93 @@ def test_random_set_operations_match_duckdb(spark, duck, spec):
     s, d = df.toPandas(), duck.sql(sql).df()
     assert sorted(s.columns) == sorted(d.columns), (s.columns, d.columns)
     assert _canon(s) == _canon(d), (spec, sql)
+
+
+# ---------------------------------------------------------------------------
+# Scalar string functions: the engine-parity subset, pinned empirically.
+# An r06 probe over adversarial unicode (sharp s, ligatures, Turkish İ,
+# final sigma, combining marks, astral plane, NBSP) found upper/lower
+# (Unicode special-casing), reverse (codepoints vs grapheme clusters) and
+# trim (ASCII-only vs Unicode whitespace) DIVERGE between Java/Spark and
+# DuckDB, while the functions below agree. Oracle-authoring rule: the
+# divergent four may only be applied to text already reduced to ASCII
+# (normalize_text does this; q_scalar_funcs' upper runs on single-letter
+# flags); anything user-shaped goes through the subset below.
+# ---------------------------------------------------------------------------
+_any_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x10FFFF),
+    max_size=40,
+)
+
+_STRING_PARITY_EXPRS = None  # built lazily (needs pyspark functions)
+
+
+def _string_parity_exprs():
+    global _STRING_PARITY_EXPRS
+    if _STRING_PARITY_EXPRS is None:
+        _STRING_PARITY_EXPRS = {
+            "length": (F.length("s").cast("long"), "CAST(length(s) AS BIGINT)"),
+            "substr2_3": (F.substring("s", 2, 3), "substr(s, 2, 3)"),
+            "left3": (F.expr("left(s, 3)"), "left(s, 3)"),
+            "instr_i": (F.instr("s", "i").cast("long"), "CAST(instr(s, 'i') AS BIGINT)"),
+            "replace_o": (
+                F.replace(F.col("s"), F.lit("o"), F.lit("0")),
+                "replace(s, 'o', '0')",
+            ),
+            "concat_ws": (F.concat_ws("-", "s", "s"), "concat_ws('-', s, s)"),
+            "lpad10": (F.lpad("s", 10, "*"), "lpad(s, 10, '*')"),
+            "split_sp": (
+                F.array_join(F.split("s", " "), "|"),
+                "array_to_string(string_split_regex(s, ' '), '|')",
+            ),
+        }
+    return _STRING_PARITY_EXPRS
+
+
+@given(texts=st.lists(_any_text, min_size=1, max_size=10))
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scalar_string_functions_match_duckdb(spark, texts):
+    exprs = _string_parity_exprs()
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(texts)], "i long, s string")
+    got = (
+        df.select("i", *[e.alias(k) for k, (e, _) in exprs.items()])
+        .toPandas()
+        .set_index("i")
+    )
+    con = duckdb.connect()
+    for i, s in enumerate(texts):
+        for k, (_, dsql) in exprs.items():
+            want = con.sql(f"SELECT {dsql} FROM (SELECT ? AS s)", params=[s]).fetchone()[0]
+            have = got.loc[i, k]
+            assert (have or "") == (want or ""), (k, repr(s), repr(have), repr(want))
+    con.close()
+
+
+def test_known_engine_divergent_string_functions(spark):
+    """Executable documentation of WHY upper/lower/reverse/trim are banned
+    on non-ASCII oracle columns: each case asserts the divergence itself,
+    so an engine upgrade that converges them flips this test and tells us
+    the ban (and this list) is stale."""
+    cases = [
+        # (spark expr, duckdb sql, input, expected spark, expected duck)
+        (F.upper("s"), "upper(s)", "ß", "SS", "ẞ"),
+        (F.lower("s"), "lower(s)", "ΣΟΦΟΣ", "σοφος", "σοφοσ"),
+        (F.lower("s"), "lower(s)", "İ", "i̇", "i"),
+        # NFD e+combining-acute: Spark reverses CODEPOINTS (the mark ends
+        # up on the c), DuckDB reverses grapheme clusters (é stays intact)
+        (F.reverse("s"), "reverse(s)", "e\u0301clair", "rialc\u0301e", "rialce\u0301"),
+        (F.trim("s"), "trim(s)", "\xa0nbsp", "\xa0nbsp", "nbsp"),
+    ]
+    con = duckdb.connect()
+    for expr, dsql, s, want_spark, want_duck in cases:
+        df = spark.createDataFrame([(s,)], "s string")
+        have = df.select(expr.alias("v")).collect()[0]["v"]
+        duck = con.sql(f"SELECT {dsql} AS v FROM (SELECT ? AS s)", params=[s]).fetchone()[0]
+        assert have == want_spark, (dsql, repr(s), repr(have), repr(want_spark))
+        assert duck == want_duck, (dsql, repr(s), repr(duck), repr(want_duck))
+        assert have != duck, (dsql, repr(s), "engines converged — update the ban list")
+    con.close()
