@@ -63,6 +63,9 @@ JOIN3 = {"tables": ("customer", "orders", "lineitem")}
 @st.composite
 def query_spec(draw):
     joined = draw(st.sampled_from(["none", "two", "three"]))
+    # outer joins on the two-table case: null-producing semantics (WHERE
+    # over null columns, aggregates ignoring nulls) must agree engine-wise
+    jtype = draw(st.sampled_from(["inner", "left", "full"])) if joined == "two" else "inner"
     if joined == "two":
         tabs = list(JOIN["tables"])
     elif joined == "three":
@@ -114,14 +117,14 @@ def query_spec(draw):
             aggs.append((kind, c))
     having = draw(st.sampled_from([None, 1, 5])) if group else None
     return {"joined": joined, "tables": tabs, "filters": filters, "group": group,
-            "aggs": aggs, "having": having}
+            "aggs": aggs, "having": having, "jtype": jtype}
 
 
 def _spark_query(spark, spec):
     if spec["joined"] == "two":
         li = load_table(spark, "lineitem", SF_DIR)
         o = load_table(spark, "orders", SF_DIR)
-        df = li.join(o, li[JOIN["on"][0]] == o[JOIN["on"][1]])
+        df = li.join(o, li[JOIN["on"][0]] == o[JOIN["on"][1]], spec.get("jtype", "inner"))
     elif spec["joined"] == "three":
         c = load_table(spark, "customer", SF_DIR)
         o = load_table(spark, "orders", SF_DIR)
@@ -170,7 +173,10 @@ def _spark_query(spark, spec):
 
 def _sql_query(spec):
     if spec["joined"] == "two":
-        src = "lineitem JOIN orders ON l_orderkey = o_orderkey"
+        kw = {"inner": "JOIN", "left": "LEFT JOIN", "full": "FULL JOIN"}[
+            spec.get("jtype", "inner")
+        ]
+        src = f"lineitem {kw} orders ON l_orderkey = o_orderkey"
     elif spec["joined"] == "three":
         src = ("customer JOIN orders ON c_custkey = o_custkey "
                "JOIN lineitem ON o_orderkey = l_orderkey")
