@@ -73,48 +73,43 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
-
+def _load_per_cpu() -> float:
     # Load guard (VERDICT r05 #2: the official r05 record ran under
-    # machine contention and became a misleading comparison base). Record
-    # the 1-min load average per core at start; if the machine is already
-    # busy, stamp the record contended=true so readers know the minima
-    # are environment-limited, not code-limited.
+    # machine contention and became a misleading comparison base). The
+    # 1-min load average per core; if the machine is already busy the
+    # record is stamped contended=true so readers know the minima are
+    # environment-limited, not code-limited.
     try:
         load1 = os.getloadavg()[0]
     except OSError:  # pragma: no cover - getloadavg absent on some OSes
         load1 = 0.0
-    ncpu = os.cpu_count() or 1
-    load_per_cpu_start = round(load1 / ncpu, 3)
+    return round(load1 / (os.cpu_count() or 1), 3)
 
-    spark = get_spark(app_name="hgs-bench")
-    spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + parquet footers once so per-query times measure the
-    # query, not session startup.
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+def _attempt(spark, sf_dir: str, warm_cycles: int) -> dict:
+    """One full measured sweep: warm cycles, then 3 timed passes per
+    query (min + spread), plus the contention verdict for THIS attempt.
 
-    # Noise discrimination (round-2 lesson: a +11.6% uniform drift was
-    # indistinguishable from machine load with n=1): after one warmup pass
-    # (plan analysis + whole-stage codegen), take THREE timed passes and
-    # report the MINIMUM — the right estimator under contention noise,
-    # since load only ever adds time — plus the max/min spread so a
-    # cross-round jump on one query can be classified as signal
-    # (spread small, min moved) vs environment (spread large).
-    # noop sink materializes every output column (count() would let
-    # Catalyst prune the projection and under-report work).
-    # Steady-state measurement: TWO untimed warm cycles over the whole
-    # set before any clock starts. Per-query warmup alone is not enough —
-    # the JVM's tiered JIT (C2 compiles shuffle/sort/codegen internals
-    # after sustained execution) warms across QUERIES, so with a short
-    # headline list the early slots measured cold-JIT time: the r04->r05
-    # headline trim moved q21 from position 17 to position 2 and its
-    # "time" jumped 44% with nothing changed. Warm cycles make the
-    # measurement independent of list length and position.
-    for _cycle in range(2):
+    Noise discrimination (round-2 lesson: a +11.6% uniform drift was
+    indistinguishable from machine load with n=1): after warmup passes
+    (plan analysis + whole-stage codegen), take THREE timed passes and
+    report the MINIMUM — the right estimator under contention noise,
+    since load only ever adds time — plus the max/min spread so a
+    cross-round jump on one query can be classified as signal
+    (spread small, min moved) vs environment (spread large).
+    noop sink materializes every output column (count() would let
+    Catalyst prune the projection and under-report work).
+    Steady-state measurement: untimed warm cycles over the whole set
+    before any clock starts. Per-query warmup alone is not enough — the
+    JVM's tiered JIT (C2 compiles shuffle/sort/codegen internals after
+    sustained execution) warms across QUERIES, so with a short headline
+    list the early slots measured cold-JIT time: the r04->r05 headline
+    trim moved q21 from position 17 to position 2 and its "time" jumped
+    44% with nothing changed. Warm cycles make the measurement
+    independent of list length and position.
+    """
+    load_per_cpu_start = _load_per_cpu()
+    for _cycle in range(warm_cycles):
         for name in HEADLINE:
             fn = QUERIES.get(name)
             if fn is not None:
@@ -135,26 +130,69 @@ def main() -> None:
         spread[name] = round(max(passes) / min(passes), 2)
         print(f"# {name}: min {times[name]}s  spread x{spread[name]}", file=sys.stderr)
 
-    total = round(sum(times.values()), 3)
     # Contention verdict: pre-existing load at start, or the spread
     # diagnostic itself (many queries with max/min >= 1.5 means something
     # was stealing cycles between passes — the r05 signature).
     wide = sum(1 for s in spread.values() if s >= 1.5)
     contended = load_per_cpu_start > 0.25 or wide >= max(2, len(spread) // 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "spread": spread,
-                "sf": sf,
-                "load_per_cpu_start": load_per_cpu_start,
-                "contended": contended,
-            }
+    return {
+        "value": round(sum(times.values()), 3),
+        "queries": times,
+        "spread": spread,
+        "load_per_cpu_start": load_per_cpu_start,
+        "contended": contended,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="hgs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers once so per-query times measure the
+    # query, not session startup.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    # Contended-record auto-retry (VERDICT r06 #4: two rounds running,
+    # the official record was min-of-3-under-load; the load guard made
+    # that self-describing, this makes it self-CORRECTING where a
+    # cooldown suffices). If the first sweep is flagged contended, wait
+    # out the cooldown and measure once more (JIT already warm -> one
+    # warm cycle); report the uncontended attempt, or the faster of two
+    # contended ones. The record keeps the full attempt history so a
+    # still-contended retry remains visible evidence, not a silent pick.
+    attempts = [_attempt(spark, sf_dir, warm_cycles=2)]
+    if attempts[0]["contended"]:
+        cooldown = float(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN_S", "45"))
+        print(
+            f"# attempt 1 contended (load {attempts[0]['load_per_cpu_start']}, "
+            f"total {attempts[0]['value']}s) — cooling down {cooldown:.0f}s and retrying",
+            file=sys.stderr,
         )
+        time.sleep(cooldown)
+        attempts.append(_attempt(spark, sf_dir, warm_cycles=1))
+
+    best = min(
+        attempts, key=lambda a: (a["contended"], a["value"])
     )
+    record = {
+        "metric": "headline_queries_total",
+        "value": best["value"],
+        "unit": "sec",
+        "queries": best["queries"],
+        "spread": best["spread"],
+        "sf": sf,
+        "load_per_cpu_start": best["load_per_cpu_start"],
+        "contended": best["contended"],
+        "attempts": len(attempts),
+    }
+    if len(attempts) > 1:
+        record["attempt_totals"] = [a["value"] for a in attempts]
+        record["attempt_contended"] = [a["contended"] for a in attempts]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -28,11 +28,47 @@ Scale design:
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd  # module-level: pandas_udf type hints resolve against module globals
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# One broadcast per distinct bitset per application — NOT one per
+# bloom_might_contain call. Under the module's sizing rule (~10 bits per
+# key) a bitset is multi-hundred-MB at scale, and repeated query
+# construction in a long-lived session (bench warm cycles, sweep
+# replays) would otherwise accumulate unbounded broadcast storage on the
+# driver and every executor. Keyed by (applicationId, md5(bitset)) so a
+# restarted context never resurrects a dead broadcast handle. Lifetime:
+# cached broadcasts live until release_bloom_broadcasts() (or context
+# shutdown) — bounded by the number of DISTINCT bitsets, not calls.
+_BC_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _bloom_broadcast(session, bloom: bytes):
+    key = (session.sparkContext.applicationId, hashlib.md5(bloom).hexdigest())
+    bc = _BC_CACHE.get(key)
+    if bc is None:
+        bc = session.sparkContext.broadcast(bloom)
+        _BC_CACHE[key] = bc
+    return bc
+
+
+def release_bloom_broadcasts() -> int:
+    """Unpersist every cached bitset broadcast (call after a job that
+    built large blooms is done with them). Returns the number released."""
+    n = 0
+    for bc in _BC_CACHE.values():
+        try:
+            bc.unpersist()
+            n += 1
+        except Exception:  # context already stopped — nothing to release
+            pass
+    _BC_CACHE.clear()
+    return n
 
 
 def bloom_positions(col: Column, m_bits: int, k: int) -> Column:
@@ -80,13 +116,16 @@ def bloom_might_contain(bloom: bytes, col: Column, m_bits: int, k: int) -> Colum
     under the module's sizing rule (~10 bits per distinct key) a large
     key set yields a multi-hundred-MB bitset, and a closure ships with
     EVERY task while a broadcast ships once per executor (torrent
-    protocol). Falls back to closure capture only when no session is
-    active (plain-column unit-test contexts).
+    protocol). Broadcasts are memoized per distinct bitset (see
+    _BC_CACHE) so repeated query construction reuses one handle;
+    ``release_bloom_broadcasts()`` frees them. Falls back to closure
+    capture only when no session is active (plain-column unit-test
+    contexts).
     """
     from pyspark.sql import SparkSession
 
     session = SparkSession.getActiveSession()
-    bc = session.sparkContext.broadcast(bloom) if session is not None else None
+    bc = _bloom_broadcast(session, bloom) if session is not None else None
     raw = None if bc is not None else bloom
 
     @F.pandas_udf("boolean")

@@ -25,6 +25,16 @@ from pyspark.sql import functions as F
 
 from hadoop_gpu_spark.operators.fields import tokenize
 
+# Explicit whitespace class, spelled identically on both engines (the
+# normalize_text discipline): Java's \s is EXACTLY [ \t\n\x0B\f\r], but
+# RE2's \s omits \x0B — so a bare '\s+' oracle diverges from the Spark
+# side on documents containing a vertical tab (the r06 ADVICE finding).
+# Using the explicit class keeps chunk_documents bit-identical to
+# tokenize()'s Java-\s semantics on EVERY input while making the DuckDB
+# twin agree on \x0B too (pinned by
+# tests/test_pending_gates.py::test_chunk_engine_parity_on_edge_strings).
+_WS_CLASS = r"[ \t\n\x0B\f\r]+"
+
 
 def chunk_documents(
     df: DataFrame,
@@ -43,7 +53,7 @@ def chunk_documents(
     """
     if window <= 0 or stride <= 0:
         raise ValueError("window and stride must be positive")
-    toks = tokenize(text_col)
+    toks = tokenize(text_col, pattern=_WS_CLASS)
     n = F.size(toks)
     starts: Column = F.when(
         n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
@@ -63,12 +73,12 @@ def chunk_documents(
 
 def chunk_sql(table: str, id_col: str, text_col: str, window: int = 64, stride: int = 48) -> str:
     """DuckDB twin of :func:`chunk_documents` (oracle generator) — same
-    tokenization (regexp split on whitespace runs, empties filtered) and
-    the same 1-based inclusive slice arithmetic."""
+    tokenization (regexp split on the explicit Java-\\s whitespace class,
+    empties filtered) and the same 1-based inclusive slice arithmetic."""
     return f"""
     WITH t AS (
       SELECT {id_col},
-             list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x <> '') AS toks
+             list_filter(regexp_split_to_array({text_col}, '{_WS_CLASS}'), x -> x <> '') AS toks
       FROM {table}),
     s AS (
       -- SELECT-position unnest of the scalar list range(): per-row start

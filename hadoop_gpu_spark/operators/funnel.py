@@ -21,12 +21,15 @@ engines); outputs expose epoch MICROS as BIGINT, never raw timestamps
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
 
 
 def funnel(
@@ -35,6 +38,7 @@ def funnel(
     ts_col: str,
     type_col: str,
     steps: list[str],
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Return one row per entity that performed step 0 at least once:
     (user_col, t_<step> epoch-us BIGINT or null per step,
@@ -42,12 +46,42 @@ def funnel(
 
     Step i's time is min(ts where type == steps[i] and ts > t_{i-1});
     strict ordering, so a same-timestamp pair does not complete.
+
+    The entity column keeps its input type (the output schema is derived
+    from ``df.schema``, so string entity ids work); step names must be
+    identifier-safe (``[A-Za-z_][A-Za-z0-9_]*``) because each becomes the
+    DDL column ``t_<step>`` — validated up front, not at executor time.
+
+    Memory contract / partition-sizing knob: each partition's full event
+    set is concatenated into ONE pandas frame before resolving (the
+    partition, not the Arrow batch, is the completeness unit), so
+    per-task memory is the partition's event rows. ``n_partitions`` is
+    the knob the caller must scale with the input — size it so
+    input_rows / n_partitions fits the executor (e.g. total event bytes
+    / ~256 MB); at 100 TB that means thousands of partitions, NOT the
+    session's default shuffle.partitions. When None, the keyed
+    repartition uses spark.sql.shuffle.partitions, floored at the
+    cluster's defaultParallelism (the ensure_min_partitions discipline —
+    a single-row-group test file must not serialize the whole operator
+    through one task).
     """
     if not steps:
         raise ValueError("steps must be non-empty")
+    bad = [s for s in steps if not _IDENT_RE.match(s)]
+    if bad:
+        raise ValueError(
+            f"step names must be identifier-safe ([A-Za-z_][A-Za-z0-9_]*) to "
+            f"form t_<step> output columns; got {bad!r}"
+        )
+    for c in (user_col, ts_col, type_col):
+        if not _IDENT_RE.match(c):
+            raise ValueError(f"column name {c!r} is not identifier-safe")
+    user_type = df.schema[user_col].dataType.simpleString()
     out_cols = [f"t_{s}" for s in steps]
     schema = ", ".join(
-        [f"{user_col} long"] + [f"{c} long" for c in out_cols] + ["steps_completed long"]
+        [f"{user_col} {user_type}"]
+        + [f"{c} long" for c in out_cols]
+        + ["steps_completed long"]
     )
 
     def resolve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -66,10 +100,15 @@ def funnel(
         cur = base.groupby(user_col, sort=False)[ts_col].min().rename(out_cols[0])
         res = cur.to_frame()
         for i, step in enumerate(steps[1:], start=1):
+            # merge on COLUMNS, never right_index: with an empty left
+            # frame (a partition holding zero step-i events — routine at
+            # real partition counts) pandas names the merge result's
+            # index after the right frame's index, and the groupby below
+            # dies with "both an index level and a column label". Caught
+            # when the n_partitions knob widened the test layouts.
             ev = pdf[pdf[type_col] == step].merge(
-                res[[out_cols[i - 1]]],
-                left_on=user_col,
-                right_index=True,
+                res[[out_cols[i - 1]]].reset_index(),
+                on=user_col,
                 how="inner",
             )
             ev = ev[ev[ts_col] > ev[out_cols[i - 1]]]
@@ -85,7 +124,13 @@ def funnel(
         yield out[[user_col, *out_cols, "steps_completed"]]
 
     # one hash shuffle on the entity key; groups are complete per partition
-    return df.select(user_col, ts_col, type_col).repartition(F.col(user_col)).mapInPandas(
+    ev = df.select(user_col, ts_col, type_col)
+    if n_partitions is None:
+        n_partitions = max(
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            df.sparkSession.sparkContext.defaultParallelism,
+        )
+    return ev.repartition(n_partitions, F.col(user_col)).mapInPandas(
         resolve, schema=schema
     )
 

@@ -36,6 +36,27 @@ from hadoop_gpu_spark.functions.hashing import bucket, bucket_sql, md5_hex
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Queries whose returned frame is a snapshot-read of a sink the query
+# already materialized by running a Structured Streaming pipeline at
+# construction time. Their BATCH plan says nothing about the streaming
+# pipeline (tests/test_streaming.py asserts on those pipelines
+# directly), so the registry-wide plan audit skips them. Membership is
+# this DECLARED set, not a name-prefix match — a future non-streaming
+# query that merely starts with "q_stream" gets audited like everything
+# else (tests/test_plan_invariants.py proves the audit flags such a
+# query, and test_streaming_snapshot_set_matches_streaming_callers pins
+# the set against the queries that actually drive a streaming sink, in
+# both directions). A standalone literal rather than a decorator flag so
+# declaring membership cannot perturb any query's change-fingerprint.
+STREAMING_SNAPSHOT: set[str] = {
+    "q_stream_hourly",
+    "q_stream_sessionize",
+    "q_stream_sliding",
+    "q_stream_join",
+    "q_stream_dedup",
+    "q_stream_topk",
+}
+
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
@@ -2452,13 +2473,21 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     name-matched parts — nested aggregate subquery feeding a semi join. The
     threshold is relative (1.2× mean per-supplier quantity) so selectivity
     is stable across scale factors; per-supplier sums of integer-valued
-    quantities are fp-exact, making the mean bit-deterministic."""
+    quantities are fp-exact, making the mean bit-deterministic.
+
+    The per-supplier frame is an EAGER localCheckpoint (the q11 pattern):
+    both the scalar threshold and the filter read the materialized
+    |suppliers|-row blocks, instead of the threshold branch re-running
+    the lineitem✕red join + groupBy as a second pruned plan branch (the
+    dual-branch recompute class the r06 plan audit surfaced — one full
+    extra fact-table scan at 100 TB)."""
     li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
     red = T(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
     sq = (
         li.join(red, li.l_partkey == red.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
+        .localCheckpoint(eager=True)
     )
     thr = sq.agg((F.lit(1.2) * (F.sum("qty") / F.count("*"))).alias("cut"))
     hot = sq.crossJoin(F.broadcast(thr)).filter(F.col("qty") > F.col("cut"))
@@ -3815,20 +3844,30 @@ _UNIGRAM_NLL_SQL = f"""
 
 def _unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_toks, avg_nll) under the corpus unigram LM — shared by
-    the scoring gate and the perplexity-bucket gate."""
+    the scoring gate and the perplexity-bucket gate.
+
+    The corpus token total is derived as sum(c) over freq's |terms|-row
+    frame (a global window on the already-aggregated model), NOT as a
+    separate ``toks.agg(count)`` branch: the r06 plan audit showed that a
+    scalar ``crossJoin(broadcast(toks.agg(...)))`` plans a SECOND
+    column-pruned branch that re-runs the entire tokenize+explode pass —
+    the scan-dominated cost that doubles at 100 TB. sum(c) over the model
+    frame is the same exact integer (every token lands in exactly one
+    term bucket), so the double-cast total is bit-identical."""
     from hadoop_gpu_spark.operators.fields import tokenize
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
     freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    total = toks.agg(F.count(F.lit(1)).cast("double").alias("total"))
-    scored = (
-        toks.join(F.broadcast(freq), "term")
-        .crossJoin(F.broadcast(total))
-        .withColumn(
-            "nll",
-            F.round(F.log(F.col("total") / F.col("c")), 9).cast("decimal(28,9)"),
-        )
+    # global window over the |terms|-row model frame (single partition of
+    # model rows — fine: |vocab| rows, not corpus rows)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    freq_t = freq.withColumn("total", F.sum("c").over(w_all).cast("double"))
+    scored = toks.join(F.broadcast(freq_t), "term").withColumn(
+        "nll",
+        F.round(F.log(F.col("total") / F.col("c")), 9).cast("decimal(28,9)"),
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_toks"),
@@ -4281,14 +4320,12 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# PENDING round-7 gate cohort — the r06 window's 50 slots are exactly
-# consumed (8 new gates + 21-query HEADLINE + 21-query r03 rotation, see
-# the slot accounting below), so these four NEW operators ship
-# UNREGISTERED this round (the same pattern that carried the 8 r05→r06
-# gates): fully implemented, pinned against the exact DuckDB oracle the
-# driver will run by tests/test_pending_gates.py (PENDING_R07), and
-# registered + windowed in round 7. r07 slot math: ~25 r04-latest rows
-# aging out + 21 HEADLINE + these 4 = 50.
+# Round-7 gate cohort — built + oracle-pinned during r06 (while that
+# round's 50 window slots were exactly consumed by 8 gates + 21 HEADLINE
+# + 21 rotation), REGISTERED in r07 and placed in the r07 driver window
+# for their first hard-signal rows. They remain additionally pinned by
+# tests/test_pending_gates.py against the same DuckDB oracles the driver
+# runs (the local fast-path check, same as the r06 cohort).
 # ===========================================================================
 def _chunk_oracle() -> str:
     from hadoop_gpu_spark.operators.chunking import chunk_sql
@@ -4299,8 +4336,9 @@ def _chunk_oracle() -> str:
 Q_CHUNK_DOCUMENTS_ORACLE = _chunk_oracle()
 
 
+@query("q_chunk_documents", oracle=Q_CHUNK_DOCUMENTS_ORACLE)
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window token chunking (pending r07 registration): every
+    """Sliding-window token chunking (r07 gate): every
     document exploded into 64-token chunks every 48 tokens (16-token
     overlap), keyed by chunk hash — the context-window prep pass of a
     training/RAG pipeline. Map-only narrow plan, zero Python."""
@@ -4324,8 +4362,9 @@ Q_DOMAIN_CAP_ORACLE = """
 """
 
 
+@query("q_domain_cap", oracle=Q_DOMAIN_CAP_ORACLE)
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source quota sampling (pending r07 registration): keep at most
+    """Per-source quota sampling (r07 gate): keep at most
     8 docs per source by deterministic md5 rank — the crawl-pipeline
     domain cap. Exercises the skew-armored two-stage path (narrow
     per-partition pre-cap, then the keyed ranking window)."""
@@ -4380,16 +4419,19 @@ Q_EMBEDDING_OUTLIERS_ORACLE = """
 """
 
 
+@query("q_embedding_outliers", oracle=Q_EMBEDDING_OUTLIERS_ORACLE)
 def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding outlier flagging (pending r07 registration): z-score of
+    """Embedding outlier flagging (r07 gate): z-score of
     each vector's distance to the corpus centroid — the corrupt-embedding
     filter a vector pipeline runs before indexing (the corpus is
     unit-normalized, so norm-based scoring is degenerate; angular
     distance from the centroid is the signal). Centroid is a 64-double
     model computed with order-independent decimal sums and collected to
     the driver (same k-row-collect class as k-means centroids), then
-    rides every task as an array literal — the corpus scans twice, maps
-    only, and never shuffles rows."""
+    rides every task as an array literal — the corpus scans exactly twice
+    (centroid pass, then one distance pass whose narrow 3-column output
+    is localCheckpoint-ed for the moment/z reads), maps only, and never
+    shuffles rows."""
     d_col = "embedding"
     emb = T(spark, sf_dir, "embeddings")
 
@@ -4427,11 +4469,16 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, t: (acc + t).cast("decimal(28,12)"),
         ).cast("double")
     )
+    # EAGER localCheckpoint (q11 pattern): the moment pass and the final
+    # z-score select both read the materialized |corpus|-row (vec_id,
+    # dist, dq) frame — without it the crossJoin's stats branch is a
+    # second pruned plan branch that re-runs the whole distance pass
+    # (a third full corpus scan at 100 TB).
     d = emb.select(
         "vec_id",
         dist.alias("dist"),
         F.round(dist, 6).cast("decimal(18,6)").alias("dq"),
-    )
+    ).localCheckpoint(eager=True)
     stats = d.agg(
         F.sum("dq").alias("sn"),
         F.sum(F.col("dq") * F.col("dq")).alias("ssq"),
@@ -4467,8 +4514,9 @@ def _normalize_oracle() -> str:
 Q_TEXT_NORMALIZE_ORACLE = _normalize_oracle()
 
 
+@query("q_text_normalize", oracle=Q_TEXT_NORMALIZE_ORACLE)
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup-canonicalization pass (pending r07 registration):
+    """Dedup-canonicalization pass (r07 gate):
     ASCII-lower via translate (locale-free), strip non-alphanumerics,
     collapse whitespace — emit the canonical hash + length. Patterns
     held to the Java/RE2 common subset (explicit whitespace classes, no
@@ -4544,37 +4592,62 @@ def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # outside the window were all green in a previous round and are unchanged
 # since. New queries land AFTER the window and rotate in next round.
 #
-# Round 6 window. Slot accounting (the window is a hard 50; every set
+# Round 7 window. Slot accounting (the window is a hard 50; every set
 # below MUST be inside it):
 #
+# FRESHNESS-POLICY AMENDMENT (r07, resolving the r08 overcommit the r06
+# verdict flagged): the re-proof period moves from 3 rounds to 4 — after
+# round N, no query's latest driver row may be OLDER than round N-3
+# (latest >= N-3). The 3-round period was structurally infeasible: 103
+# non-HEADLINE registered queries / 3-round period = ~34 rotation slots
+# needed per round vs the 29 the 50-slot window leaves beside a 21-query
+# HEADLINE (CORRECTNESS_r06 showed the r05-latest cohort at 43, so r08
+# would have needed 2 + 43 + 21 = 66 slots). At a 4-round period the
+# demand is ~26/round <= 29, sustainable indefinitely WITHOUT gutting
+# the bench HEADLINE (the alternative was benching only 5-12 queries for
+# two rounds, destroying cross-round bench comparability). Every
+# registered query still gets a driver-green row at least every 4
+# rounds, and pytest's oracle-parity suite re-proves the whole surface
+# every session regardless.
+#
 # - NEW queries (no driver row yet; mechanically enforced by
-#   tests/test_plans.py::test_changed_queries_are_windowed): the 8 gates
-#   built during r05 and registered this round — q_media_probe,
-#   q_audio_decode, q_pii_redact, q_sq8_quantize, q_pq_encode, q_ann_pq,
-#   q_bloom_decontaminate, q_stream_topk.
+#   tests/test_plans.py::test_changed_queries_are_windowed): the 4 gates
+#   built during r06 and registered this round — q_chunk_documents,
+#   q_domain_cap, q_embedding_outliers, q_text_normalize.
 # - bench HEADLINE (policy c: a benched time without a same-round
-#   correctness row is not a result): HEADLINE re-expands to the full
-#   r04 21-query macro set this round (VERDICT r05 #3), so all 21 are
-#   windowed. All were r04- or r05-green and unchanged.
-# - stale-evidence rotation (two-round policy): the 21 queries whose
-#   latest driver row is r03 — after this round every query's latest
-#   row is r04+ (the 39 r04-latest greens age to the edge and rotate
-#   in r07, which fits: 39 < 50).
-# - 8 + 21 + 21 = exactly 50, zero overlap, zero flex slots. Any query
-#   whose implementation changes this round must therefore already be in
-#   one of these three sets (the changed-queries test enforces it).
+#   correctness row is not a result): the full 21-query macro set,
+#   unchanged from r04/r06.
+# - stale-evidence rotation: 23 of the 25 queries whose latest driver
+#   row is r04 (q_intersect and q_md5_sample, trivially-stable and
+#   unchanged since their r04 rows, defer one round to r08 — allowed at
+#   the amended boundary, latest=r04 >= 7-3).
+# - CHANGED this round (must take a slot now; mechanically enforced):
+#   q20_potential_promotion (r05-latest, rotated early) and
+#   q_bloom_decontaminate (r06-latest) — the dual-branch-recompute fix
+#   (localCheckpoint on the per-supplier frame) and the bloom-broadcast
+#   memoization (r06 ADVICE). They displace q_intersect/q_md5_sample.
+#   q_unigram_logprob and q_ppl_buckets (also changed, same fix class)
+#   are already inside the r04-latest rotation set.
+# - 4 + 21 + 23 + 2 = exactly 50, zero overlap.
+#
+# r08 plan (enumerated now so the ledger stays clear): 2 gates
+# (q_funnel, q_pq_train) + 21 HEADLINE + q_intersect + q_md5_sample +
+# the 25 alphabetically-first of the 42 remaining r05-latest queries
+# (q02..q22 TPC-H cohort 15, q_ann_ivf, q_approx_stats, q_cogroup_join,
+# q_connected_components, q_cube, q_dedup_edit_distance,
+# q_dedup_embedding, q_dedup_minhash_pairs, q_dedup_ngram_jaccard,
+# q_dedup_simhash_pairs) = 50. The 17 remaining r05-latest
+# (q_except .. q_stream_dedup) rotate in r09 with ~12 r06-latest:
+# 17 + 21 + 12 = 50. Steady state balances at the 4-round period
+# (demand ~103/4 ~= 26 <= 29 free slots beside the HEADLINE).
 # ===========================================================================
 _DRIVER_WINDOW = [
-    # NEW r06 gates (first driver rows)
-    "q_media_probe",
-    "q_audio_decode",
-    "q_pii_redact",
-    "q_sq8_quantize",
-    "q_pq_encode",
-    "q_ann_pq",
-    "q_bloom_decontaminate",
-    "q_stream_topk",
-    # bench HEADLINE — full r04 21-query macro set (kept in sync with
+    # NEW r07 gates (first driver rows)
+    "q_chunk_documents",
+    "q_domain_cap",
+    "q_embedding_outliers",
+    "q_text_normalize",
+    # bench HEADLINE — full 21-query macro set (kept in sync with
     # bench.HEADLINE)
     "q01_pricing_summary",
     "q_wordcount",
@@ -4597,28 +4670,35 @@ _DRIVER_WINDOW = [
     "q_sequence_pack",
     "q_ann_lsh",
     "q_pretrain_pipeline",
-    # stale rotation: latest driver row r03
-    "q_asof_join",
-    "q_boilerplate_ratio",
-    "q_contamination",
-    "q_db_count_pageview",
-    "q_dedup_fingerprint",
-    "q_join_expr_composite",
-    "q_join_override",
-    "q_join_semi",
-    "q_kvjob_wordcount",
-    "q_kvjob_wordcount_pandas",
-    "q_mixture_weights",
-    "q_ngram_freq",
-    "q_quality_filter",
-    "q_range_join",
-    "q_repetition_ratio",
-    "q_rollup",
-    "q_salted_join",
-    "q_stratified_sample",
-    "q_tfidf_topterms",
-    "q_token_count_bpe",
-    "q_union_distinct",
+    # stale rotation: latest driver row r04 (all but the deferred
+    # q_intersect / q_md5_sample)
+    "q_descriptor_agg",
+    "q_epoch_shuffle",
+    "q_field_selection",
+    "q_grep",
+    "q_grep_ranked",
+    "q_join_broadcast",
+    "q_join_outer_counts",
+    "q_lang_id_confusion",
+    "q_mapfile_get_closest",
+    "q_matmul_gram",
+    "q_ppl_buckets",
+    "q_quality_score",
+    "q_secondary_sort",
+    "q_sessionization",
+    "q_stream_hourly",
+    "q_stream_join",
+    "q_stream_sessionize",
+    "q_stream_sliding",
+    "q_terasort",
+    "q_text_stats",
+    "q_token_budget_sample",
+    "q_unigram_logprob",
+    "q_uniq_value_count",
+    # changed this round — q20: dual-branch recompute fix (rotated
+    # early); bloom: broadcast memoization (ADVICE)
+    "q20_potential_promotion",
+    "q_bloom_decontaminate",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

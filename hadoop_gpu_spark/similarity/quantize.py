@@ -442,6 +442,8 @@ def pq_train(
     through the driver (the k-means contract). Production PQ trains on a
     sample; pass a sampled df for that.
     """
+    from hadoop_gpu_spark.utils import release_local_checkpoint
+
     spark = df.sparkSession
     d_cols = [f"d{d}" for d in range(sub_dim)]
 
@@ -459,56 +461,65 @@ def pq_train(
         ]
     )
     rows = df.select(F.col(id_col).alias("vid"), F.inline(structs))
-    rows = rows.localCheckpoint(eager=True)  # scanned 2*iters+1 times
+    # Eager localCheckpoint: scanned 2*iters+1 times. Unlike the query
+    # plans that RETURN a view over their checkpoint (q11/q20 — those
+    # blocks must outlive the function), training is fully consumed here:
+    # the returned frame is built from the collected 128-row book, so the
+    # checkpointed blocks are explicitly released in the finally below
+    # (the r06 ADVICE leak — they otherwise stay resident for the session
+    # lifetime).
+    rows = rows.localCheckpoint(eager=True)
+    try:
+        from pyspark.sql.window import Window
 
-    from pyspark.sql.window import Window
-
-    # deterministic init: md5-ordered distinct subvectors
-    dv = rows.select("sub", *d_cols).distinct()
-    h = F.md5(F.encode(F.concat_ws(",", *[F.col(c).cast("string") for c in d_cols]), "UTF-8"))
-    w = Window.partitionBy("sub").orderBy(h, *[F.col(c) for c in d_cols])
-    ini = (
-        dv.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_cent)
-        .select("sub", (F.col("rn") - 1).cast("long").alias("cluster"), *d_cols)
-    )
-    book = [
-        (int(r["sub"]), int(r["cluster"]), *[int(r[c]) for c in d_cols])
-        for r in ini.collect()
-    ]
-
-    book_schema = "sub long, cluster long, " + ", ".join(f"c{d} long" for d in range(sub_dim))
-    for _ in range(iters):
-        bdf = spark.createDataFrame(book, book_schema)
-        cand = rows.join(F.broadcast(bdf), "sub")
-        dist = None
-        for d in range(sub_dim):
-            t = (F.col(f"d{d}") - F.col(f"c{d}")) * (F.col(f"d{d}") - F.col(f"c{d}"))
-            dist = t if dist is None else dist + t
-        best = (
-            cand.withColumn("dist", dist)
-            .groupBy("vid", "sub", *d_cols)
-            .agg(F.min(F.struct("dist", "cluster")).alias("b"))
-            .select("sub", F.col("b.cluster").alias("cluster"), *d_cols)
+        # deterministic init: md5-ordered distinct subvectors
+        dv = rows.select("sub", *d_cols).distinct()
+        h = F.md5(F.encode(F.concat_ws(",", *[F.col(c).cast("string") for c in d_cols]), "UTF-8"))
+        w = Window.partitionBy("sub").orderBy(h, *[F.col(c) for c in d_cols])
+        ini = (
+            dv.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n_cent)
+            .select("sub", (F.col("rn") - 1).cast("long").alias("cluster"), *d_cols)
         )
-        upd = best.groupBy("sub", "cluster").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.sum(c).alias(f"s{d}") for d, c in enumerate(d_cols)],
-        )
-        new = {(int(r["sub"]), int(r["cluster"])): r for r in upd.collect()}
-        nxt = []
-        for sub, cluster, *cs in book:
-            r = new.get((sub, cluster))
-            if r is None:
-                nxt.append((sub, cluster, *cs))  # empty cluster: keep centroid
-            else:
-                n = int(r["n"])
-                # exact floor division of exact int sums (lattice-preserving)
-                nxt.append(
-                    (sub, cluster, *[int(r[f"s{d}"]) // n for d in range(sub_dim)])
-                )
-        book = nxt
+        book = [
+            (int(r["sub"]), int(r["cluster"]), *[int(r[c]) for c in d_cols])
+            for r in ini.collect()
+        ]
 
+        book_schema = "sub long, cluster long, " + ", ".join(f"c{d} long" for d in range(sub_dim))
+        for _ in range(iters):
+            bdf = spark.createDataFrame(book, book_schema)
+            cand = rows.join(F.broadcast(bdf), "sub")
+            dist = None
+            for d in range(sub_dim):
+                t = (F.col(f"d{d}") - F.col(f"c{d}")) * (F.col(f"d{d}") - F.col(f"c{d}"))
+                dist = t if dist is None else dist + t
+            best = (
+                cand.withColumn("dist", dist)
+                .groupBy("vid", "sub", *d_cols)
+                .agg(F.min(F.struct("dist", "cluster")).alias("b"))
+                .select("sub", F.col("b.cluster").alias("cluster"), *d_cols)
+            )
+            upd = best.groupBy("sub", "cluster").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(c).alias(f"s{d}") for d, c in enumerate(d_cols)],
+            )
+            new = {(int(r["sub"]), int(r["cluster"])): r for r in upd.collect()}
+            nxt = []
+            for sub, cluster, *cs in book:
+                r = new.get((sub, cluster))
+                if r is None:
+                    nxt.append((sub, cluster, *cs))  # empty cluster: keep centroid
+                else:
+                    n = int(r["n"])
+                    # exact floor division of exact int sums (lattice-preserving)
+                    nxt.append(
+                        (sub, cluster, *[int(r[f"s{d}"]) // n for d in range(sub_dim)])
+                    )
+            book = nxt
+
+    finally:
+        release_local_checkpoint(rows)
     return spark.createDataFrame(
         [(s, c, *cs) for s, c, *cs in book],
         "sub long, cluster_id long, " + ", ".join(f"c{d} long" for d in range(sub_dim)),

@@ -25,8 +25,8 @@ PENDING = [
 ]
 
 # r07 cohort — built + oracle-pinned in r06 while the r06 window was
-# exactly full (8 gates + 21 HEADLINE + 21 rotation); registration and
-# driver rows land in round 7 (see the PENDING section in queries.py).
+# exactly full; registered and windowed in round 7 (see the gate cohort
+# note in queries.py). Retained as the local fast-path oracle check.
 PENDING_R07 = [
     "q_chunk_documents",
     "q_domain_cap",
@@ -178,6 +178,28 @@ def test_bloom_no_false_negatives_and_prunes(spark):
     assert n_fp < 200  # ~(1-e^-kn/m)^k ~ 0.01 at this sizing; prunes >90%
 
 
+def test_bloom_broadcast_memoized_and_releasable(spark):
+    # One broadcast per DISTINCT bitset, however many query constructions
+    # reuse it (the r06 ADVICE leak: a fresh broadcast per call, never
+    # unpersisted, accumulates unbounded storage across bench warm
+    # cycles). release_bloom_broadcasts() empties the cache.
+    from pyspark.sql import functions as F
+
+    from hadoop_gpu_spark.operators import bloom as bl
+
+    bl.release_bloom_broadcasts()
+    bitset = bytes(64)
+    df = spark.range(5)
+    for _ in range(4):
+        df.filter(bl.bloom_might_contain(bitset, F.col("id"), 512, 3)).count()
+    assert len(bl._BC_CACHE) == 1
+    other = bytes([1]) + bytes(63)
+    df.filter(bl.bloom_might_contain(other, F.col("id"), 512, 3)).count()
+    assert len(bl._BC_CACHE) == 2
+    assert bl.release_bloom_broadcasts() == 2
+    assert not bl._BC_CACHE
+
+
 def test_bloom_prefiltered_semi_join_is_exact(spark):
     # The composed prefilter+verify must equal the plain semi join row
     # for row — bloom false positives removed, nothing lost.
@@ -303,6 +325,47 @@ def test_chunk_documents_window_arithmetic(spark):
     assert (out.doc_id != 2).all()
     d3 = out[out.doc_id == 3]
     assert len(d3) == 1 and int(d3.n_tokens.iloc[0]) == 2
+
+
+def test_chunk_engine_parity_on_edge_strings(spark):
+    # Java vs RE2 agreement on the chunk tokenization itself, exercised
+    # on the exact character the engines' \s classes disagree about
+    # (\x0B vertical tab — Java's \s includes it, RE2's does not; the
+    # explicit class in chunking._WS_CLASS pins both engines to Java's
+    # set). Unicode whitespace (NBSP) is NOT whitespace for either
+    # engine's ASCII class — also covered.
+    import duckdb
+
+    from hadoop_gpu_spark.operators.chunking import chunk_documents, chunk_sql
+
+    edge = [
+        (1, "a\x0bb c"),          # the divergent char: must split like Java \s
+        (2, "x\x0b\x0b\x0by"),
+        (3, "nbsp one token"),
+        (4, "tabs\tnl\nvt\x0bff\x0ccr\rend"),
+        (5, " lead and trail "),
+        (6, "\x0b"),
+        (7, ""),
+    ]
+    sdf = spark.createDataFrame(edge, "doc_id long, text string")
+    got = sorted(
+        map(
+            tuple,
+            chunk_documents(sdf, "doc_id", "text", window=3, stride=2)
+            .toPandas()
+            .values.tolist(),
+        )
+    )
+    con = duckdb.connect()
+    con.register("documents", __import__("pandas").DataFrame(edge, columns=["doc_id", "text"]))
+    want = sorted(
+        map(tuple, con.sql(chunk_sql("documents", "doc_id", "text", window=3, stride=2)).df().values.tolist())
+    )
+    con.close()
+    assert got == want
+    # and the divergent char really did tokenize Java-style (3 tokens)
+    n1 = [r for r in got if r[0] == 1]
+    assert n1 and n1[0][3] == 3
 
 
 def test_chunk_documents_plan_is_narrow_and_jvm_only(spark, sf_dir):
@@ -458,6 +521,48 @@ def test_funnel_partial_paths_and_strict_ordering(spark):
     assert set(out) == {1, 2, 3, 5, 6}
 
 
+def test_funnel_generic_entity_type_and_step_validation(spark):
+    # r06 ADVICE: the output schema was hardcoded '<user> long' + string-
+    # interpolated step columns. The entity column's type must now follow
+    # the input schema (string ids work), and a non-identifier step name
+    # must fail fast at the driver, not at executor time.
+    import datetime
+
+    import pytest as _pytest
+
+    from hadoop_gpu_spark.operators.funnel import funnel
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("alice", t0, "view"),
+        ("alice", t0 + datetime.timedelta(minutes=1), "click"),
+        ("bob", t0, "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_type string")
+    out = {r["user_id"]: r["steps_completed"] for r in funnel(df, "user_id", "ts", "event_type", ["view", "click"]).collect()}
+    assert out == {"alice": 2, "bob": 1}
+    with _pytest.raises(ValueError, match="identifier-safe"):
+        funnel(df, "user_id", "ts", "event_type", ["view", "bad-step"])
+    with _pytest.raises(ValueError, match="identifier-safe"):
+        funnel(df, "user_id", "ts", "event_type", ["view", "two words"])
+
+
+def test_funnel_wide_partition_knob_is_result_invariant(spark, sf_dir):
+    # The n_partitions memory knob (the 100 TB sizing contract in the
+    # docstring) must not change results — only task granularity.
+    from hadoop_gpu_spark.operators.funnel import funnel
+    from hadoop_gpu_spark.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    steps = ["view", "click", "purchase"]
+    key = ["user_id", "t_view", "t_click", "t_purchase", "steps_completed"]
+    canon = lambda d: sorted(map(tuple, d[key].fillna(-1).values.tolist()))
+    base = canon(funnel(ev, "user_id", "ts", "event_type", steps).toPandas())
+    wide = funnel(ev, "user_id", "ts", "event_type", steps, n_partitions=64)
+    assert wide.rdd.getNumPartitions() == 64
+    assert canon(wide.toPandas()) == base
+
+
 def test_funnel_survives_small_arrow_batches_and_repartitioning(spark, sf_dir):
     # The kernel must concatenate a partition's Arrow batches before
     # resolving (an entity's events can span batches) and be invariant to
@@ -509,6 +614,27 @@ def test_pq_train_actually_trains(spark, sf_dir):
     assert not trained[d_cols].equals(init_only[d_cols])
     # centroids stay on the quantized lattice and inside the data range
     assert trained[d_cols].abs().max().max() <= 2_000_000
+
+
+def test_pq_train_releases_its_checkpoint(spark, sf_dir):
+    # r06 ADVICE: pq_train pinned its training rows with an eager
+    # localCheckpoint and never freed them — the blocks stayed resident
+    # for the session lifetime. Training must now leave RDD storage
+    # exactly as it found it (DataFrame.unpersist() does NOT free
+    # checkpoint blocks; utils.release_local_checkpoint reaches the
+    # LogicalRDD's rdd — asserted here end-to-end).
+    from hadoop_gpu_spark.similarity.quantize import pq_train
+    from hadoop_gpu_spark.tables import load_table
+
+    sc = spark.sparkContext
+
+    def storage_ids():
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    before = storage_ids()
+    pq_train(load_table(spark, "embeddings", sf_dir)).collect()
+    leaked = storage_ids() - before
+    assert not leaked, f"pq_train left checkpoint blocks resident: {leaked}"
 
 
 def test_pq_train_invariant_under_partitioning(spark, sf_dir):

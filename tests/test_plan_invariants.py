@@ -10,10 +10,13 @@ review finding.
 
 One construction pass over the registry (plans only — nothing is
 executed beyond what a query's own construction requires, e.g. the
-k-means driver loop). Streaming gates are excluded: their returned frame
-is a snapshot-read of a sink the query already materialized, so its plan
-says nothing about the streaming pipeline (the streaming suite asserts
-on those pipelines directly).
+k-means driver loop). Streaming gates are excluded by DECLARED
+membership (queries.STREAMING_SNAPSHOT, set at the registration site):
+their returned frame is a snapshot-read of a sink the query already
+materialized, so its batch plan says nothing about the streaming
+pipeline (the streaming suite asserts on those pipelines directly).
+The exclusion is not name-based — test_audit_flags_misnamed_stream_query
+proves a non-streaming query named q_stream_* WOULD be audited.
 """
 
 from __future__ import annotations
@@ -21,18 +24,22 @@ from __future__ import annotations
 import re
 
 from hadoop_gpu_spark import plans
-from hadoop_gpu_spark.queries import QUERIES
+from hadoop_gpu_spark.queries import QUERIES, STREAMING_SNAPSHOT
 
 # Queries whose plan legitimately contains a BroadcastNestedLoopJoin or
 # CartesianProduct. Every entry is one of two sanctioned shapes:
 #  - scalar/stats broadcast: crossJoin(broadcast(<1-row or k-row frame>))
 #    carrying an aggregate the main scan compares against (TPC-H scalar
-#    subqueries; corpus stats for tf-idf / unigram-LM / mixture weights);
+#    subqueries; corpus stats for tf-idf / mixture weights);
 #  - intentional all-pairs-by-design: brute-force ANN baseline, gram
 #    matmul, ADC lookup against a broadcast LUT, bounded range join.
 # Growing this set is a conscious act: a new query that trips the
 # assertion must either lose the cartesian or be added HERE with its
 # justification, in review.
+# r07: q_unigram_logprob / q_ppl_buckets LEFT the set — their corpus
+# total now rides the broadcast-hash-joined frequency model (a global
+# window over the |terms|-row frame) instead of a crossJoined scalar, so
+# the nested loop is gone along with the dual-branch recompute.
 INTENTIONAL_NESTED_LOOP = {
     "q11_important_stock",     # scalar subquery threshold (broadcast 1-row)
     "q20_potential_promotion", # scalar half-sum threshold (broadcast 1-row)
@@ -40,11 +47,11 @@ INTENTIONAL_NESTED_LOOP = {
     "q_ann_ivf",               # centroid table broadcast to every probe row
     "q_ann_pq",                # broadcast ADC LUT per query vector
     "q_ann_topk",              # brute-force baseline: all-pairs BY DESIGN
+    "q_embedding_outliers",    # corpus moment scalar (broadcast 1-row) over
+                               # the checkpointed distance frame
     "q_matmul_gram",           # gram product: all column-pairs by design
-    "q_ppl_buckets",           # broadcast corpus-level NLL quantiles
     "q_range_join",            # bounded interval join (broadcast ranges)
     "q_tfidf_topterms",        # broadcast corpus document-frequency stats
-    "q_unigram_logprob",       # broadcast unigram frequency model
 }
 
 # Exchange-count budget per bench HEADLINE query (hash/range/broadcast
@@ -83,9 +90,54 @@ HEADLINE_EXCHANGE_BUDGET = {
     "q_pretrain_pipeline": 4,
 }
 
+# Non-HEADLINE queries whose plan shape is pinned because a scale defect
+# was found and fixed there — the pin keeps the fix from regressing.
+# r07 dual-branch-recompute closures (the r06 audit's remaining trio)
+# and the four r07 gates:
+#  - q20: localCheckpoint on the per-supplier frame — returned plan reads
+#    materialized blocks, 10 -> 2 parquet scans, -30% measured at sf0.01;
+#  - q_unigram_logprob / q_ppl_buckets: corpus total derived on the freq
+#    frame — removes a full tokenize+explode pass, 6 -> 4 scans, -12%;
+#  - gates: chunking/normalize are zero-exchange map-only; domain_cap is
+#    one keyed window exchange; embedding_outliers' one exchange is the
+#    64-row centroid aggregate (the z pass itself is map-only over the
+#    checkpointed frame).
+EXTRA_EXCHANGE_BUDGET = {
+    "q20_potential_promotion": 3,
+    "q_unigram_logprob": 3,
+    "q_ppl_buckets": 4,
+    "q_chunk_documents": 0,
+    "q_domain_cap": 1,
+    "q_embedding_outliers": 1,
+    "q_text_normalize": 0,
+}
+
 
 def _exchange_count(plan: str) -> int:
     return len(re.findall(r"^\s*\(\d+\) Exchange\b", plan, re.M))
+
+
+def _audit(queries, spark, sf_dir, budgets):
+    """Run the three-question audit; return the violation lists."""
+    row_python, cartesian, over_budget, under_budget = [], [], [], []
+    for name, fn in queries.items():
+        if name in STREAMING_SNAPSHOT:
+            continue
+        plan = plans.formatted_plan(fn(spark, sf_dir))
+        if "BatchEvalPython" in plan:
+            row_python.append(name)
+        if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) and (
+            name not in INTENTIONAL_NESTED_LOOP
+        ):
+            cartesian.append(name)
+        budget = budgets.get(name)
+        if budget is not None:
+            got = _exchange_count(plan)
+            if got > budget:
+                over_budget.append((name, got, budget))
+            elif got < budget:
+                under_budget.append((name, got, budget))
+    return row_python, cartesian, over_budget, under_budget
 
 
 def test_registry_plan_invariants(spark, sf_dir):
@@ -96,25 +148,13 @@ def test_registry_plan_invariants(spark, sf_dir):
     )
     unknown = INTENTIONAL_NESTED_LOOP - set(QUERIES)
     assert not unknown, f"whitelist names unknown queries: {sorted(unknown)}"
+    assert not (set(EXTRA_EXCHANGE_BUDGET) & set(HEADLINE_EXCHANGE_BUDGET))
+    assert STREAMING_SNAPSHOT <= set(QUERIES)
 
-    row_python, cartesian, over_budget, under_budget = [], [], [], []
-    for name, fn in QUERIES.items():
-        if name.startswith("q_stream"):
-            continue
-        plan = plans.formatted_plan(fn(spark, sf_dir))
-        if "BatchEvalPython" in plan:
-            row_python.append(name)
-        if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) and (
-            name not in INTENTIONAL_NESTED_LOOP
-        ):
-            cartesian.append(name)
-        budget = HEADLINE_EXCHANGE_BUDGET.get(name)
-        if budget is not None:
-            got = _exchange_count(plan)
-            if got > budget:
-                over_budget.append((name, got, budget))
-            elif got < budget:
-                under_budget.append((name, got, budget))
+    budgets = {**HEADLINE_EXCHANGE_BUDGET, **EXTRA_EXCHANGE_BUDGET}
+    row_python, cartesian, over_budget, under_budget = _audit(
+        QUERIES, spark, sf_dir, budgets
+    )
 
     assert not row_python, (
         f"row-at-a-time Python UDF (BatchEvalPython) in: {sorted(row_python)} — "
@@ -131,3 +171,45 @@ def test_registry_plan_invariants(spark, sf_dir):
         f"stale exchange budget (plan improved — re-pin and note the win): "
         f"{under_budget}"
     )
+
+
+def test_streaming_snapshot_set_matches_streaming_callers():
+    # The declared exclusion set must equal — in BOTH directions — the
+    # registered queries that actually drive a Structured Streaming
+    # pipeline (detected as: the query function's source imports the
+    # streaming module). A streaming query missing from the set would be
+    # audited on a meaningless batch snapshot plan; a batch query wrongly
+    # in the set would silently skip the audit.
+    import inspect
+
+    derived = {
+        n
+        for n, fn in QUERIES.items()
+        if "hadoop_gpu_spark.streaming" in inspect.getsource(fn)
+    }
+    assert derived == STREAMING_SNAPSHOT, (
+        f"declared streaming set out of sync: declared-only="
+        f"{sorted(STREAMING_SNAPSHOT - derived)}, "
+        f"derived-only={sorted(derived - STREAMING_SNAPSHOT)}"
+    )
+
+
+def test_audit_flags_misnamed_stream_query(spark, sf_dir):
+    # The r06 exclusion was the name prefix "q_stream" — under which a
+    # future NON-streaming query that happened to carry the prefix would
+    # silently skip the audit. Exclusion is now declared membership;
+    # prove the audit DOES flag a q_stream-named batch query with a
+    # row-at-a-time Python UDF.
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    bad_udf = F.udf(lambda x: x, LongType())
+
+    def q_stream_fake(spark_, _sf):
+        return spark_.range(10).select(bad_udf("id").alias("x"))
+
+    assert "q_stream_fake" not in STREAMING_SNAPSHOT
+    row_python, _, _, _ = _audit(
+        {"q_stream_fake": q_stream_fake}, spark, sf_dir, {}
+    )
+    assert row_python == ["q_stream_fake"]
