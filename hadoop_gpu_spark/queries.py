@@ -4534,10 +4534,13 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# PENDING round-8 gate — the r07 window is already exactly spoken for
-# (25 r04-latest + 21 HEADLINE + the 4 PENDING_R07 gates = 50), so this
-# ships a round early, oracle-pinned by tests (same pattern as every
-# pending cohort): registration and the driver row land in round 8.
+# PENDING round-8 gates (q_funnel here, q_pq_train in
+# similarity/quantize.py) — the r07 window is exactly spoken for (see
+# the _DRIVER_WINDOW accounting: 4 gates + 21 HEADLINE + 23 r04-latest
+# + 2 changed = 50), so these ship early, oracle-pinned by tests (same
+# pattern as every pending cohort): registration and the driver rows
+# land in round 8, whose 50-slot window is already enumerated in the
+# _DRIVER_WINDOW comment and ARCHITECTURE.md "Round-7 outcomes" #2.
 # ===========================================================================
 def _funnel_oracle() -> str:
     from hadoop_gpu_spark.operators.funnel import funnel_sql
