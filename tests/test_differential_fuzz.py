@@ -611,3 +611,226 @@ def test_known_engine_divergent_string_functions(spark):
         assert duck == want_duck, (dsql, repr(s), repr(duck), repr(want_duck))
         assert have != duck, (dsql, repr(s), "engines converged — update the ban list")
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# Scalar NUMERIC parity: which double-math functions may appear in an
+# oracle with EXACT equality, which agree only to ~12 significant digits
+# (libm last-ulp differences — Java StrictMath vs DuckDB's C library),
+# and which diverge SEMANTICALLY (pinned below so an engine upgrade that
+# converges them flips the test). Probed empirically on this Spark/DuckDB
+# pair before writing (round-7).
+# ---------------------------------------------------------------------------
+_finite_double = st.floats(
+    min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False
+)
+
+
+def _numeric_parity_exprs():
+    # EXACT-equality subset: correctly-rounded IEEE ops (sqrt, pow with
+    # integral/half exponents), sign/magnitude ops, floor/ceil, atan2,
+    # log10, and round at scale 0 (both engines round halves away from
+    # zero on doubles).
+    exact = {
+        "abs": (F.abs("x"), "abs(x)"),
+        "sign": (F.signum("x"), "sign(x)"),
+        "floor": (F.floor("x").cast("double"), "CAST(floor(x) AS DOUBLE)"),
+        "ceil": (F.ceil("x").cast("double"), "CAST(ceil(x) AS DOUBLE)"),
+        "round0": (F.round("x"), "round(x)"),
+        "sqrt_abs": (F.sqrt(F.abs("x")), "sqrt(abs(x))"),
+        "pow2": (F.pow("x", 2.0), "pow(x, 2.0)"),
+        "pow_half": (F.pow(F.abs("x"), 0.5), "pow(abs(x), 0.5)"),
+        "log10": (F.log10(F.abs("x") + 1.0), "log10(abs(x)+1.0)"),
+        "atan2": (F.atan2("x", F.lit(1.0)), "atan2(x, 1.0)"),
+        "arith": ((F.col("x") * 3.0 - 1.0) / 7.0, "(x * 3.0 - 1.0) / 7.0"),
+    }
+    # Last-ulp subset: transcendentals where the engines' libms differ in
+    # the final bit for some arguments (ln, log2, exp, sin, cbrt —
+    # observed divergences at e.g. ln(3.0), exp(1.0), sin(2.5)). The
+    # oracle contract for these is the repo's round-to-9 discipline; here
+    # they compare with rel_tol 1e-12.
+    ulp = {
+        "ln": (F.log(F.abs("x") + 1.0), "ln(abs(x)+1.0)"),
+        "log2": (F.log2(F.abs("x") + 1.0), "log2(abs(x)+1.0)"),
+        "exp": (F.exp(F.least(F.col("x"), F.lit(1.0))), "exp(least(x, 1.0))"),
+        "sin": (F.sin("x"), "sin(x)"),
+        "cbrt": (F.cbrt("x"), "cbrt(x)"),
+    }
+    return exact, ulp
+
+
+@given(vals=st.lists(_finite_double, min_size=1, max_size=10))
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scalar_numeric_functions_match_duckdb(spark, vals):
+    import math
+
+    exact, ulp = _numeric_parity_exprs()
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "i long, x double"
+    )
+    got = (
+        df.select(
+            "i",
+            *[e.alias(k) for k, (e, _) in exact.items()],
+            *[e.alias(k) for k, (e, _) in ulp.items()],
+        )
+        .toPandas()
+        .set_index("i")
+    )
+    con = duckdb.connect()
+    for i, v in enumerate(vals):
+        for k, (_, dsql) in exact.items():
+            want = con.execute(
+                f"SELECT {dsql} FROM (SELECT CAST(? AS DOUBLE) AS x)", [float(v)]
+            ).fetchone()[0]
+            have = float(got.loc[i, k])
+            assert have == want, ("exact", k, v, have, want)
+        for k, (_, dsql) in ulp.items():
+            want = con.execute(
+                f"SELECT {dsql} FROM (SELECT CAST(? AS DOUBLE) AS x)", [float(v)]
+            ).fetchone()[0]
+            have = float(got.loc[i, k])
+            assert math.isclose(have, want, rel_tol=1e-12, abs_tol=1e-300), (
+                "ulp", k, v, have, want,
+            )
+    con.close()
+
+
+def test_known_engine_divergent_numeric_behaviors(spark):
+    """Executable documentation of the numeric oracle bans (same design
+    as the string-divergence pin): each case asserts the divergence
+    itself, so an engine upgrade that converges them flips this test.
+
+    1. round(x, d>0): Spark rounds the SHORTEST DECIMAL STRING of the
+       double (BigDecimal HALF_UP on "1.005"), DuckDB rounds the binary
+       value (1.005 is really 1.00499999999999989...). Oracle rule: only
+       round() values whose decimal form is exact (cents as decimals,
+       or already-quantized doubles), or round at scale 0.
+    2. CAST(double AS BIGINT): Spark TRUNCATES toward zero, DuckDB
+       ROUNDS half-to-even (1.5 -> 2, -1.5 -> -2). Oracle rule: always
+       spell the DuckDB side as CAST(trunc(x) AS BIGINT) (the repo's
+       oracles do).
+    """
+    import duckdb as _dd
+
+    con = _dd.connect()
+    df = spark.createDataFrame([(1.005, 1.5, -1.5)], "a double, b double, c double")
+    row = df.select(
+        F.round("a", 2).alias("r"),
+        F.col("b").cast("long").alias("tb"),
+        F.col("c").cast("long").alias("tc"),
+    ).collect()[0]
+    # Spark: decimal-string HALF_UP; truncating cast
+    assert row["r"] == 1.01
+    assert row["tb"] == 1 and row["tc"] == -1
+    dr, db, dc = con.sql(
+        "SELECT round(1.005::DOUBLE, 2), CAST(1.5::DOUBLE AS BIGINT), "
+        "CAST(-1.5::DOUBLE AS BIGINT)"
+    ).fetchone()
+    # DuckDB: binary-value rounding; rounding cast
+    assert dr == 1.0 and db == 2 and dc == -2
+    assert row["r"] != dr and row["tb"] != db and row["tc"] != dc, (
+        "engines converged — update the numeric oracle rules"
+    )
+    # the trunc() spelling that IS portable:
+    assert con.sql("SELECT CAST(trunc(1.5::DOUBLE) AS BIGINT)").fetchone()[0] == 1
+    con.close()
+
+
+# ---------------------------------------------------------------------------
+# DATETIME parity: extraction, truncation, interval arithmetic and epoch
+# conversions over arbitrary micro-precision timestamps (1970..2099, the
+# repo's UTC/micros discipline). Non-obvious portable spellings, probed
+# before writing: Spark dayofweek = DuckDB dayofweek + 1; Spark
+# add_months clamps to month end = DuckDB t + INTERVAL 1 MONTH cast to
+# DATE; Spark unix_timestamp = floor(epoch(t)); Spark datediff(end,
+# start) = date_diff('day', start, end).
+# ---------------------------------------------------------------------------
+_EPOCH_US_MAX = 4_102_444_799_999_999  # 2099-12-31 23:59:59.999999
+
+
+def _datetime_parity_exprs():
+    return {
+        "year": (F.year("t").cast("long"), "CAST(year(t) AS BIGINT)"),
+        "month": (F.month("t").cast("long"), "CAST(month(t) AS BIGINT)"),
+        "day": (F.dayofmonth("t").cast("long"), "CAST(day(t) AS BIGINT)"),
+        "hour": (F.hour("t").cast("long"), "CAST(hour(t) AS BIGINT)"),
+        "minute": (F.minute("t").cast("long"), "CAST(minute(t) AS BIGINT)"),
+        "dow": (F.dayofweek("t").cast("long"), "CAST(dayofweek(t) + 1 AS BIGINT)"),
+        "doy": (F.dayofyear("t").cast("long"), "CAST(dayofyear(t) AS BIGINT)"),
+        "week": (F.weekofyear("t").cast("long"), "CAST(weekofyear(t) AS BIGINT)"),
+        "quarter": (F.quarter("t").cast("long"), "CAST(quarter(t) AS BIGINT)"),
+        "trunc_hour": (
+            F.unix_micros(F.date_trunc("hour", "t")),
+            "CAST(epoch_us(date_trunc('hour', t)) AS BIGINT)",
+        ),
+        "trunc_day": (
+            F.unix_micros(F.date_trunc("day", "t")),
+            "CAST(epoch_us(date_trunc('day', t)) AS BIGINT)",
+        ),
+        "trunc_week": (
+            F.unix_micros(F.date_trunc("week", "t")),
+            "CAST(epoch_us(date_trunc('week', t)) AS BIGINT)",
+        ),
+        "trunc_month": (
+            F.unix_micros(F.date_trunc("month", "t")),
+            "CAST(epoch_us(date_trunc('month', t)) AS BIGINT)",
+        ),
+        "add_40d": (
+            F.unix_micros(F.col("t") + F.expr("INTERVAL 40 DAYS")),
+            "CAST(epoch_us(t + INTERVAL 40 DAY) AS BIGINT)",
+        ),
+        "add_month_clamped": (
+            F.unix_micros(F.add_months("t", 1).cast("timestamp")),
+            "CAST(epoch_us(CAST(CAST(t + INTERVAL 1 MONTH AS DATE) AS TIMESTAMP)) AS BIGINT)",
+        ),
+        "datediff_to_fix": (
+            F.datediff(F.lit("2026-06-15").cast("date"), F.col("t").cast("date")).cast("long"),
+            "CAST(date_diff('day', CAST(t AS DATE), DATE '2026-06-15') AS BIGINT)",
+        ),
+        "last_day": (
+            F.last_day("t").cast("string"),
+            "strftime(last_day(CAST(t AS DATE)), '%Y-%m-%d')",
+        ),
+        "epoch_us": (F.unix_micros("t"), "CAST(epoch_us(t) AS BIGINT)"),
+        "unix_ts": (
+            F.unix_timestamp("t").cast("long"),
+            "CAST(floor(epoch(t)) AS BIGINT)",
+        ),
+    }
+
+
+@given(micros=st.lists(st.integers(0, _EPOCH_US_MAX), min_size=1, max_size=8))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_datetime_functions_match_duckdb(spark, micros):
+    import datetime as _dt
+
+    exprs = _datetime_parity_exprs()
+    base = _dt.datetime(1970, 1, 1)
+    stamps = [base + _dt.timedelta(microseconds=us) for us in micros]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(stamps)], "i long, t timestamp"
+    )
+    got = (
+        df.select("i", *[e.alias(k) for k, (e, _) in exprs.items()])
+        .toPandas()
+        .set_index("i")
+    )
+    con = duckdb.connect()
+    for i, t in enumerate(stamps):
+        for k, (_, dsql) in exprs.items():
+            want = con.execute(
+                f"SELECT {dsql} FROM (SELECT CAST(? AS TIMESTAMP) AS t)", [t]
+            ).fetchone()[0]
+            have = got.loc[i, k]
+            have = have if isinstance(have, str) else int(have)
+            assert have == want, (k, t.isoformat(), have, want)
+    con.close()
