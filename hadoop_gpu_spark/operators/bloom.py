@@ -79,13 +79,33 @@ def bloom_positions(col: Column, m_bits: int, k: int) -> Column:
     )
 
 
-def build_bloom(df: DataFrame, col: str, m_bits: int = 1 << 20, k: int = 4) -> bytes:
+def build_bloom(
+    df: DataFrame,
+    col: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    merge_fanin: int = 64,
+) -> bytes:
     """Fold a column into an m-bit Bloom bitset (returned as bytes).
 
-    One narrow pass: per-partition local bitsets (mapInPandas), OR-merged
-    on the driver. m_bits must be a multiple of 8.
+    One narrow pass: per-partition local bitsets (mapInPandas), then a
+    TREE of OR-merge stages so the driver never receives more than
+    ``merge_fanin`` partials. m_bits must be a multiple of 8.
+
+    The tree matters at cluster scale: a flat collect receives one
+    m/8-byte partial PER INPUT PARTITION — at 10k scan partitions and a
+    production-sized bitset (100M+ bits = 12.5 MB) that is 100+ GB of
+    driver traffic, a driver OOM disguised as a collect. Each merge
+    stage ORs up to ``merge_fanin`` partials per task (round-robin
+    repartition of the tiny partial rows), so driver traffic is capped
+    at merge_fanin x m/8 bytes regardless of input partitioning, and the
+    merge work itself stays on the executors (the treeAggregate shape).
+    OR is associative/commutative, so the result is bit-identical to the
+    flat fold for ANY tree shape (pinned by
+    tests/test_pending_gates.py::test_bloom_tree_merge_is_bit_identical).
     """
     assert m_bits % 8 == 0
+    assert merge_fanin >= 2
     nbytes = m_bits // 8
     parts = df.select(bloom_positions(F.col(col), m_bits, k).alias("pos"))
 
@@ -102,8 +122,26 @@ def build_bloom(df: DataFrame, col: str, m_bits: int = 1 << 20, k: int = 4) -> b
         if seen:
             yield pd.DataFrame({"b": [bits.tobytes()]})
 
+    def fold_partials(batches):
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            for b in pdf["b"]:
+                seen = True
+                bits |= np.frombuffer(b, dtype=np.uint8)
+        if seen:
+            yield pd.DataFrame({"b": [bits.tobytes()]})
+
+    partials = parts.mapInPandas(fold, "b binary")
+    # <= one partial row per input partition (statically known upper
+    # bound — no count() action needed to plan the tree)
+    width = df.rdd.getNumPartitions()
+    while width > merge_fanin:
+        width = -(-width // merge_fanin)  # ceil division
+        partials = partials.repartition(width).mapInPandas(fold_partials, "b binary")
+
     out = np.zeros(nbytes, dtype=np.uint8)
-    for row in parts.mapInPandas(fold, "b binary").collect():
+    for row in partials.collect():
         out |= np.frombuffer(row["b"], dtype=np.uint8)
     return out.tobytes()
 

@@ -178,6 +178,23 @@ def test_bloom_no_false_negatives_and_prunes(spark):
     assert n_fp < 200  # ~(1-e^-kn/m)^k ~ 0.01 at this sizing; prunes >90%
 
 
+def test_bloom_tree_merge_is_bit_identical(spark):
+    # The tree of OR-merge stages (driver-traffic cap at cluster scale)
+    # must produce the SAME bitset as the flat fold for any partitioning
+    # and any fan-in — OR is associative/commutative, assert it anyway:
+    # this is the property the prefilter's exactness composes with.
+    from pyspark.sql import functions as F
+
+    from hadoop_gpu_spark.operators.bloom import build_bloom
+
+    m_bits, k = 1 << 14, 3
+    base = spark.range(0, 3000).select((F.col("id") * 11 + 5).alias("v"))
+    flat = build_bloom(base.repartition(2), "v", m_bits, k)
+    for nparts, fanin in ((64, 4), (33, 2), (64, 64)):
+        tree = build_bloom(base.repartition(nparts), "v", m_bits, k, merge_fanin=fanin)
+        assert tree == flat, (nparts, fanin)
+
+
 def test_bloom_broadcast_memoized_and_releasable(spark):
     # One broadcast per DISTINCT bitset, however many query constructions
     # reuse it (the r06 ADVICE leak: a fresh broadcast per call, never
