@@ -114,3 +114,52 @@ def test_domain_cap_invariant_under_input_repartitioning(spark, sf_dir):
         out = domain_cap(docs.repartition(n), "source", "doc_id", n=8).toPandas()
         outs.append(_canon(out))
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_arrow_kernels_survive_mostly_empty_partitions(spark, sf_dir):
+    # The r07 funnel bug class, swept across every Arrow-kernel operator:
+    # a tiny filtered input spread over 64 partitions (59+ EMPTY) with
+    # 1-row Arrow batches must produce exactly the single-partition
+    # result. Empty filtered subsets inside a partition are routine at
+    # real partition counts, and pandas edge semantics there (e.g. an
+    # empty merge renaming the index) differ from the nonempty path.
+    from pyspark.sql import functions as F
+
+    from hadoop_gpu_spark.dedup.minhash import minhash_signatures_pandas
+    from hadoop_gpu_spark.dedup.simhash import simhash64_pandas
+    from hadoop_gpu_spark.dedup.winnow import winnow_fingerprints_pandas
+    from hadoop_gpu_spark.operators.pipes import pipe_map
+    from hadoop_gpu_spark.similarity.ann import brute_force_topk
+    from hadoop_gpu_spark.similarity.quantize import pq_encode
+    from hadoop_gpu_spark.tables import load_table
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+
+    builders = {
+        "minhash": lambda d, e: minhash_signatures_pandas(d, "text", "doc_id"),
+        "simhash": lambda d, e: simhash64_pandas(d, "text", "doc_id"),
+        "winnow": lambda d, e: d.select(
+            "doc_id", F.to_json(winnow_fingerprints_pandas("text")).alias("fp")
+        ),
+        "pq_encode": lambda d, e: pq_encode(e),
+        "ann_brute": lambda d, e: brute_force_topk(
+            e, e.filter(F.col("vec_id") < 2), "embedding", "vec_id", k=3
+        ),
+        "pipe_map": lambda d, e: pipe_map(
+            d.select(F.col("text").alias("line")), "cat"
+        ),
+    }
+    for name, build in builders.items():
+        docs1 = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 5)
+        emb1 = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 5)
+        docsN = (
+            load_table(s2, "documents", sf_dir).filter(F.col("doc_id") < 5).repartition(64)
+        )
+        embN = (
+            load_table(s2, "embeddings", sf_dir).filter(F.col("vec_id") < 5).repartition(64)
+        )
+        a = _canon(build(docs1, emb1).toPandas())
+        b = _canon(build(docsN, embN).toPandas())
+        assert a == b, f"{name}: empty-partition layout changed the result"
+        assert len(a) > 0, f"{name}: vacuous comparison"
