@@ -834,3 +834,141 @@ def test_datetime_functions_match_duckdb(spark, micros):
             have = have if isinstance(have, str) else int(have)
             assert have == want, (k, t.isoformat(), have, want)
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS parity: rollup/cube lattices over the TPC-H-ish tables —
+# null-filled subtotal rows, grouping-level counts, and exact cent-sums
+# must agree with DuckDB's GROUP BY ROLLUP/CUBE. (Grouping columns are
+# non-null in this corpus, so a NULL in the output unambiguously means
+# "rolled up" and a sentinel COALESCE makes rows comparable.)
+# ---------------------------------------------------------------------------
+@st.composite
+def grouping_spec(draw):
+    table = draw(st.sampled_from(["orders", "lineitem"]))
+    cols_by_table = {
+        "orders": [("s", "o_orderstatus"), ("s", "o_orderpriority"), ("m", "o_custkey")],
+        "lineitem": [("s", "l_returnflag"), ("s", "l_linestatus"), ("m", "l_suppkey")],
+    }
+    univ = cols_by_table[table]
+    n = draw(st.integers(2, 3))
+    idx = draw(st.permutations(range(len(univ))))
+    cols = [univ[i] for i in idx[:n]]
+    mode = draw(st.sampled_from(["rollup", "cube"]))
+    val = {"orders": "o_totalprice", "lineitem": "l_extendedprice"}[table]
+    return {"table": table, "cols": cols, "mode": mode, "val": val}
+
+
+@given(spec=grouping_spec())
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_grouping_sets_match_duckdb(spark, duck, spec):
+    df = load_table(spark, spec["table"], SF_DIR)
+    sexprs, dexprs, names = [], [], []
+    for i, (kind, c) in enumerate(spec["cols"]):
+        if kind == "s":
+            sexprs.append(F.col(c))
+            dexprs.append(c)
+            names.append(c)
+        else:
+            sexprs.append((F.col(c) % 5).alias(f"m_{c}"))
+            dexprs.append(f"{c} % 5 AS m_{c}")
+            names.append(f"m_{c}")
+    grouped = df.rollup(*sexprs) if spec["mode"] == "rollup" else df.cube(*sexprs)
+    out = grouped.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col(spec["val"]).cast("double") * 100).cast("long")).alias("cents"),
+    )
+    # sentinel-coalesce the group columns so rolled-up NULLs hash stably
+    sel = [
+        (F.coalesce(F.col(nm).cast("string"), F.lit("<ALL>")).alias(nm)) for nm in names
+    ] + [F.col("n").cast("long"), F.col("cents").cast("long")]
+    s = out.select(*sel).toPandas()
+    kw = "ROLLUP" if spec["mode"] == "rollup" else "CUBE"
+    inner = ", ".join(dexprs)
+    d = duck.sql(
+        f"""
+        SELECT {', '.join(f"COALESCE(CAST({nm} AS VARCHAR), '<ALL>') AS {nm}" for nm in names)},
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(CAST({spec['val']} AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM (SELECT *, {inner} FROM {spec['table']})
+        GROUP BY {kw} ({', '.join(names)})
+        """
+    ).df()
+    assert _canon(s) == _canon(d), spec
+
+
+# ---------------------------------------------------------------------------
+# AS-OF JOIN parity: the shuffle-based union+window formulation
+# (operators/joins.py asof_join) vs DuckDB's NATIVE ASOF LEFT JOIN, over
+# randomized keyed/unkeyed integer timelines. Right (group, t) pairs are
+# drawn unique — both engines would otherwise tie-break an equal-t right
+# pair arbitrarily.
+# ---------------------------------------------------------------------------
+@st.composite
+def asof_spec(draw):
+    n_groups = draw(st.integers(1, 3))
+    left = draw(
+        st.lists(
+            st.tuples(st.integers(0, n_groups - 1), st.integers(0, 50)),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    right_keys = draw(
+        st.lists(
+            st.tuples(st.integers(0, n_groups - 1), st.integers(0, 50)),
+            min_size=1,
+            max_size=12,
+            unique=True,
+        )
+    )
+    keyed = draw(st.booleans())
+    return {"left": left, "right": right_keys, "keyed": keyed}
+
+
+@given(spec=asof_spec())
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_duckdb_native_asof(spark, spec):
+    import duckdb as _dd
+    import pandas as _pd
+
+    from hadoop_gpu_spark.operators.joins import asof_join
+
+    lrows = [(i, g, t) for i, (g, t) in enumerate(spec["left"])]
+    rrows = [(g, t, g * 1000 + t) for g, t in spec["right"]]
+    by = ["g"] if spec["keyed"] else []
+    if not spec["keyed"]:
+        # unkeyed: collapse groups so right "t" keys must be unique again
+        seen = set()
+        rrows = [r for r in rrows if not (r[1] in seen or seen.add(r[1]))]
+
+    ldf = spark.createDataFrame(lrows, "id long, g long, t long")
+    rdf = spark.createDataFrame(rrows, "g long, t long, v long")
+    out = asof_join(
+        ldf, rdf.drop("g") if not spec["keyed"] else rdf, "t", by=by, right_cols=["v"]
+    )
+    got = sorted(
+        (r["id"], r["v"]) for r in out.select("id", "v").collect()
+    )
+
+    con = _dd.connect()
+    con.register("l", _pd.DataFrame(lrows, columns=["id", "g", "t"]))
+    con.register("r", _pd.DataFrame(rrows, columns=["g", "t", "v"]))
+    cond = "l.t >= r.t" + (" AND l.g = r.g" if spec["keyed"] else "")
+    want = sorted(
+        tuple(x)
+        for x in con.sql(
+            f"SELECT l.id, r.v FROM l ASOF LEFT JOIN r ON {cond}"
+        ).fetchall()
+    )
+    con.close()
+    norm = lambda rows: [(i, None if v is None or v != v else int(v)) for i, v in rows]
+    assert norm(got) == norm(want), spec
