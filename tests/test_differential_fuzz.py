@@ -351,10 +351,16 @@ _ROW_TAGS = {"lineitem": ["l_orderkey", "l_linenumber"], **_TOTAL_ORDER_KEYS}
 def window_spec(draw):
     fn = draw(
         st.sampled_from(
-            ["row_number", "rank", "dense_rank", "lag", "lead", "running_sum"]
+            [
+                "row_number", "rank", "dense_rank", "lag", "lead",
+                "running_sum", "ntile4", "first_value", "last_value",
+                "range_sum",
+            ]
         )
     )
-    pool = _ROW_TAGS if fn in ("rank", "dense_rank") else _TOTAL_ORDER_KEYS
+    # rank/dense_rank and range_sum are pure functions of the sort-key
+    # VALUE (peers share results/frames), so tied keys stay deterministic
+    pool = _ROW_TAGS if fn in ("rank", "dense_rank", "range_sum") else _TOTAL_ORDER_KEYS
     table = draw(st.sampled_from(sorted(pool)))
     cols = TABLES[table]
     part = draw(
@@ -387,7 +393,7 @@ def _window_frames(spark, spec):
     t, fn = spec["table"], spec["fn"]
     uniq = _ROW_TAGS[t]
     d = " DESC" if spec["desc"] else ""
-    order_cols = [spec["ordcol"]] if fn in ("rank", "dense_rank") else [
+    order_cols = [spec["ordcol"]] if fn in ("rank", "dense_rank", "range_sum") else [
         spec["ordcol"], *[u for u in uniq if u != spec["ordcol"]]
     ]
     sql_order = ", ".join(f"{c}{d}" for c in order_cols)
@@ -417,17 +423,31 @@ def _window_frames(spark, spec):
         col, sqlf = F.lag(v, 1).over(w), f"LAG({v}, 1)"
     elif fn == "lead":
         col, sqlf = F.lead(v, 1).over(w), f"LEAD({v}, 1)"
+    elif fn == "ntile4":
+        col, sqlf = F.ntile(4).over(w), "NTILE(4)"
+    elif fn == "first_value":
+        col, sqlf = F.first(v).over(w), f"FIRST_VALUE({v})"
+    elif fn == "last_value":
+        # last over the FULL partition needs an explicit unbounded frame
+        # on both engines (the default frame stops at CURRENT ROW)
+        w = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        col, sqlf = F.last(v).over(w), f"LAST_VALUE({v})"
+    elif fn == "range_sum":
+        # RANGE frame: peers (tied sort keys) share one frame, so the
+        # result is a pure function of the key value — no tiebreak cols
+        w = w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        col, sqlf = F.sum(v).over(w), f"SUM({v})"
     else:  # running_sum — frame must be ROWS (total order makes it exact)
         w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         col = F.sum(v).over(w)
         sqlf = (
             f"SUM({v})"  # OVER clause appended below with the ROWS frame
         )
-    frame = (
-        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
-        if fn == "running_sum"
-        else ""
-    )
+    frame = {
+        "running_sum": " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "last_value": " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+        "range_sum": " RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    }.get(fn, "")
     over = f"OVER ({sql_part}ORDER BY {sql_order}{frame})"
     wv_sql = f"CAST({sqlf} {over} AS BIGINT) AS wv"
 
