@@ -992,3 +992,100 @@ def test_asof_join_matches_duckdb_native_asof(spark, spec):
     con.close()
     norm = lambda rows: [(i, None if v is None or v != v else int(v)) for i, v in rows]
     assert norm(got) == norm(want), spec
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery parity: EXISTS / NOT EXISTS / IN forms, expressed
+# as DataFrame semi/anti joins on the Spark side (the engine's idiom —
+# q20/q21/q22 all compile subqueries this way) vs literal subquery SQL
+# in DuckDB. Under non-null join keys the three forms map exactly to
+# left_semi / left_anti; the NULL edge where that mapping BREAKS is
+# pinned separately below.
+# ---------------------------------------------------------------------------
+@st.composite
+def subquery_spec(draw):
+    form = draw(st.sampled_from(["exists", "not_exists", "in"]))
+    # correlated right-side filter on lineitem
+    qty = draw(st.integers(10, 45))
+    extra = draw(st.booleans())
+    status = draw(st.sampled_from(["O", "F", None]))
+    return {"form": form, "qty": qty, "extra": extra, "status": status}
+
+
+@given(spec=subquery_spec())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_semi_anti_subqueries_match_duckdb(spark, duck, spec):
+    orders = load_table(spark, "orders", SF_DIR)
+    li = load_table(spark, "lineitem", SF_DIR).filter(
+        F.col("l_quantity") >= spec["qty"]
+    )
+    if spec["extra"]:
+        li = li.filter(F.col("l_returnflag") == "R")
+    if spec["status"]:
+        orders = orders.filter(F.col("o_orderstatus") == spec["status"])
+    how = "left_anti" if spec["form"] == "not_exists" else "left_semi"
+    out = orders.join(
+        li, orders.o_orderkey == li.l_orderkey, how
+    ).select("o_orderkey")
+    s = out.toPandas()
+
+    rf = " AND l_returnflag = 'R'" if spec["extra"] else ""
+    st_f = f" WHERE o_orderstatus = '{spec['status']}'" if spec["status"] else ""
+    if spec["form"] == "in":
+        pred = (
+            f"o_orderkey IN (SELECT l_orderkey FROM lineitem "
+            f"WHERE l_quantity >= {spec['qty']}{rf})"
+        )
+    else:
+        neg = "NOT " if spec["form"] == "not_exists" else ""
+        pred = (
+            f"{neg}EXISTS (SELECT 1 FROM lineitem "
+            f"WHERE l_orderkey = o_orderkey AND l_quantity >= {spec['qty']}{rf})"
+        )
+    where = f"{st_f} {'AND' if st_f else 'WHERE'} {pred}"
+    d = duck.sql(f"SELECT o_orderkey FROM orders{where}").df()
+    assert _canon(s) == _canon(d), spec
+
+
+def test_not_in_with_nulls_is_not_an_anti_join(spark):
+    """Executable documentation of the ANSI three-valued-logic trap: a
+    NOT IN whose subquery yields a NULL returns ZERO rows (x <> NULL is
+    unknown for every x) on BOTH engines — while a left_anti join keeps
+    the non-matching rows. Oracle rule: spell negation as NOT EXISTS
+    (what left_anti implements); use NOT IN only on provably non-null
+    subquery columns. Both engines' agreement on the empty result is
+    asserted, and the anti-join's difference is asserted, so an engine
+    that ever deviates from ANSI here flips this test."""
+    import duckdb as _dd
+    import pandas as _pd
+
+    left = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    right = spark.createDataFrame([(1, 1), (2, None)], "r long, v int").select(
+        "r", F.col("v").cast("long").alias("v")
+    )
+    anti = sorted(
+        r["k"]
+        for r in left.join(
+            right.select(F.col("v").alias("k")), "k", "left_anti"
+        ).collect()
+    )
+    assert anti == [2, 3]  # anti join ignores the NULL member
+
+    spark_sql = left.sparkSession
+    left.createOrReplaceTempView("l_nn")
+    right.createOrReplaceTempView("r_nn")
+    got = spark_sql.sql(
+        "SELECT k FROM l_nn WHERE k NOT IN (SELECT v FROM r_nn)"
+    ).collect()
+    assert got == []  # ANSI: NULL in the set -> nothing qualifies
+
+    con = _dd.connect()
+    con.register("l", _pd.DataFrame({"k": [1, 2, 3]}))
+    con.register("r", _pd.DataFrame({"v": [1.0, None]}))
+    duck_rows = con.sql("SELECT k FROM l WHERE k NOT IN (SELECT v FROM r)").fetchall()
+    con.close()
+    assert duck_rows == []  # DuckDB agrees
