@@ -37,6 +37,17 @@ from hadoop_gpu_spark.queries import QUERIES
 #   an r06-vs-r05-official delta is NOT a 2x win, it is mostly the load
 #   artifact unwinding. The load-guard fields below exist so future
 #   contaminated records are self-describing.
+# - r07 local runs (same machine, contended=false both): 13.331s and
+#   12.649s back-to-back — ~8% ambient jitter day-over-day vs the r06
+#   11.70s quiet figure with per-query minima agreeing where it matters
+#   (q21 1.108s vs 1.096s r06; q_ann_lsh 0.686s; simhash 0.446s). No
+#   HEADLINE plan changed in r07 (exchange budgets pinned both ways), so
+#   any BENCH_r07-vs-r06 delta beyond a few percent is environment.
+#   r07 also shipped the contended auto-retry (one cooldown + remeasure,
+#   attempt history in the record) — note the spread heuristic is
+#   calibrated at sf0.1; at the 10x scale-check dataset GC widens
+#   spreads past 1.5x and the flag fires conservatively (both attempts
+#   agreed within 7% there).
 # - r06 quiet-machine steady state (local, full 21-query set): total
 #   11.70s vs the r04 minima's 12.04s on the same set (0.97x),
 #   contended=false. The two deltas called out in the earlier version of
