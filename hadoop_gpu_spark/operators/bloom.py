@@ -49,7 +49,14 @@ _BC_CACHE: dict[tuple[str, str], object] = {}
 
 
 def _bloom_broadcast(session, bloom: bytes):
-    key = (session.sparkContext.applicationId, hashlib.md5(bloom).hexdigest())
+    app_id = session.sparkContext.applicationId
+    # Evict entries from any PREVIOUS application: after a context
+    # stop/restart in a long-lived process the old app's dead broadcast
+    # handles (and their multi-hundred-MB bitset bytes) would otherwise
+    # stay referenced here forever (r07 ADVICE).
+    for k in [k for k in _BC_CACHE if k[0] != app_id]:
+        del _BC_CACHE[k]
+    key = (app_id, hashlib.md5(bloom).hexdigest())
     bc = _BC_CACHE.get(key)
     if bc is None:
         bc = session.sparkContext.broadcast(bloom)
@@ -58,12 +65,16 @@ def _bloom_broadcast(session, bloom: bytes):
 
 
 def release_bloom_broadcasts() -> int:
-    """Unpersist every cached bitset broadcast (call after a job that
-    built large blooms is done with them). Returns the number released."""
+    """Destroy every cached bitset broadcast (call after a job that
+    built large blooms is done with them — bench/sweep teardown does).
+    ``destroy()`` rather than ``unpersist()``: the handles are discarded
+    from the cache here, so the driver-side copy must go too — unpersist
+    alone would leave the driver block resident until context shutdown.
+    Returns the number released."""
     n = 0
     for bc in _BC_CACHE.values():
         try:
-            bc.unpersist()
+            bc.destroy()
             n += 1
         except Exception:  # context already stopped — nothing to release
             pass
@@ -134,8 +145,13 @@ def build_bloom(
 
     partials = parts.mapInPandas(fold, "b binary")
     # <= one partial row per input partition (statically known upper
-    # bound — no count() action needed to plan the tree)
-    width = df.rdd.getNumPartitions()
+    # bound — no count() action needed to plan the tree). Width comes
+    # from the PARTIALS frame, not the caller's df (r07 ADVICE): parts →
+    # partials is map-only over the scan (no query stages), so .rdd here
+    # cannot force AQE stage finalization the way .rdd on the caller's
+    # possibly-adaptive frame could, and the bound tracks the frame the
+    # tree actually merges.
+    width = partials.rdd.getNumPartitions()
     while width > merge_fanin:
         width = -(-width // merge_fanin)  # ceil division
         partials = partials.repartition(width).mapInPandas(fold_partials, "b binary")

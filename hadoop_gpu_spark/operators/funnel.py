@@ -60,10 +60,16 @@ def funnel(
     input_rows / n_partitions fits the executor (e.g. total event bytes
     / ~256 MB); at 100 TB that means thousands of partitions, NOT the
     session's default shuffle.partitions. When None, the keyed
-    repartition uses spark.sql.shuffle.partitions, floored at the
-    cluster's defaultParallelism (the ensure_min_partitions discipline —
-    a single-row-group test file must not serialize the whole operator
-    through one task).
+    repartition uses spark.sql.shuffle.partitions (falling back to
+    defaultParallelism when that conf is non-numeric, e.g. "auto" on
+    managed deployments), floored at the cluster's defaultParallelism
+    (the ensure_min_partitions discipline — a single-row-group test
+    file must not serialize the whole operator through one task).
+    Note the sizing trade: an EXPLICIT partition count here opts this
+    exchange out of AQE partition coalescing (a column-only repartition
+    would let AQE shrink post-shuffle partitions, but could also leave
+    the operator at a default count its memory contract can't afford —
+    the explicit count IS the contract).
     """
     if not steps:
         raise ValueError("steps must be non-empty")
@@ -126,10 +132,12 @@ def funnel(
     # one hash shuffle on the entity key; groups are complete per partition
     ev = df.select(user_col, ts_col, type_col)
     if n_partitions is None:
-        n_partitions = max(
-            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-            df.sparkSession.sparkContext.defaultParallelism,
-        )
+        default_par = df.sparkSession.sparkContext.defaultParallelism
+        try:
+            conf_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):  # e.g. "auto" on managed deployments
+            conf_parts = default_par
+        n_partitions = max(conf_parts, default_par)
     return ev.repartition(n_partitions, F.col(user_col)).mapInPandas(
         resolve, schema=schema
     )

@@ -32,6 +32,7 @@ from hadoop_gpu_spark.operators import joins as join_ops
 from hadoop_gpu_spark.operators import sampling as sample_ops
 from hadoop_gpu_spark.operators import sort as sort_ops
 from hadoop_gpu_spark.functions.hashing import bucket, bucket_sql, md5_hex
+from hadoop_gpu_spark.utils import eager_persist
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -1547,6 +1548,16 @@ _IVF_COS_SQL = (
     """,
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe over deterministic centroids.
+
+    Triple-scan adjudication (r08, per the written test in
+    ARCHITECTURE.md): the three embeddings scans are semantically
+    DISTINCT, filter-pushed passes — the full-corpus assignment pass,
+    the vec_id<8 probe set, and the vec_id<16 centroid table (the
+    latter two prune to handfuls of rows AT THE PARQUET SCAN via
+    PushedFilters; in production they would be separate tables). No
+    branch recomputes a derived subtree, so the scans stand — the
+    q_bloom_decontaminate precedent."""
     from hadoop_gpu_spark.similarity.ann import assign_to_centroids_pandas, ivf_topk
 
     emb = T(spark, sf_dir, "embeddings")
@@ -1857,12 +1868,32 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by 80-char-prefix edit distance.
+
+    100 TB shape (r08 adjudication fix, same idiom as
+    ngram_jaccard_pairs): the candidate id set semi-filters the corpus
+    BEFORE the prefix fetch, the candidate-sized (id, prefix) frame is
+    cached once and read by both pair sides, and the pair frame is
+    cached so the LSH pipeline runs once (not once per id-union branch
+    plus the final join). One full-corpus scan for signatures + one
+    semi-filtered fetch scan, unhinted joins (AQE picks the strategy
+    from measured candidate cardinality)."""
     from hadoop_gpu_spark.dedup.minhash import lsh_candidate_pairs
 
     docs = T(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(docs, "text", "doc_id")
-    da = docs.select(F.col("doc_id").alias("a"), F.substring("text", 1, 80).alias("__ta"))
-    db = docs.select(F.col("doc_id").alias("b"), F.substring("text", 1, 80).alias("__tb"))
+    pairs = eager_persist(lsh_candidate_pairs(docs, "text", "doc_id").select("a", "b"))
+    ids = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .union(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    cand = eager_persist(
+        docs.join(ids, "doc_id", "left_semi").select(
+            "doc_id", F.substring("text", 1, 80).alias("__t")
+        )
+    )
+    da = cand.select(F.col("doc_id").alias("a"), F.col("__t").alias("__ta"))
+    db = cand.select(F.col("doc_id").alias("b"), F.col("__t").alias("__tb"))
     return (
         pairs.join(da, "a")
         .join(db, "b")
@@ -2247,19 +2278,20 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     total is broadcast so the threshold filter runs map-side.
 
     The intermediate outlives this function (the returned plan reads it
-    twice), so it is an EAGER localCheckpoint, not a bare .persist(): the
-    lineage is cut, both consumers read the materialized blocks, and
-    nothing dangles un-unpersisted (the r03 leak pattern — a .persist()
-    with no paired cleanup is now banned module-wide by
-    tests/test_plans.py::test_persist_always_paired_with_cleanup)."""
+    twice), so it is utils.eager_persist — cached with recomputable
+    lineage, released by release_persisted_frames() in bench/sweep
+    teardown (a bare un-released .persist() — the r03 leak pattern —
+    stays banned module-wide by
+    tests/test_plans.py::test_persist_always_paired_with_cleanup; the
+    r07 eager-localCheckpoint variant was retired because checkpoint
+    blocks are non-replicated and lineage-free: one lost executor at
+    cluster scale would make the returned plan unrecoverable)."""
     li = T(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
         F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
     )
-    pv_dec = (
-        li.groupBy("l_partkey")
-        .agg(F.sum(revenue).alias("rev_dec"))
-        .localCheckpoint(eager=True)
+    pv_dec = eager_persist(
+        li.groupBy("l_partkey").agg(F.sum(revenue).alias("rev_dec"))
     )
     tot = pv_dec.agg(F.sum("rev_dec").cast("double").alias("total_value"))
     return (
@@ -2342,7 +2374,14 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) with maximum quarterly revenue — scalar
-    MAX subquery over a derived aggregate, equality on exact doubles."""
+    MAX subquery over a derived aggregate, equality on exact doubles.
+
+    ``rev`` is utils.eager_persist (the q11 pattern): the scalar-MAX
+    branch otherwise replans the whole filtered-lineitem scan + groupBy
+    as a second pruned branch — a second fact-table pass at 100 TB (the
+    dual-branch recompute class; found by the r07 registry scan-count
+    audit, fixed in its r08 rotation slot). Both the MAX and the filter
+    now read the cached |suppliers|-row frame, lineage intact."""
     li = T(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -2350,8 +2389,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
         F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
     )
-    rev = li.groupBy("l_suppkey").agg(
-        F.sum(revenue).cast("double").alias("total_revenue")
+    rev = eager_persist(
+        li.groupBy("l_suppkey").agg(
+            F.sum(revenue).cast("double").alias("total_revenue")
+        )
     )
     mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
     supplier = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -2475,19 +2516,20 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     is stable across scale factors; per-supplier sums of integer-valued
     quantities are fp-exact, making the mean bit-deterministic.
 
-    The per-supplier frame is an EAGER localCheckpoint (the q11 pattern):
-    both the scalar threshold and the filter read the materialized
-    |suppliers|-row blocks, instead of the threshold branch re-running
+    The per-supplier frame is utils.eager_persist (the q11 pattern):
+    both the scalar threshold and the filter read the cached
+    |suppliers|-row frame, instead of the threshold branch re-running
     the lineitem✕red join + groupBy as a second pruned plan branch (the
     dual-branch recompute class the r06 plan audit surfaced — one full
-    extra fact-table scan at 100 TB)."""
+    extra fact-table scan at 100 TB). Cached, not localCheckpoint-ed:
+    lineage stays recomputable, so executor loss degrades to recompute
+    rather than killing the returned plan (r07 ADVICE)."""
     li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
     red = T(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
-    sq = (
+    sq = eager_persist(
         li.join(red, li.l_partkey == red.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
-        .localCheckpoint(eager=True)
     )
     thr = sq.agg((F.lit(1.2) * (F.sum("qty") / F.count("*"))).alias("cut"))
     hot = sq.crossJoin(F.broadcast(thr)).filter(F.col("qty") > F.col("cut"))
@@ -2581,8 +2623,16 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: rich-but-dormant customers per derived country code —
     scalar AVG subquery (decimal-exact mean over positive balances) + anti
     join against recent purchasers. All customers have *some* order in this
-    dataset, so dormancy is defined against a recent-order window."""
-    customer = T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    dataset, so dormancy is defined against a recent-order window.
+
+    The 2-column customer projection is utils.eager_persist: the
+    avg-balance scalar branch otherwise re-scans customer as a second
+    pruned plan branch (scan-level only — the cheap instance of the
+    dual-branch class, fixed in its r08 rotation slot alongside q15).
+    Both the mean and the main filter read one cached scan."""
+    customer = eager_persist(
+        T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    )
     recent = (
         T(spark, sf_dir, "orders")
         .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
@@ -2670,10 +2720,22 @@ def q_db_count_pageview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # TF-IDF top terms per document — the classic two-level corpus statistic:
-# term frequencies at scan, document frequencies as a second (tiny,
-# broadcastable) aggregate, per-doc top-3 via window. Scores are rounded
-# BEFORE ranking so cross-engine libm drift in ln() cannot flip a rank
-# (ties then break on term).
+# term frequencies at scan, document frequencies derived IN-PLAN as
+# COUNT(*) OVER (PARTITION BY term) on the tf frame, per-doc top-3 via a
+# second window. Scores are rounded BEFORE ranking so cross-engine libm
+# drift in ln() cannot flip a rank (ties then break on term).
+#
+# 100 TB shape (r08 rewrite, closing VERDICT r07 "what's wrong" #3): the
+# previous tf.join(broadcast(dfreq)) replanned tf's WHOLE subtree inside
+# the broadcast build side — the corpus tokenize+explode+groupBy ran
+# twice — and dfreq is VOCABULARY-sized (Heaps-law uniques at 100 TB of
+# text are hundreds of millions of rows: past Spark's 8 GB broadcast
+# hard cap, the query dies outright). The window form computes df on the
+# one tf frame already in flight: ONE tokenize pass, no vocab-sized
+# broadcast, no scalar crossJoin branch. n_docs is a construction-time
+# count of documents (a 1-value driver literal — the k-row-collect class
+# the centroid passes already use; the scan projects zero columns so it
+# is parquet-footer cheap and touches no text).
 # ---------------------------------------------------------------------------
 @query(
     "q_tfidf_topterms",
@@ -2698,17 +2760,15 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_gpu_spark.operators.fields import tokenize
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = float(docs.count())  # 1-value driver literal, zero-column scan
     toks = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(nd))
-        .withColumn(
-            "tfidf",
-            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 9),
-        )
+    w_term = Window.partitionBy("term")
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(w_term)
+    ).withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 9),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return (
@@ -2824,16 +2884,19 @@ def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = gr.groupBy("gh").agg(F.count(F.lit(1)).alias("nd"))
     frequent = freq.filter(F.col("nd") >= 5).select("gh")
     # ONE counting pass: total grams and boilerplate grams come from the
-    # same aggregation — a left join against the broadcast frequent set
-    # (unique gh, so no row multiplication) with a conditional count,
-    # instead of a left_semi + a second groupBy + a doc_id join. The
-    # former three evaluations of the tokenize+gram+explode subtree
-    # (freq, n_grams, boiler) drop to the two inherent to the
-    # broadcast-stats shape (r06 continuation; values unchanged — a
-    # missing match counts 0 exactly where na.fill(0) used to).
-    flagged = gr.join(
-        F.broadcast(frequent.withColumn("__b", F.lit(1))), "gh", "left"
-    )
+    # same aggregation — a left join against the frequent set (unique
+    # gh, so no row multiplication) with a conditional count, instead of
+    # a left_semi + a second groupBy + a doc_id join. The former three
+    # evaluations of the tokenize+gram+explode subtree (freq, n_grams,
+    # boiler) drop to the two inherent to the corpus-stats shape (r06
+    # continuation; values unchanged — a missing match counts 0 exactly
+    # where na.fill(0) used to). The join is UNHINTED (r08, the
+    # vocab-broadcast class, VERDICT r07 #4): `frequent` is
+    # corpus-cardinality (distinct frequent n-grams grow with the
+    # corpus — far past the 8 GB broadcast cap at 100 TB), so the
+    # strategy is AQE's runtime call: broadcast while it measures small,
+    # gh-keyed shuffle join when it doesn't.
+    flagged = gr.join(frequent.withColumn("__b", F.lit(1)), "gh", "left")
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.count("__b").alias("n_boiler"),
@@ -3823,10 +3886,15 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # 100 TB shape: tokens explode narrow (no text shuffle — only (doc_id,
 # term) pairs move); term frequencies aggregate once (hash-only shuffle)
-# and broadcast back (unigram vocab grows ~log with corpus size; if a
-# genuinely open vocab outgrows broadcast, swap the broadcast join for a
-# shuffle join on term — same plan shape as q_tfidf_topterms, whose
-# corpus-stats-broadcast pattern this reuses).
+# and join back onto the token stream UNHINTED — the join strategy is
+# AQE's runtime call. A bench-scale vocab broadcasts (AQE converts the
+# sort-merge join when the built side measures small); a 100 TB open
+# vocab is Heaps-law hundreds-of-millions of (term, c) rows — past
+# Spark's 8 GB broadcast hard cap, where a forced broadcast hint would
+# KILL the query rather than slow it. The unhinted plan degrades to a
+# shuffle-hash/sort-merge join on term instead (r08, closing VERDICT
+# r07 "what's wrong" #4; the registry-wide broadcast-hint audit in
+# tests/test_plan_invariants.py pins the class).
 # ---------------------------------------------------------------------------
 _UNIGRAM_NLL_SQL = f"""
     WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
@@ -3853,7 +3921,17 @@ def _unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     column-pruned branch that re-runs the entire tokenize+explode pass —
     the scan-dominated cost that doubles at 100 TB. sum(c) over the model
     frame is the same exact integer (every token lands in exactly one
-    term bucket), so the double-cast total is bit-identical."""
+    term bucket), so the double-cast total is bit-identical.
+
+    The toks⋈freq join is deliberately UNHINTED (r08): freq is
+    vocabulary-cardinality, and a forced ``F.broadcast`` would exceed
+    Spark's 8 GB broadcast cap at open-vocab scale — AQE broadcasts it
+    at bench scale and falls back to a term-keyed shuffle join when the
+    measured build side is large. The global window's single-partition
+    model pass has the same Heaps-law caveat in milder form (one task
+    owns |vocab| model rows — fine to ~1e8; past that, swap for an
+    eager_persist of freq + scalar re-aggregate, trading one cached
+    vocab frame for the window sort)."""
     from hadoop_gpu_spark.operators.fields import tokenize
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
@@ -3865,7 +3943,7 @@ def _unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     freq_t = freq.withColumn("total", F.sum("c").over(w_all).cast("double"))
-    scored = toks.join(F.broadcast(freq_t), "term").withColumn(
+    scored = toks.join(freq_t, "term").withColumn(
         "nll",
         F.round(F.log(F.col("total") / F.col("c")), 9).cast("decimal(28,9)"),
     )
@@ -4430,8 +4508,8 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver (same k-row-collect class as k-means centroids), then
     rides every task as an array literal — the corpus scans exactly twice
     (centroid pass, then one distance pass whose narrow 3-column output
-    is localCheckpoint-ed for the moment/z reads), maps only, and never
-    shuffles rows."""
+    is cached via eager_persist for the moment/z reads), maps only, and
+    never shuffles rows."""
     d_col = "embedding"
     emb = T(spark, sf_dir, "embeddings")
 
@@ -4469,16 +4547,20 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, t: (acc + t).cast("decimal(28,12)"),
         ).cast("double")
     )
-    # EAGER localCheckpoint (q11 pattern): the moment pass and the final
-    # z-score select both read the materialized |corpus|-row (vec_id,
-    # dist, dq) frame — without it the crossJoin's stats branch is a
-    # second pruned plan branch that re-runs the whole distance pass
-    # (a third full corpus scan at 100 TB).
-    d = emb.select(
-        "vec_id",
-        dist.alias("dist"),
-        F.round(dist, 6).cast("decimal(18,6)").alias("dq"),
-    ).localCheckpoint(eager=True)
+    # utils.eager_persist (q11 pattern): the moment pass and the final
+    # z-score select both read the cached |corpus|-row (vec_id, dist,
+    # dq) frame — without it the crossJoin's stats branch is a second
+    # pruned plan branch that re-runs the whole distance pass (a third
+    # full corpus scan at 100 TB). Cached with lineage, not
+    # localCheckpoint-ed (r07 ADVICE: executor loss must degrade to
+    # recompute, not kill the plan).
+    d = eager_persist(
+        emb.select(
+            "vec_id",
+            dist.alias("dist"),
+            F.round(dist, 6).cast("decimal(18,6)").alias("dq"),
+        )
+    )
     stats = d.agg(
         F.sum("dq").alias("sn"),
         F.sum(F.col("dq") * F.col("dq")).alias("ssq"),
@@ -4534,13 +4616,10 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# PENDING round-8 gates (q_funnel here, q_pq_train in
-# similarity/quantize.py) — the r07 window is exactly spoken for (see
-# the _DRIVER_WINDOW accounting: 4 gates + 21 HEADLINE + 23 r04-latest
-# + 2 changed = 50), so these ship early, oracle-pinned by tests (same
-# pattern as every pending cohort): registration and the driver rows
-# land in round 8, whose 50-slot window is already enumerated in the
-# _DRIVER_WINDOW comment and ARCHITECTURE.md "Round-7 outcomes" #2.
+# Round-8 gates (registered r08, first driver rows this round — built and
+# oracle-pinned at both scales since r06 via tests/test_pending_gates.py;
+# the r07 window was exactly spoken for, so registration waited for the
+# enumerated r08 slots per ARCHITECTURE.md "Round-7 outcomes" #2).
 # ===========================================================================
 def _funnel_oracle() -> str:
     from hadoop_gpu_spark.operators.funnel import funnel_sql
@@ -4551,11 +4630,12 @@ def _funnel_oracle() -> str:
 Q_FUNNEL_ORACLE = _funnel_oracle()
 
 
+@query("q_funnel", oracle=Q_FUNNEL_ORACLE)
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered view->click->purchase funnel per user (pending r08
-    registration): first-completion time of each step strictly after the
-    previous step, one shuffle total (see operators/funnel.py); times
-    exposed as epoch-micros BIGINTs (never raw sub-second timestamps)."""
+    """Ordered view->click->purchase funnel per user (r08 gate):
+    first-completion time of each step strictly after the previous step,
+    one shuffle total (see operators/funnel.py); times exposed as
+    epoch-micros BIGINTs (never raw sub-second timestamps)."""
     from hadoop_gpu_spark.operators.funnel import funnel
 
     ev = T(spark, sf_dir, "events")
@@ -4571,12 +4651,13 @@ def _pq_train_oracle() -> str:
 Q_PQ_TRAIN_ORACLE = _pq_train_oracle()
 
 
+@query("q_pq_train", oracle=Q_PQ_TRAIN_ORACLE)
 def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-adaptive PQ codebook training (pending r08 registration):
-    k-means on an INTEGER LATTICE so every Lloyd step — init order,
-    distances, argmin ties, centroid floor-division updates — is exact
-    and the oracle replays the identical iterations; the gate compares
-    the trained 128-row codebooks themselves (all-int, driver-safe)."""
+    """Data-adaptive PQ codebook training (r08 gate): k-means on an
+    INTEGER LATTICE so every Lloyd step — init order, distances, argmin
+    ties, centroid floor-division updates — is exact and the oracle
+    replays the identical iterations; the gate compares the trained
+    128-row codebooks themselves (all-int, driver-safe)."""
     from hadoop_gpu_spark.similarity.quantize import pq_train
 
     return pq_train(T(spark, sf_dir, "embeddings"))
@@ -4595,61 +4676,58 @@ def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # outside the window were all green in a previous round and are unchanged
 # since. New queries land AFTER the window and rotate in next round.
 #
-# Round 7 window. Slot accounting (the window is a hard 50; every set
-# below MUST be inside it):
+# Round 8 window. Slot accounting (the window is a hard 50; every set
+# below MUST be inside it). Freshness policy: 4-round re-proof period
+# (amended r07 — after round N no query's latest driver row may be older
+# than N-3; pytest's oracle-parity suite still re-proves the ENTIRE
+# surface every session).
 #
-# FRESHNESS-POLICY AMENDMENT (r07, resolving the r08 overcommit the r06
-# verdict flagged): the re-proof period moves from 3 rounds to 4 — after
-# round N, no query's latest driver row may be OLDER than round N-3
-# (latest >= N-3). The 3-round period was structurally infeasible: 103
-# non-HEADLINE registered queries / 3-round period = ~34 rotation slots
-# needed per round vs the 29 the 50-slot window leaves beside a 21-query
-# HEADLINE (CORRECTNESS_r06 showed the r05-latest cohort at 43, so r08
-# would have needed 2 + 43 + 21 = 66 slots). At a 4-round period the
-# demand is ~26/round <= 29, sustainable indefinitely WITHOUT gutting
-# the bench HEADLINE (the alternative was benching only 5-12 queries for
-# two rounds, destroying cross-round bench comparability). Every
-# registered query still gets a driver-green row at least every 4
-# rounds, and pytest's oracle-parity suite re-proves the whole surface
-# every session regardless.
-#
-# - NEW queries (no driver row yet; mechanically enforced by
-#   tests/test_plans.py::test_changed_queries_are_windowed): the 4 gates
-#   built during r06 and registered this round — q_chunk_documents,
-#   q_domain_cap, q_embedding_outliers, q_text_normalize.
+# - NEW queries (first driver rows; mechanically enforced by
+#   tests/test_plans.py::test_changed_queries_are_windowed): the 2 gates
+#   built during r06 and registered this round — q_funnel, q_pq_train.
 # - bench HEADLINE (policy c: a benched time without a same-round
 #   correctness row is not a result): the full 21-query macro set,
-#   unchanged from r04/r06.
-# - stale-evidence rotation: 23 of the 25 queries whose latest driver
-#   row is r04 (q_intersect and q_md5_sample, trivially-stable and
-#   unchanged since their r04 rows, defer one round to r08 — allowed at
-#   the amended boundary, latest=r04 >= 7-3).
-# - CHANGED this round (must take a slot now; mechanically enforced):
-#   q20_potential_promotion (r05-latest, rotated early) and
-#   q_bloom_decontaminate (r06-latest) — the dual-branch-recompute fix
-#   (localCheckpoint on the per-supplier frame) and the bloom-broadcast
-#   memoization (r06 ADVICE). They displace q_intersect/q_md5_sample.
-#   q_unigram_logprob and q_ppl_buckets (also changed, same fix class)
-#   are already inside the r04-latest rotation set.
-# - 4 + 21 + 23 + 2 = exactly 50, zero overlap.
+#   unchanged since r04.
+# - deferred-from-r07 boundary pair: q_intersect, q_md5_sample
+#   (latest=r04 — the amended-policy boundary; MUST re-prove now).
+# - CHANGED this round outside the rotation set (must take a slot;
+#   mechanically enforced): q_tfidf_topterms (tokenize-recompute +
+#   vocab-broadcast fix, VERDICT r07 #3), q_unigram_logprob +
+#   q_ppl_buckets (broadcast-hint drop, VERDICT r07 #4),
+#   q20_potential_promotion + q_embedding_outliers (localCheckpoint →
+#   eager_persist, r07 ADVICE medium), q_bloom_decontaminate (bloom
+#   cache eviction / destroy / tree-width fixes, r07 ADVICE low),
+#   q_boilerplate_ratio (the REMAINING instance of the corpus-
+#   cardinality broadcast-hint class, found by this round's hint audit:
+#   `frequent` n-grams — now unhinted), q_near_dedup_survivors (pulled
+#   FORWARD from the r09 cohort: its near_dedup pipeline transitively
+#   uses ngram_jaccard_pairs, rewritten this round by the triple-scan
+#   adjudication — candidates-only gram kernel) = 8.
+# - stale-evidence rotation: 17 of the 25 enumerated r05-latest — the
+#   TPC-H cohort less the deferred q02 (q11/q15/q22 are ALSO changed
+#   this round — eager_persist fixes — and sit here) + q_ann_ivf,
+#   q_dedup_edit_distance, q_dedup_ngram_jaccard (the triple-scan
+#   adjudication targets: the dedup two changed — candidates-only
+#   verify fetch; q_ann_ivf adjudicated UNCHANGED, its three scans are
+#   semantically distinct filter-pushed passes — corpus assignment,
+#   vec_id<8 probe set, vec_id<16 centroid table — none recomputing a
+#   derived subtree).
+# - 2 + 21 + 2 + 8 + 17 = exactly 50, zero overlap.
 #
-# r08 plan (enumerated now so the ledger stays clear): 2 gates
-# (q_funnel, q_pq_train) + 21 HEADLINE + q_intersect + q_md5_sample +
-# the 25 alphabetically-first of the 42 remaining r05-latest queries
-# (q02..q22 TPC-H cohort 15, q_ann_ivf, q_approx_stats, q_cogroup_join,
-# q_connected_components, q_cube, q_dedup_edit_distance,
-# q_dedup_embedding, q_dedup_minhash_pairs, q_dedup_ngram_jaccard,
-# q_dedup_simhash_pairs) = 50. The 17 remaining r05-latest
-# (q_except .. q_stream_dedup) rotate in r09 with ~12 r06-latest:
-# 17 + 21 + 12 = 50. Steady state balances at the 4-round period
-# (demand ~103/4 ~= 26 <= 29 free slots beside the HEADLINE).
+# Deferred to r09 (policy-legal: latest=r05 >= 8-3; they then sit at
+# the r09 boundary and MUST rotate there): q02_min_cost_supplier,
+# q_approx_stats, q_cogroup_join, q_connected_components, q_cube,
+# q_dedup_embedding, q_dedup_minhash_pairs, q_dedup_simhash_pairs —
+# displaced by the 8 changed queries above, all trivially-stable and
+# untouched this round. r09 plan: those 8 + the 16 remaining r05-latest
+# (q_except .. q_stream_dedup, less the forward-pulled
+# q_near_dedup_survivors) + 21 HEADLINE = 45, leaving 5 slots for the
+# oldest r06-latest (whose boundary is r10).
 # ===========================================================================
 _DRIVER_WINDOW = [
-    # NEW r07 gates (first driver rows)
-    "q_chunk_documents",
-    "q_domain_cap",
-    "q_embedding_outliers",
-    "q_text_normalize",
+    # NEW r08 gates (first driver rows)
+    "q_funnel",
+    "q_pq_train",
     # bench HEADLINE — full 21-query macro set (kept in sync with
     # bench.HEADLINE)
     "q01_pricing_summary",
@@ -4673,35 +4751,37 @@ _DRIVER_WINDOW = [
     "q_sequence_pack",
     "q_ann_lsh",
     "q_pretrain_pipeline",
-    # stale rotation: latest driver row r04 (all but the deferred
-    # q_intersect / q_md5_sample)
-    "q_descriptor_agg",
-    "q_epoch_shuffle",
-    "q_field_selection",
-    "q_grep",
-    "q_grep_ranked",
-    "q_join_broadcast",
-    "q_join_outer_counts",
-    "q_lang_id_confusion",
-    "q_mapfile_get_closest",
-    "q_matmul_gram",
-    "q_ppl_buckets",
-    "q_quality_score",
-    "q_secondary_sort",
-    "q_sessionization",
-    "q_stream_hourly",
-    "q_stream_join",
-    "q_stream_sessionize",
-    "q_stream_sliding",
-    "q_terasort",
-    "q_text_stats",
-    "q_token_budget_sample",
+    # boundary pair deferred from r07 (latest=r04)
+    "q_intersect",
+    "q_md5_sample",
+    # changed this round, outside the rotation set
+    "q_tfidf_topterms",
     "q_unigram_logprob",
-    "q_uniq_value_count",
-    # changed this round — q20: dual-branch recompute fix (rotated
-    # early); bloom: broadcast memoization (ADVICE)
+    "q_ppl_buckets",
     "q20_potential_promotion",
+    "q_embedding_outliers",
     "q_bloom_decontaminate",
+    "q_boilerplate_ratio",
+    "q_near_dedup_survivors",
+    # stale rotation: r05-latest (TPC-H cohort incl. the changed
+    # q11/q15/q22, + the triple-scan adjudication targets)
+    "q04_order_priority",
+    "q06_forecast_revenue",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q22_global_sales",
+    "q_ann_ivf",
+    "q_dedup_edit_distance",
+    "q_dedup_ngram_jaccard",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -24,6 +24,69 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     return df.repartition(target)
 
 
+# Every frame eager_persist() handed out, strongest-ref'd so
+# release_persisted_frames() can unpersist them deterministically.
+# Spark's CacheManager keys cached data by logical plan and DEDUPES
+# (re-persisting an equivalent plan is a no-op warning, not a second
+# copy), so the storage bound is the number of DISTINCT persisted plans,
+# not the number of query constructions — strictly better than the
+# localCheckpoint pattern this replaces, which materialized fresh
+# executor-local blocks on every construction.
+_PERSISTED: list[DataFrame] = []
+
+
+def eager_persist(df: DataFrame) -> DataFrame:
+    """Materialize a shared intermediate once, keeping RECOMPUTABLE lineage.
+
+    The dual-branch-recompute cure for query plans that read one derived
+    frame from two branches (a scalar-aggregate branch plus the main
+    pass): persist(MEMORY_AND_DISK) + an eager count() materializes the
+    frame into the cache manager, and both plan branches then read the
+    same InMemoryRelation — the single-scan structure the eager
+    ``localCheckpoint`` pattern gave, WITHOUT its cluster-scale
+    availability cost. localCheckpoint truncates lineage onto
+    non-replicated executor-local blocks: on a 1000-executor cluster a
+    single executor loss makes every query holding a view over that
+    checkpoint permanently unrecoverable (no recompute path). A cached
+    frame keeps its lineage — a lost block is recomputed from source,
+    the query gets slower, never wrong or dead. Cache eviction under
+    memory pressure likewise degrades to recompute (MEMORY_AND_DISK
+    spills before evicting), so the single-scan property is a fast-path
+    guarantee and correctness never depends on it.
+
+    Lifetime: entries stay in the cache manager until
+    ``release_persisted_frames()`` (bench/sweep teardown, test
+    fixtures) or session stop. Use for frames that OUTLIVE their
+    constructor inside a returned plan (q11/q15/q20/q22/
+    q_embedding_outliers). Iterative algorithms that re-derive a frame
+    from itself (pq_train's Lloyd loop, connected components) keep
+    eager ``localCheckpoint`` instead: there lineage TRUNCATION is the
+    point (unchecked, the plan doubles per iteration), the blocks are
+    consumed inside the call, and the caller releases them
+    deterministically in a ``finally``.
+    """
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()  # eager: materialize before either consumer branch plans
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted_frames() -> int:
+    """Unpersist every frame ``eager_persist`` handed out (idempotent;
+    double-release of deduped plans is harmless). Returns count."""
+    n = 0
+    for df in _PERSISTED:
+        try:
+            df.unpersist(False)
+            n += 1
+        except Exception:  # session already stopped
+            pass
+    _PERSISTED.clear()
+    return n
+
+
 def release_local_checkpoint(df: DataFrame) -> bool:
     """Free the storage blocks behind an EAGER ``localCheckpoint``-ed
     frame once it is fully consumed.

@@ -37,9 +37,13 @@ from hadoop_gpu_spark.queries import QUERIES, STREAMING_SNAPSHOT
 # assertion must either lose the cartesian or be added HERE with its
 # justification, in review.
 # r07: q_unigram_logprob / q_ppl_buckets LEFT the set — their corpus
-# total now rides the broadcast-hash-joined frequency model (a global
-# window over the |terms|-row frame) instead of a crossJoined scalar, so
-# the nested loop is gone along with the dual-branch recompute.
+# total now rides the frequency model (a global window over the
+# |terms|-row frame) instead of a crossJoined scalar, so the nested loop
+# is gone along with the dual-branch recompute.
+# r08: q_tfidf_topterms LEFT the set — document frequency is now
+# COUNT(*) OVER (PARTITION BY term) on the tf frame and n_docs a
+# construction-time literal, so both the crossJoin and the vocab-sized
+# broadcast are gone (VERDICT r07 #3).
 INTENTIONAL_NESTED_LOOP = {
     "q11_important_stock",     # scalar subquery threshold (broadcast 1-row)
     "q20_potential_promotion", # scalar half-sum threshold (broadcast 1-row)
@@ -48,10 +52,9 @@ INTENTIONAL_NESTED_LOOP = {
     "q_ann_pq",                # broadcast ADC LUT per query vector
     "q_ann_topk",              # brute-force baseline: all-pairs BY DESIGN
     "q_embedding_outliers",    # corpus moment scalar (broadcast 1-row) over
-                               # the checkpointed distance frame
+                               # the cached distance frame
     "q_matmul_gram",           # gram product: all column-pairs by design
     "q_range_join",            # bounded interval join (broadcast ranges)
-    "q_tfidf_topterms",        # broadcast corpus document-frequency stats
 }
 
 # Exchange-count budget per bench HEADLINE query (hash/range/broadcast
@@ -92,24 +95,57 @@ HEADLINE_EXCHANGE_BUDGET = {
 
 # Non-HEADLINE queries whose plan shape is pinned because a scale defect
 # was found and fixed there — the pin keeps the fix from regressing.
-# r07 dual-branch-recompute closures (the r06 audit's remaining trio)
-# and the four r07 gates:
-#  - q20: localCheckpoint on the per-supplier frame — returned plan reads
-#    materialized blocks, 10 -> 2 parquet scans, -30% measured at sf0.01;
-#  - q_unigram_logprob / q_ppl_buckets: corpus total derived on the freq
-#    frame — removes a full tokenize+explode pass, 6 -> 4 scans, -12%;
-#  - gates: chunking/normalize are zero-exchange map-only; domain_cap is
-#    one keyed window exchange; embedding_outliers' one exchange is the
-#    64-row centroid aggregate (the z pass itself is map-only over the
-#    checkpointed frame).
+# r07 pins (gates: chunking/normalize zero-exchange map-only; domain_cap
+# one keyed window exchange; embedding_outliers' one exchange is the
+# 64-row centroid aggregate — the z pass is map-only over the cached
+# frame). r08 pins:
+#  - the dual-branch eager_persist quartet (q11/q15/q20/q22): both plan
+#    branches read one InMemoryRelation. NOTE the count convention for
+#    cached plans: the formatted plan prints the cached subtree's
+#    lineage (its recompute path) including an AQE initial+final pair,
+#    so the pinned number counts the cache-BUILD shuffle twice plus the
+#    tiny post-cache aggregate shuffle — e.g. q15's 3 = 1 real
+#    |suppliers|-row build shuffle (shown x2) + 1 scalar-max mini
+#    shuffle. The pin is still a plan-shape invariant; it just isn't
+#    the executed-shuffle count.
+#  - q_unigram_logprob 3 -> 2 / q_ppl_buckets 4 -> 3 (r08 win): with the
+#    vocab broadcast hint dropped, the suite-scale planner broadcasts
+#    the SMALL side by size stats and the downstream doc_id aggregate
+#    rides the existing partitioning — one fewer exchange; at corpus
+#    scale AQE swaps in a term-keyed shuffle join instead of dying on
+#    the 8 GB broadcast cap.
+#  - q_tfidf_topterms (r08 rewrite): 3 = tf aggregate + term window +
+#    doc_id rank window — ONE tokenize pass, no vocab broadcast, no
+#    scalar branch (was: two tokenize subtrees + crossJoin).
+#  - q_boilerplate_ratio: 2 = gram-frequency aggregate + (unhinted)
+#    stats join staying broadcast at suite scale; doc_id agg rides scan
+#    partitioning.
+#  - r08 gates: q_funnel is exactly ONE entity-keyed exchange for any
+#    step count (the operator's core claim); q_pq_train's driver loop
+#    ran at construction — the returned frame is a local 128-row scan
+#    (per-iteration plans asserted in test_pending_gates).
 EXTRA_EXCHANGE_BUDGET = {
     "q20_potential_promotion": 3,
-    "q_unigram_logprob": 3,
-    "q_ppl_buckets": 4,
+    "q_unigram_logprob": 2,
+    "q_ppl_buckets": 3,
     "q_chunk_documents": 0,
     "q_domain_cap": 1,
     "q_embedding_outliers": 1,
     "q_text_normalize": 0,
+    "q11_important_stock": 3,
+    "q15_top_supplier": 3,
+    "q22_global_sales": 3,
+    "q_tfidf_topterms": 3,
+    "q_boilerplate_ratio": 2,
+    "q_funnel": 1,
+    "q_pq_train": 0,
+    # candidates-only verify rewrites (r08 adjudication): the counts
+    # include the cached LSH-pair and candidate-fetch relations' lineage
+    # (initial+final AQE pairs inside each InMemoryRelation display, per
+    # the convention above); what executes post-cache is the id-union
+    # distinct + the two cache-read joins.
+    "q_dedup_ngram_jaccard": 8,
+    "q_dedup_edit_distance": 8,
 }
 
 
@@ -170,6 +206,70 @@ def test_registry_plan_invariants(spark, sf_dir):
     assert not under_budget, (
         f"stale exchange budget (plan improved — re-pin and note the win): "
         f"{under_budget}"
+    )
+
+
+# Every explicit F.broadcast(...) hint in the registry, by the unparsed
+# source of its argument, with the justification for why its cardinality
+# is BOUNDED (dimension table, scalar/stats aggregate, model frame, or
+# query set). A broadcast hint on a frame whose cardinality grows with
+# the corpus is the one plan choice that turns "slow at 100 TB" into
+# "dead at 100 TB": Spark hard-caps a single broadcast at 8 GB, and a
+# Heaps-law vocabulary / frequent-n-gram set blows through it (VERDICT
+# r07 #4 — q_unigram_logprob's freq and q_boilerplate_ratio's frequent
+# hints were dropped for exactly this; those joins are now AQE's runtime
+# call). Growing this table is a conscious act: a new hint fails the
+# audit until it is added HERE with its boundedness argument, in review.
+ALLOWED_BROADCAST_HINTS = {
+    # --- dimension tables (TPC-H: fixed or slowly-growing cardinality)
+    "nation": "25-row dimension",
+    "region": "5-row dimension",
+    "n1": "nation alias",
+    "n2": "nation alias",
+    "ns": "nation alias (supplier side)",
+    "nc": "nation alias (customer side)",
+    "part": "filtered part dimension",
+    "supplier": "supplier dimension",
+    "bad": "supplier denylist (dimension subset)",
+    # --- 1-row scalar / k-row stats aggregates
+    "tot": "1-row global total (q11)",
+    "mx": "1-row max (q15)",
+    "thr": "1-row threshold (q20)",
+    "avgbal": "1-row mean (q22)",
+    "stats": "1-row corpus moments (q_embedding_outliers)",
+    # --- bounded model / config frames
+    "buckets": "literal histogram bucket ranges (q_range_join)",
+    "spark.createDataFrame(bases, schema='__bucket long, __base long')":
+        "|buckets| prefix-sum bases (q_sequence_pack pass-1 output)",
+}
+
+
+def test_broadcast_hints_are_bounded_cardinality():
+    """No explicit broadcast hint on a corpus-cardinality frame —
+    registry-wide, mechanized (the r08 hint audit)."""
+    import ast
+    import inspect
+    import pathlib
+
+    import hadoop_gpu_spark.queries as qmod
+
+    src = pathlib.Path(inspect.getsourcefile(qmod)).read_text()
+    found = []
+    for node in ast.walk(ast.parse(src)):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "broadcast"
+            and node.args
+        ):
+            found.append(ast.unparse(node.args[0]))
+    unknown = sorted(set(found) - set(ALLOWED_BROADCAST_HINTS))
+    assert not unknown, (
+        f"unreviewed explicit broadcast hint(s) in queries.py: {unknown} — "
+        "prove the frame's cardinality is bounded (dimension/scalar/model) "
+        "and add it to ALLOWED_BROADCAST_HINTS, or drop the hint and let "
+        "AQE choose (corpus-cardinality frames MUST be unhinted: the 8 GB "
+        "broadcast cap kills, not slows, the query at scale)"
     )
 
 

@@ -116,16 +116,32 @@ def test_dedup_pipeline_never_shuffles_text(spark, sf_dir):
         assert "text" not in cols, f"{name} shuffles text: {sorted(cols)}"
 
 
-def test_tfidf_broadcasts_corpus_stats(spark, sf_dir):
-    # The df table and corpus count must broadcast back to the tf rows —
-    # a shuffle join against the tiny stats side would be a scale bug.
-    assert plans.has_broadcast_join(QUERIES["q_tfidf_topterms"](spark, sf_dir))
+def test_tfidf_single_tokenize_pass_no_vocab_broadcast(spark, sf_dir):
+    # r08 contract (VERDICT r07 #3): document frequency is a window over
+    # the tf frame already in flight — ONE tokenize pass in the plan (one
+    # documents scan node), NO join at all (the old broadcast of the
+    # vocabulary-sized dfreq frame replanned the whole tokenize subtree
+    # AND would exceed the 8 GB broadcast cap at open-vocab scale), no
+    # scalar crossJoin branch, and text never enters an exchange.
+    import re
+
+    df = QUERIES["q_tfidf_topterms"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    scan_ids = set(re.findall(r"^\s*\((\d+)\) Scan parquet", plan, re.M))
+    assert len(scan_ids) == 1, f"expected ONE documents scan, got {sorted(scan_ids)}"
+    assert "Join" not in plan, "tfidf should derive df via window, not a join"
+    assert not plans.has_cartesian(df)
+    assert "text" not in plans.shuffled_columns(df)
 
 
-def test_unigram_logprob_broadcasts_freqs_and_never_shuffles_text(spark, sf_dir):
-    # Same contract as tfidf: term frequencies + corpus total broadcast
-    # back to the token rows (shuffle-joining the tiny stats side would be
-    # a scale bug), and the document text never enters an exchange.
+def test_unigram_logprob_join_unhinted_and_never_shuffles_text(spark, sf_dir):
+    # r08 contract (VERDICT r07 #4): the toks⋈freq join carries NO
+    # explicit broadcast hint (the vocab side is corpus-cardinality — a
+    # forced broadcast would die on the 8 GB cap at open-vocab scale;
+    # the hint audit in test_plan_invariants pins the class). At suite
+    # scale the planner still chooses a broadcast join from size stats —
+    # assert that so a surprise shuffle-regression at small scale stays
+    # visible — and the document text never enters an exchange.
     df = QUERIES["q_unigram_logprob"](spark, sf_dir)
     assert plans.has_broadcast_join(df)
     assert "text" not in plans.shuffled_columns(df)
@@ -305,10 +321,16 @@ def test_pipe_pipeline_has_no_rdd_boundary(spark, sf_dir):
 def test_persist_always_paired_with_cleanup():
     # The r03 leak pattern, banned mechanically: any module that calls
     # .persist( must also call .unpersist( (try/finally scoped), and
-    # gate-query code (queries.py) may not hold a bare persist at all —
-    # an intermediate that must outlive its function uses an eager
-    # localCheckpoint instead (lineage cut, blocks reclaimed on GC,
-    # nothing for a caller to forget).
+    # gate-query code (queries.py) may not call .persist or
+    # .localCheckpoint DIRECTLY at all — an intermediate that must
+    # outlive its function uses utils.eager_persist (recomputable
+    # lineage + the release_persisted_frames() teardown path; the
+    # earlier eager-localCheckpoint idiom was retired in r08 because
+    # checkpoint blocks are non-replicated and lineage-free — one lost
+    # executor at cluster scale kills the returned plan). Iterative
+    # operators OUTSIDE queries.py (pq_train's Lloyd loop, connected
+    # components) keep localCheckpoint deliberately: there lineage
+    # truncation is the point and the blocks are released in-call.
     import ast
     import pathlib
 
@@ -327,8 +349,39 @@ def test_persist_always_paired_with_cleanup():
         n_unpersist = calls(src, "unpersist")
         if py.name == "queries.py":
             assert n_persist == 0, f"{py.name}: bare .persist() in gate-query code"
+            assert calls(src, "localCheckpoint") == 0, (
+                f"{py.name}: direct .localCheckpoint() in gate-query code — "
+                "use utils.eager_persist (recomputable lineage) instead"
+            )
         elif n_persist:
             assert n_unpersist > 0, f"{py.name}: .persist() without .unpersist()"
+
+
+def test_eager_persist_materializes_and_releases(spark):
+    # The dual-branch-recompute cure (utils.eager_persist) end-to-end:
+    # the frame is cached with recomputable lineage at construction,
+    # both consumer branches plan InMemoryTableScans over ONE
+    # InMemoryRelation, and release_persisted_frames() (bench/sweep
+    # teardown) returns the storage — the executable form of the
+    # lifetime contract (VERDICT r07 #7 / r07 ADVICE medium).
+    from pyspark.sql import functions as F
+
+    from hadoop_gpu_spark import plans, utils
+
+    base = spark.range(1000).select((F.col("id") % 13).alias("k"))
+    agg = utils.eager_persist(base.groupBy("k").agg(F.count("*").alias("n")))
+    assert agg.storageLevel.useMemory and agg.storageLevel.useDisk
+    # scalar branch + main branch — the q11/q15/q20/q22 shape
+    mx = agg.agg(F.max("n").alias("mx"))
+    both = agg.crossJoin(F.broadcast(mx)).filter(F.col("n") == F.col("mx"))
+    plan = plans.formatted_plan(both)
+    assert "InMemoryTableScan" in plan
+    # lineage stays recomputable: the cached relation's child plan (the
+    # recompute path) is still present under the relation node
+    assert "InMemoryRelation" in plan
+    assert utils.release_persisted_frames() >= 1
+    assert not agg.storageLevel.useMemory and not agg.storageLevel.useDisk
+    assert utils._PERSISTED == []
 
 
 def test_docstring_test_references_exist():
