@@ -48,6 +48,14 @@ from hadoop_gpu_spark.queries import QUERIES
 #   calibrated at sf0.1; at the 10x scale-check dataset GC widens
 #   spreads past 1.5x and the flag fires conservatively (both attempts
 #   agreed within 7% there).
+# - r08 local reference (same machine, contended=false, load 0.025,
+#   measured immediately after a 15-min full-suite run): 12.473s —
+#   better than r07's own local pair (12.649s / 13.331s) and uniformly
+#   ~1.16x the 10.77s official r07 record with no plan-specific
+#   signature (spreads 1.4-1.6 on the movers) — the documented
+#   post-load ambient-jitter band. No HEADLINE plan changed in r08
+#   (exchange budgets pinned both directions, suite green), so compare
+#   official-to-official when BENCH_r08 arrives.
 # - r06 quiet-machine steady state (local, full 21-query set): total
 #   11.70s vs the r04 minima's 12.04s on the same set (0.97x),
 #   contended=false. The two deltas called out in the earlier version of
