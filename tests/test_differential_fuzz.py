@@ -1089,3 +1089,147 @@ def test_not_in_with_nulls_is_not_an_anti_join(spark):
     duck_rows = con.sql("SELECT k FROM l WHERE k NOT IN (SELECT v FROM r)").fetchall()
     con.close()
     assert duck_rows == []  # DuckDB agrees
+
+
+# ---------------------------------------------------------------------------
+# Array/list function parity (r08) — the substrate the dedup kernels and
+# their oracles stand on: token_ngrams is transform+slice+array_join+
+# array_distinct, jaccard is array_intersect/array_union sizes, the
+# embedding kernels are zip_with+aggregate, and every oracle re-spells
+# those as DuckDB list_* functions. This fuzz pins the cross-engine
+# correspondences the oracles rely on (with order-erasing sorts where an
+# engine leaves element order unspecified), and the known-divergence
+# test pins the traps (endpoint conventions, empty-list sums) so an
+# engine upgrade that moves them flips a test instead of an oracle.
+# ---------------------------------------------------------------------------
+_int_arrays = st.lists(
+    st.lists(st.integers(-50, 50), max_size=12), min_size=1, max_size=8
+)
+
+
+def _array_parity_exprs():
+    # (spark expr over columns a, b ; duckdb sql over ?-bound a, b)
+    return {
+        "size_a": (F.size("a").cast("long"), "CAST(len(a) AS BIGINT)"),
+        "distinct_sorted": (
+            F.array_sort(F.array_distinct("a")),
+            "list_sort(list_distinct(a))",
+        ),
+        "intersect_sorted": (
+            F.array_sort(F.array_intersect("a", "b")),
+            "list_sort(list_intersect(a, b))",
+        ),
+        "union_sorted": (
+            F.array_sort(F.array_union("a", "b")),
+            "list_sort(list_distinct(list_concat(a, b)))",
+        ),
+        # Spark slice(a, pos, LENGTH) == DuckDB list_slice(a, pos, pos+len-1)
+        # (inclusive END INDEX) — the exact correspondence the n-gram
+        # oracles use (list_slice(toks, i, i+2) for a 3-gram).
+        "slice_2_len3": (F.slice("a", 2, 3), "list_slice(a, 2, 4)"),
+        # empty-list divergence (Spark '' vs DuckDB NULL) handled by the
+        # oracle-side COALESCE — asserted raw in the divergences test below
+        "join_str": (
+            F.array_join(F.transform("a", lambda x: x.cast("string")), ","),
+            "COALESCE(array_to_string(a, ','), '')",
+        ),
+        # empty-list divergence handled by the oracle-side COALESCE —
+        # asserted raw in the known-divergences test below
+        "fold_sum": (
+            F.aggregate("a", F.lit(0).cast("long"), lambda acc, x: acc + x),
+            "COALESCE(CAST(list_sum(a) AS BIGINT), 0)",
+        ),
+        "filter_pos": (
+            F.filter("a", lambda x: x > 0),
+            "list_filter(a, x -> x > 0)",
+        ),
+        "transform_sq": (
+            F.transform("a", lambda x: x * x),
+            "list_transform(a, x -> x * x)",
+        ),
+        "zip_sum_sorted": (
+            F.zip_with("a", "b", lambda x, y: F.coalesce(x, F.lit(0)) + F.coalesce(y, F.lit(0))),
+            "list_transform(list_zip(a, b), p -> COALESCE(p[1], 0) + COALESCE(p[2], 0))",
+        ),
+    }
+
+
+@given(arrays=_int_arrays)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_array_functions_match_duckdb(spark, arrays):
+    exprs = _array_parity_exprs()
+    rows = [(i, a, a[: len(a) // 2]) for i, a in enumerate(arrays)]
+    df = spark.createDataFrame(rows, "i long, a array<long>, b array<long>")
+    got = (
+        df.select("i", *[e.alias(k) for k, (e, _) in exprs.items()])
+        .toPandas()
+        .set_index("i")
+    )
+    con = duckdb.connect()
+    for i, a, b in rows:
+        for k, (_, dsql) in exprs.items():
+            want = con.sql(
+                f"SELECT {dsql} AS v FROM (SELECT ?::BIGINT[] AS a, ?::BIGINT[] AS b)",
+                params=[a, b],
+            ).fetchone()[0]
+            have = got.loc[i, k]
+            if hasattr(have, "tolist"):
+                have = have.tolist()
+            if hasattr(want, "tolist"):
+                want = want.tolist()
+            assert have == want, (k, a, b, have, want)
+    con.close()
+
+
+def test_known_engine_divergent_array_behaviors(spark):
+    """Executable documentation of the array-function traps the oracles
+    must (and do) spell around; each divergence is asserted itself so an
+    engine upgrade that converges it flips this test:
+
+    - Spark sequence(lo, hi) is END-INCLUSIVE; DuckDB range(lo, hi) is
+      end-EXCLUSIVE (oracle spelling: range(lo, hi + 1) — the n-gram
+      oracles' `range(1, ... + 1)`).
+    - Spark F.aggregate over an EMPTY array returns the initial value;
+      DuckDB list_sum([]) returns NULL (oracle spelling: COALESCE).
+    - Spark array_join([], sep) returns the empty string; DuckDB
+      array_to_string([], sep) returns NULL (oracle spelling: COALESCE
+      to '') — found BY this suite's own fuzz on its first run.
+    - Spark array_distinct preserves FIRST-OCCURRENCE order — compare
+      distinct results order-erased (sorted) unless the oracle
+      reproduces that order; this suite's fuzz sorts both sides.
+    """
+    import duckdb as _dd
+
+    df = spark.createDataFrame([(1,)], "x long")
+    seq = df.select(F.sequence(F.lit(1), F.lit(4)).alias("s")).collect()[0]["s"]
+    assert seq == [1, 2, 3, 4]  # inclusive end
+    con = _dd.connect()
+    rng = con.sql("SELECT range(1, 4) AS r").fetchone()[0]
+    assert list(rng) == [1, 2, 3]  # exclusive end
+    assert len(seq) == len(rng) + 1
+
+    empty_join = df.select(
+        F.array_join(F.array().cast("array<string>"), ",").alias("v")
+    ).collect()[0]["v"]
+    assert empty_join == ""
+    assert (
+        con.sql("SELECT array_to_string([]::BIGINT[], ',') AS v").fetchone()[0] is None
+    )
+
+    empty_fold = df.select(
+        F.aggregate(
+            F.array().cast("array<long>"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("v")
+    ).collect()[0]["v"]
+    assert empty_fold == 0
+    assert con.sql("SELECT list_sum([]::BIGINT[]) AS v").fetchone()[0] is None
+
+    dist = df.select(
+        F.array_distinct(F.array(F.lit(3), F.lit(1), F.lit(3), F.lit(2))).alias("d")
+    ).collect()[0]["d"]
+    assert dist == [3, 1, 2]  # first-occurrence order, not sorted
+    con.close()
