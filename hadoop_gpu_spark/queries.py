@@ -4793,3 +4793,141 @@ QUERIES = {
     n: QUERIES[n]
     for n in [*_DRIVER_WINDOW, *[m for m in QUERIES if m not in set(_DRIVER_WINDOW)]]
 }
+
+
+# ===========================================================================
+# Round-9 candidate gates — STAGED, NOT REGISTERED (deliberately outside
+# QUERIES/ORACLES until r09: the r06 ledger rule "no new pending gates
+# before r09" holds through this round, and the r08 window is exactly
+# full). Same staging pattern as funnel/pq_train in r06-r07: module code
+# + plain query function + oracle constant here, oracle-pinned at both
+# scales by tests/test_r09_candidates.py, registration is a one-line
+# @query move when the r09 window opens. The r09 slot math already
+# reserves ~5 spare slots (see the _DRIVER_WINDOW comment).
+# ===========================================================================
+_QSKETCH_ARGS = dict(lo=0.0, hi=120000.0, n_buckets=4096, scale=100)
+_QSKETCH_QS = [0.25, 0.5, 0.9, 0.99]
+
+
+def _quantile_sketch_oracle() -> str:
+    from hadoop_gpu_spark.operators.quantiles import histogram_quantiles_sql
+
+    return histogram_quantiles_sql(
+        "lineitem", "l_extendedprice", _QSKETCH_QS, ["l_returnflag"], **_QSKETCH_ARGS
+    )
+
+
+Q_QUANTILE_SKETCH_ORACLE = _quantile_sketch_oracle()
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped quantile estimates from the fixed-lattice histogram sketch
+    (r09 candidate gate): one corpus pass, ≤ |groups|·4096 sketch rows
+    ever cross an exchange, estimates within one bucket width ($29.30
+    here) of the exact order statistics — the mergeable, engine-exact
+    alternative to GK/KLL (see operators/quantiles.py for why those
+    cannot feed a value-hash oracle)."""
+    from hadoop_gpu_spark.operators.quantiles import histogram_quantiles
+
+    li = T(spark, sf_dir, "lineitem")
+    return histogram_quantiles(
+        li, "l_extendedprice", _QSKETCH_QS, ["l_returnflag"], **_QSKETCH_ARGS
+    )
+
+
+Q_ASOF_EVENT_STATE_ORACLE = """
+    WITH p AS (SELECT event_id, user_id, ts, value AS purchase_value
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, MAX(value) AS click_value
+               FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+           CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+           c.click_value, p.purchase_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_asof_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join on real event data (r09 candidate gate): each purchase
+    picks up the latest prior-or-simultaneous click per user — the
+    operator surface the r07 fuzz proved against DuckDB's native ASOF
+    JOIN, now as a driver-checkable query. The right side is
+    pre-aggregated to one row per (user, ts) so the as-of pick is
+    deterministic on both engines; times are epoch-micros BIGINTs
+    (the funnel convention, never raw sub-second timestamps)."""
+    from hadoop_gpu_spark.operators.joins import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .withColumn("click_us", F.unix_micros("ts"))
+    )
+    out = asof_join(
+        purchases, clicks, on="ts", by=["user_id"],
+        right_cols=["click_value", "click_us"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        "click_us",
+        "click_value",
+        "purchase_value",
+    )
+
+
+Q_BUCKETED_CTAS_ORACLE = """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
+def q_bucketed_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-write CTAS round-trip (r09 candidate gate): CREATE TABLE
+    ... CLUSTERED BY ... SORTED BY ... INTO 8 BUCKETS AS SELECT through
+    the SQL surface for both join sides, then join the read-back tables
+    and aggregate. At 100 TB this is THE repeated-join strategy — pay
+    the shuffle once at write time (co-bucketed tables SMJ with zero
+    Exchange; pinned by tests/test_r09_candidates.py with broadcast
+    disabled) — and the gate proves the round trip loses no rows and no
+    values. Table names carry the sf tag + pid (repo scratch-path
+    convention, q_stream_topk) so repeated runs overwrite instead of
+    colliding or accumulating."""
+    import os as _os
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
+    specs = [
+        ("orders", f"hgs_ctas_orders_{tag}_{_os.getpid()}", "o_custkey",
+         ["o_orderkey", "o_custkey", "o_totalprice"]),
+        ("customer", f"hgs_ctas_customer_{tag}_{_os.getpid()}", "c_custkey",
+         ["c_custkey", "c_mktsegment"]),
+    ]
+    names = {}
+    for table, name, key, cols in specs:
+        T(spark, sf_dir, table).select(*cols).createOrReplaceTempView(f"__{name}_src")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(
+            f"CREATE TABLE {name} USING parquet CLUSTERED BY ({key}) "
+            f"SORTED BY ({key}) INTO 8 BUCKETS AS SELECT * FROM __{name}_src"
+        )
+        names[table] = name
+    o = spark.table(names["orders"])
+    c = spark.table(names["customer"])
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_total"),
+    )
+
+
+# Enumerated for the r09 registration act (and for tests to iterate).
+R09_CANDIDATES = ["q_quantile_sketch", "q_asof_event_state", "q_bucketed_ctas"]
