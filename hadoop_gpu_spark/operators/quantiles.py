@@ -78,7 +78,12 @@ def hist_counts(
     every value in the same bucket bit-for-bit (Spark HALF_UP round and
     DuckDB round agree for the non-negative lattice; values are clamped
     to the domain BEFORE the floor-division so negative floor semantics
-    never enter). NULLs are dropped (they carry no rank).
+    never enter). NULLs are dropped (they carry no rank), and for
+    floating columns so are NaN/±Inf — under ANSI mode BOTH engines
+    RAISE on the lattice cast otherwise (Spark CAST_OVERFLOW, DuckDB
+    Conversion Error), so non-finite junk in one shard would kill the
+    whole job; dropping mirrors DuckDB's ``isfinite`` guard in the SQL
+    twin and is pinned by test.
 
     Merge contract: ``sketch(A ∪ B) = (sketch(A) ∪ sketch(B))
     .groupBy(group, bucket).sum(cnt)`` — pinned by test.
@@ -92,8 +97,13 @@ def hist_counts(
         f"CAST((GREATEST(LEAST(CAST(ROUND({col} * {scale}) AS BIGINT), "
         f"{hi_units - 1}), {lo_units}) - {lo_units}) DIV {width_units} AS BIGINT)"
     )
+    from pyspark.sql.types import DoubleType, FloatType
+
+    keep = F.col(col).isNotNull()
+    if isinstance(df.schema[col].dataType, (FloatType, DoubleType)):
+        keep = keep & ~F.isnan(col) & (F.abs(F.col(col)) != F.lit(float("inf")))
     return (
-        df.filter(F.col(col).isNotNull())
+        df.filter(keep)
         .groupBy(*group_cols, bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -180,7 +190,7 @@ def histogram_quantiles_sql(
              CAST((GREATEST(LEAST(CAST(ROUND({col} * {scale}) AS BIGINT),
                   {hi_units - 1}), {lo_units}) - {lo_units}) // {width_units} AS BIGINT) AS bucket,
              CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM {table} WHERE {col} IS NOT NULL
+      FROM {table} WHERE {col} IS NOT NULL AND isfinite({col})
       GROUP BY ALL
     ), cum AS (
       SELECT {g_pre} bucket, cnt,

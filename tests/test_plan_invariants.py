@@ -149,13 +149,165 @@ EXTRA_EXCHANGE_BUDGET = {
 }
 
 
+# Parquet-scan-node count per query (the same initial-formatted-plan
+# shape convention as the exchange budgets; cached subtrees print their
+# recompute lineage, so cache-build scans count once per display). This
+# is the DUAL-BRANCH-RECOMPUTE detector, mechanized: the recurring
+# defect class of rounds 6-8 (q11/q15/q20/q22's scalar branches,
+# q_tfidf's tokenize×2, the dedup verify pair) always manifests as a
+# plan whose scan count exceeds the number of semantically distinct
+# passes — and every instance so far was found by a MANUAL scan audit
+# (r07's found q15/q22, the r08 judge found q_tfidf). This pin makes
+# the audit run on every test session: a regression or a new instance
+# fails the suite the day it is written, not at round review.
+#
+# Counts above 1 are all adjudicated (r07/r08): multi-TABLE joins scan
+# each table once (q08's 8 = TPC-H Q8's eight tables; q05's 6); the
+# two-pass shapes are semantically distinct passes over the same table
+# (q04 orders+lineitem; q17's per-part average model + detail pass —
+# partial-agg'd, cheaper in shuffle bytes than the one-scan window
+# form; q_bloom_decontaminate's corpus/probe/verify 3; q_ann_ivf's
+# assignment/probe/centroid 3 with distinct pushed filters; the
+# eager_persist quartet counts its cache-build lineage per the
+# convention above). Growing a count is a conscious act: prove the new
+# scan is a semantically distinct pass (not a recomputed subtree) and
+# re-pin HERE with the justification, in review; a SHRUNK count is a
+# win — re-pin and note it.
+SCAN_BUDGET = {
+    "q_funnel": 1,
+    "q_pq_train": 0,
+    "q01_pricing_summary": 1,
+    "q_wordcount": 1,
+    "q_join_star": 4,
+    "q_value_histogram": 1,
+    "q_total_order_sort": 1,
+    "q_topk": 1,
+    "q_events_hourly": 1,
+    "q_dedup_exact": 1,
+    "q_dedup_minhash": 1,
+    "q_ann_topk": 2,
+    "q_kmeans": 0,
+    "q03_shipping_priority": 3,
+    "q05_local_supplier_volume": 6,
+    "q_dedup_simhash": 1,
+    "q09_product_type_profit": 4,
+    "q13_customer_distribution": 2,
+    "q21_waiting_orders": 3,
+    "q_winnow_fingerprint": 1,
+    "q_sequence_pack": 1,
+    "q_ann_lsh": 2,
+    "q_pretrain_pipeline": 1,
+    "q_intersect": 2,
+    "q_md5_sample": 1,
+    "q_tfidf_topterms": 1,
+    "q_unigram_logprob": 2,
+    "q_ppl_buckets": 3,
+    "q20_potential_promotion": 3,
+    "q_embedding_outliers": 1,
+    "q_bloom_decontaminate": 3,
+    "q_boilerplate_ratio": 2,
+    "q_near_dedup_survivors": 1,
+    "q04_order_priority": 2,
+    "q06_forecast_revenue": 1,
+    "q07_volume_shipping": 6,
+    "q08_market_share": 8,
+    "q10_returned_items": 4,
+    "q11_important_stock": 1,
+    "q12_priority_shipping": 2,
+    "q14_promo_effect": 2,
+    "q15_top_supplier": 2,
+    "q16_parts_supplier_counts": 3,
+    "q17_small_quantity_revenue": 3,
+    "q18_large_orders": 3,
+    "q19_discounted_revenue": 2,
+    "q22_global_sales": 2,
+    "q_ann_ivf": 3,
+    "q_dedup_edit_distance": 2,
+    "q_dedup_ngram_jaccard": 2,
+    "q_grep": 1,
+    "q_join_broadcast": 2,
+    "q_join_override": 2,
+    "q_join_semi": 2,
+    "q_join_anti": 2,
+    "q_join_outer_counts": 2,
+    "q_secondary_sort": 1,
+    "q_field_selection": 1,
+    "q_json_extract": 1,
+    "q_descriptor_agg": 1,
+    "q_uniq_value_count": 1,
+    "q_except": 2,
+    "q_union_distinct": 2,
+    "q_text_stats": 1,
+    "q_lang_id_confusion": 1,
+    "q_quality_score": 1,
+    "q_dedup_minhash_pairs": 1,
+    "q_matmul_gram": 2,
+    "q_asof_join": 2,
+    "q_sessionization": 1,
+    "q_range_join": 1,
+    "q_inverse_map": 1,
+    "q_grep_ranked": 1,
+    "q_pi_estimator": 0,
+    "q_terasort": 0,
+    "q_mapfile_get_closest": 1,
+    "q_kvjob_wordcount": 1,
+    "q_kvjob_wordcount_pandas": 1,
+    "q_rollup": 1,
+    "q_moving_window": 1,
+    "q_join_expr_composite": 3,
+    "q_dedup_simhash_pairs": 1,
+    "q_dedup_embedding": 2,
+    "q_kmeans_grouped": 1,
+    "q_matmul_blocked": 2,
+    "q_scalar_funcs": 1,
+    "q_cube": 1,
+    "q_hybrid_token_stats": 1,
+    "q_pipe_lang_counts": 1,
+    "q_approx_stats": 1,
+    "q_cogroup_join": 2,
+    "q_salted_agg": 1,
+    "q_connected_components": 0,
+    "q02_min_cost_supplier": 3,
+    "q_db_count_pageview": 0,
+    "q_stratified_sample": 1,
+    "q_quality_filter": 1,
+    "q_ngram_freq": 1,
+    "q_multimodal_decode": 1,
+    "q_frame_sample": 1,
+    "q_contamination": 2,
+    "q_salted_join": 2,
+    "q_dedup_fingerprint": 1,
+    "q_mixture_weights": 1,
+    "q_repetition_ratio": 1,
+    "q_token_count_bpe": 1,
+    "q_pipes_native_wordcount": 1,
+    "q_token_budget_sample": 1,
+    "q_epoch_shuffle": 1,
+    "q_audio_decode": 1,
+    "q_media_probe": 1,
+    "q_pii_redact": 1,
+    "q_sq8_quantize": 1,
+    "q_pq_encode": 1,
+    "q_ann_pq": 1,
+    "q_chunk_documents": 1,
+    "q_domain_cap": 1,
+    "q_text_normalize": 1,
+}
+
+
 def _exchange_count(plan: str) -> int:
     return len(re.findall(r"^\s*\(\d+\) Exchange\b", plan, re.M))
 
 
-def _audit(queries, spark, sf_dir, budgets):
-    """Run the three-question audit; return the violation lists."""
+def _scan_count(plan: str) -> int:
+    return len(re.findall(r"^\s*\(\d+\) Scan parquet\b", plan, re.M))
+
+
+def _audit(queries, spark, sf_dir, budgets, scan_budgets=None):
+    """Run the four-question audit; return the violation lists."""
+    scan_budgets = scan_budgets or {}
     row_python, cartesian, over_budget, under_budget = [], [], [], []
+    scan_drift = []
     for name, fn in queries.items():
         if name in STREAMING_SNAPSHOT:
             continue
@@ -173,7 +325,10 @@ def _audit(queries, spark, sf_dir, budgets):
                 over_budget.append((name, got, budget))
             elif got < budget:
                 under_budget.append((name, got, budget))
-    return row_python, cartesian, over_budget, under_budget
+        pinned_scans = scan_budgets.get(name)
+        if pinned_scans is not None and _scan_count(plan) != pinned_scans:
+            scan_drift.append((name, _scan_count(plan), pinned_scans))
+    return row_python, cartesian, over_budget, under_budget, scan_drift
 
 
 def test_registry_plan_invariants(spark, sf_dir):
@@ -187,9 +342,16 @@ def test_registry_plan_invariants(spark, sf_dir):
     assert not (set(EXTRA_EXCHANGE_BUDGET) & set(HEADLINE_EXCHANGE_BUDGET))
     assert STREAMING_SNAPSHOT <= set(QUERIES)
 
+    # scan budget covers the WHOLE non-streaming registry, both ways
+    non_streaming = set(QUERIES) - STREAMING_SNAPSHOT
+    assert set(SCAN_BUDGET) == non_streaming, (
+        f"scan budget out of sync: unpinned={sorted(non_streaming - set(SCAN_BUDGET))}, "
+        f"stale={sorted(set(SCAN_BUDGET) - non_streaming)}"
+    )
+
     budgets = {**HEADLINE_EXCHANGE_BUDGET, **EXTRA_EXCHANGE_BUDGET}
-    row_python, cartesian, over_budget, under_budget = _audit(
-        QUERIES, spark, sf_dir, budgets
+    row_python, cartesian, over_budget, under_budget, scan_drift = _audit(
+        QUERIES, spark, sf_dir, budgets, SCAN_BUDGET
     )
 
     assert not row_python, (
@@ -206,6 +368,12 @@ def test_registry_plan_invariants(spark, sf_dir):
     assert not under_budget, (
         f"stale exchange budget (plan improved — re-pin and note the win): "
         f"{under_budget}"
+    )
+    assert not scan_drift, (
+        f"scan-count drift (name, got, pinned): {scan_drift} — a GROWN count "
+        "is the dual-branch-recompute signature: prove the new scan is a "
+        "semantically distinct pass and re-pin with the justification; a "
+        "shrunk count is a win — re-pin and note it"
     )
 
 
@@ -273,6 +441,67 @@ def test_broadcast_hints_are_bounded_cardinality():
     )
 
 
+# The hint audit above covers queries.py; these are the sanctioned
+# explicit-broadcast sites in the OPERATOR MODULES (same boundedness
+# bar: model frame, query set, LUT, or an operator whose documented
+# contract is caller-declared boundedness). Keyed by (module-relative
+# path, unparsed hint argument). A new site fails until reviewed here.
+ALLOWED_MODULE_BROADCAST_HINTS = {
+    ("operators/joins.py", "small"):
+        "broadcast_join's PURPOSE (DistributedCache parity) — the "
+        "caller declares the side bounded; corpus-scale callers use "
+        "the plain join + AQE",
+    ("similarity/quantize.py", "lut_df"):
+        "ADC lookup table: |queries| x 16 x 8 floats",
+    ("similarity/quantize.py", "bdf"):
+        "pq_train Lloyd codebook: 128 rows per iteration",
+    ("similarity/ann.py", "q"):
+        "ANN query set (brute-force baseline + LSH probe): bounded by "
+        "the caller's n_queries, never corpus-sized",
+    ("similarity/ann.py", "cen_arr"): "IVF centroid table: k rows",
+    ("similarity/ann.py", "cen"): "IVF centroid table: k rows",
+    ("similarity/ann.py", "probe_q"): "IVF probe set: n_queries rows",
+    ("ml/matmul.py", "b"):
+        "gram column-pairs: bounded by matrix width d, not row count",
+}
+
+
+def test_module_broadcast_hints_are_bounded_cardinality():
+    """Package-wide extension of the queries.py hint audit: no operator
+    module may broadcast-hint an unbounded-cardinality frame either —
+    an 8 GB-cap death is the same death when the hint hides in a
+    library function."""
+    import ast
+    import pathlib
+
+    import hadoop_gpu_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    found = set()
+    for py in sorted(root.rglob("*.py")):
+        rel = str(py.relative_to(root))
+        if rel == "queries.py":  # covered by the registry audit above
+            continue
+        for node in ast.walk(ast.parse(py.read_text())):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "broadcast"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id in ("F", "functions")
+                and node.args
+            ):
+                found.add((rel, ast.unparse(node.args[0])))
+    unknown = sorted(found - set(ALLOWED_MODULE_BROADCAST_HINTS))
+    stale = sorted(set(ALLOWED_MODULE_BROADCAST_HINTS) - found)
+    assert not unknown, (
+        f"unreviewed broadcast hint(s) in operator modules: {unknown} — "
+        "prove boundedness and add to ALLOWED_MODULE_BROADCAST_HINTS, or "
+        "drop the hint and let AQE choose"
+    )
+    assert not stale, f"stale module hint allowlist entries: {stale}"
+
+
 def test_streaming_snapshot_set_matches_streaming_callers():
     # The declared exclusion set must equal — in BOTH directions — the
     # registered queries that actually drive a Structured Streaming
@@ -309,7 +538,27 @@ def test_audit_flags_misnamed_stream_query(spark, sf_dir):
         return spark_.range(10).select(bad_udf("id").alias("x"))
 
     assert "q_stream_fake" not in STREAMING_SNAPSHOT
-    row_python, _, _, _ = _audit(
+    row_python, _, _, _, _ = _audit(
         {"q_stream_fake": q_stream_fake}, spark, sf_dir, {}
     )
     assert row_python == ["q_stream_fake"]
+
+
+def test_scan_audit_flags_a_dual_branch_recompute(spark, sf_dir):
+    # Prove the detector detects: a query that joins a frame against an
+    # aggregate OF ITSELF without persisting replans the shared subtree —
+    # the exact q15/q_tfidf disease — and must surface as a scan count
+    # above the single-pass pin.
+    from pyspark.sql import functions as F
+
+    from hadoop_gpu_spark.tables import load_table
+
+    def q_diseased(spark_, sf):
+        li = load_table(spark_, "lineitem", sf).select("l_orderkey", "l_quantity")
+        mx = li.agg(F.max("l_quantity").alias("m"))
+        return li.join(F.broadcast(mx)).filter(F.col("l_quantity") == F.col("m"))
+
+    _, _, _, _, scan_drift = _audit(
+        {"q_diseased": q_diseased}, spark, sf_dir, {}, {"q_diseased": 1}
+    )
+    assert scan_drift == [("q_diseased", 2, 1)]

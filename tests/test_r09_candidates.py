@@ -150,6 +150,7 @@ def test_hist_bucket_lattice_engine_parity_on_edges(spark):
         119999.99, 120000.0, 250000.0,       # top edge + overflow clamp
         58.59, 58.60, 58.605,                # second boundary
         None,
+        float("nan"), float("inf"), float("-inf"),  # dropped, not raised
     ]
     rows = [(i, v) for i, v in enumerate(vals)]
     df = spark.createDataFrame(rows, "i long, x double")
@@ -165,13 +166,18 @@ def test_hist_bucket_lattice_engine_parity_on_edges(spark):
         """
         SELECT CAST((GREATEST(LEAST(CAST(ROUND(x * 100) AS BIGINT), 11999999), 0) - 0)
                // 2930 AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
-        FROM t WHERE x IS NOT NULL GROUP BY 1 ORDER BY 1
+        FROM t WHERE x IS NOT NULL AND isfinite(x) GROUP BY 1 ORDER BY 1
         """
     ).df()
     con.close()
     assert got.values.tolist() == want.values.tolist()
-    # NULL dropped on both sides
-    assert int(got["cnt"].sum()) == len([v for v in vals if v is not None])
+    # NULL and non-finite dropped on both sides (under ANSI mode both
+    # engines would otherwise RAISE on the lattice cast — one NaN in one
+    # shard must not kill a 100 TB job)
+    import math
+
+    finite = [v for v in vals if v is not None and math.isfinite(v)]
+    assert int(got["cnt"].sum()) == len(finite)
 
 
 def test_hist_sketch_plan_single_scan_partial_agg(spark, sf_dir):
@@ -191,6 +197,81 @@ def test_hist_sketch_plan_single_scan_partial_agg(spark, sf_dir):
     assert len(scans) == 1, plan
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2  # partial+final
     assert "l_extendedprice" not in plans.shuffled_columns(df)
+
+
+def test_hist_lattice_parity_fuzz(spark):
+    # Property form of the edge test: for random values and random
+    # lattice parameters, Spark and DuckDB must produce the identical
+    # (bucket, cnt) sketch AND the identical quantile estimates.
+    import duckdb
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from hadoop_gpu_spark.operators.quantiles import (
+        histogram_quantiles,
+        histogram_quantiles_sql,
+    )
+
+    @given(
+        xs=st.lists(
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=1, max_size=40,
+        ),
+        n_buckets=st.integers(2, 64),
+        scale=st.sampled_from([1, 10, 100, 1000]),
+    )
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(xs, n_buckets, scale):
+        lo, hi = 0.0, 1e6
+        qs = [0.1, 0.5, 0.99, 1.0]
+        df = spark.createDataFrame([(x,) for x in xs], "x double")
+        got = (
+            histogram_quantiles(df, "x", qs, None, lo, hi, n_buckets, scale)
+            .toPandas()
+            .sort_values("q")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"x": xs}))
+        want = (
+            con.sql(
+                histogram_quantiles_sql("t", "x", qs, None, lo, hi, n_buckets, scale)
+            )
+            .df()
+            .sort_values("q")
+            .reset_index(drop=True)
+        )
+        con.close()
+        assert got.values.tolist() == want.values.tolist(), (xs, n_buckets, scale)
+        # and the documented error bound holds over random data, not
+        # just the curated corpus — for in-domain values, the exact
+        # order statistic at rank ceil(q*n) lies within (est - width, est]
+        if all(lo <= x < hi for x in xs):
+            import math
+
+            from hadoop_gpu_spark.operators.quantiles import _lattice_params
+
+            _, _, width_units = _lattice_params(lo, hi, n_buckets, scale)
+            width = width_units / scale
+            srt = sorted(xs)
+            for _, row in got.iterrows():
+                stat = srt[math.ceil(row["q"] * len(srt)) - 1]
+                # half a lattice unit of slack: the order statistic is a
+                # RAW value, the bucket holds its ROUNDED lattice image
+                slack = 0.5 / scale + 1e-9
+                assert row["est"] - width - slack <= stat <= row["est"] + slack, (
+                    xs, n_buckets, scale, row["q"], row["est"], stat,
+                )
+
+    check()
 
 
 def test_hist_quantiles_rejects_bad_domain():
