@@ -4930,4 +4930,53 @@ def q_bucketed_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Enumerated for the r09 registration act (and for tests to iterate).
-R09_CANDIDATES = ["q_quantile_sketch", "q_asof_event_state", "q_bucketed_ctas"]
+R09_CANDIDATES = [
+    "q_quantile_sketch",
+    "q_asof_event_state",
+    "q_bucketed_ctas",
+    # streaming form of the sketch (defined below) — register as r09
+    # slots allow; the r06-latest boundary pressure decides whether it
+    # defers to r10 (ARCHITECTURE.md round-9 queue #3 slot math)
+    "q_stream_quantiles",
+]
+
+
+_STREAM_Q_ARGS = dict(lo=0.0, hi=1000.0, n_buckets=512, scale=100)
+_STREAM_Q_QS = [0.25, 0.5, 0.9, 0.99]
+
+
+def _stream_quantiles_oracle() -> str:
+    from hadoop_gpu_spark.operators.quantiles import histogram_quantiles_sql
+
+    return histogram_quantiles_sql(
+        "events", "value", _STREAM_Q_QS, ["event_type"], **_STREAM_Q_ARGS
+    )
+
+
+Q_STREAM_QUANTILES_ORACLE = _stream_quantiles_oracle()
+
+
+def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-type value quantiles via the fixed-lattice sketch
+    (r09/r10 candidate gate): the sketch's count-sum merge makes the
+    streaming state a FIXED |types|·512 rows regardless of stream volume
+    — after an availableNow drain the snapshot equals the batch sketch
+    bit-for-bit, so this gate shares the batch operator's exact SQL
+    oracle (no tolerance bands for a streaming float statistic). On
+    registration this name must ALSO join queries.STREAMING_SNAPSHOT
+    (it drives a Structured Streaming pipeline at construction, so its
+    batch plan is a snapshot read)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from hadoop_gpu_spark.operators.quantiles import hist_quantiles
+    from hadoop_gpu_spark.streaming import events_stream, hist_sketch_stream_snapshot
+
+    out_dir = _os.path.join(
+        _tempfile.gettempdir(), f"hgs_stream_quantiles_{_os.getpid()}"
+    )
+    snap = hist_sketch_stream_snapshot(
+        events_stream(spark, sf_dir), "value", out_dir,
+        group_cols=["event_type"], **_STREAM_Q_ARGS,
+    )
+    return hist_quantiles(snap, _STREAM_Q_QS, ["event_type"], **_STREAM_Q_ARGS)

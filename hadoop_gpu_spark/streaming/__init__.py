@@ -329,3 +329,48 @@ def topk_per_window_snapshot(
     )
     q.awaitTermination()
     return agg_stream.sparkSession.read.parquet(out_dir)
+
+
+def hist_sketch_stream_snapshot(
+    stream: DataFrame,
+    col: str,
+    out_dir: str,
+    group_cols: list[str] | None = None,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_buckets: int = 512,
+    scale: int = 100,
+) -> DataFrame:
+    """Streaming fixed-lattice histogram sketch (operators.quantiles) via
+    the foreachBatch snapshot-sink pattern.
+
+    The sketch's merge IS count-sum, so a streaming groupBy over the
+    bucket expression maintains it incrementally with state bounded by
+    ``|groups| * n_buckets`` rows — a FIXED size regardless of stream
+    volume or uptime, which is the streaming-state story the sketch was
+    designed for (no watermark needed: the state cannot grow). Complete
+    mode + idempotent overwrite snapshot (the topk_per_window_snapshot
+    shape); after an availableNow drain the snapshot EQUALS the batch
+    sketch of the same data bit-for-bit (mergeability, pinned by test),
+    so a resolved-quantiles gate shares its oracle with the batch
+    operator: histogram_quantiles_sql over the batch table.
+
+    Returns the drained snapshot read back as a batch frame
+    ``(group..., bucket, cnt)`` — feed it to
+    operators.quantiles.hist_quantiles to resolve quantiles.
+    """
+    from hadoop_gpu_spark.operators.quantiles import hist_counts
+
+    agg = hist_counts(stream, col, group_cols, lo, hi, n_buckets, scale)
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream.sparkSession.read.parquet(out_dir)

@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 
 from tests.oracle import compare_frames, duckdb_con
 
-CANDIDATES = ["q_quantile_sketch", "q_asof_event_state", "q_bucketed_ctas"]
+CANDIDATES = [
+    "q_quantile_sketch",
+    "q_asof_event_state",
+    "q_bucketed_ctas",
+    "q_stream_quantiles",
+]
 
 
 def test_candidate_list_matches_registry_constant():
@@ -318,6 +323,55 @@ def test_asof_gate_equal_timestamp_matches(spark):
     )
     row = asof_join(left, right, on="ts", by=["user_id"], right_cols=["v"]).collect()[0]
     assert row["v"] == 42.0
+
+
+# ---------------------------------------------------------------------------
+# Streaming quantile sketch.
+# ---------------------------------------------------------------------------
+def test_stream_sketch_snapshot_equals_batch_sketch(spark, sf_dir):
+    # Mergeability, end to end: the availableNow-drained streaming
+    # snapshot must equal the batch sketch of the same data bit-for-bit
+    # (count-sum merge is exact, so micro-batch increments converge to
+    # the batch answer — the property the shared oracle stands on).
+    import os
+    import tempfile
+
+    from hadoop_gpu_spark.operators.quantiles import hist_counts
+    from hadoop_gpu_spark.streaming import events_stream, hist_sketch_stream_snapshot
+    from hadoop_gpu_spark.tables import load_table
+
+    args = dict(lo=0.0, hi=1000.0, n_buckets=512, scale=100)
+    out_dir = os.path.join(tempfile.gettempdir(), f"hgs_test_sq_{os.getpid()}")
+    snap = hist_sketch_stream_snapshot(
+        events_stream(spark, sf_dir), "value", out_dir,
+        group_cols=["event_type"], **args,
+    ).toPandas()
+    batch = hist_counts(
+        load_table(spark, "events", sf_dir), "value", ["event_type"], **args
+    ).toPandas()
+    key = ["event_type", "bucket", "cnt"]
+    assert sorted(map(tuple, snap[key].values.tolist())) == sorted(
+        map(tuple, batch[key].values.tolist())
+    )
+
+
+def test_stream_sketch_state_is_bounded(spark, sf_dir):
+    # The streaming-state story: the snapshot (= the state the complete-
+    # mode aggregate carries) is capped at |groups| * n_buckets rows by
+    # construction, independent of stream volume.
+    import os
+    import tempfile
+
+    from hadoop_gpu_spark.streaming import events_stream, hist_sketch_stream_snapshot
+
+    out_dir = os.path.join(tempfile.gettempdir(), f"hgs_test_sqb_{os.getpid()}")
+    snap = hist_sketch_stream_snapshot(
+        events_stream(spark, sf_dir), "value", out_dir,
+        group_cols=["event_type"], lo=0.0, hi=1000.0, n_buckets=16, scale=100,
+    ).toPandas()
+    n_types = snap["event_type"].nunique()
+    assert len(snap) <= n_types * 16
+    assert (snap["bucket"] < 16).all() and (snap["bucket"] >= 0).all()
 
 
 # ---------------------------------------------------------------------------
