@@ -79,11 +79,13 @@ def hist_counts(
     DuckDB round agree for the non-negative lattice; values are clamped
     to the domain BEFORE the floor-division so negative floor semantics
     never enter). NULLs are dropped (they carry no rank), and for
-    floating columns so are NaN/±Inf — under ANSI mode BOTH engines
-    RAISE on the lattice cast otherwise (Spark CAST_OVERFLOW, DuckDB
-    Conversion Error), so non-finite junk in one shard would kill the
-    whole job; dropping mirrors DuckDB's ``isfinite`` guard in the SQL
-    twin and is pinned by test.
+    floating columns so are NaN/±Inf — they carry no usable rank and
+    the engines disagree on NaN ordering inside GREATEST/LEAST; dropping
+    mirrors DuckDB's ``isfinite`` guard in the SQL twin and is pinned by
+    test. Finite-but-huge values (beyond ±2^63 lattice units) CLAMP into
+    the edge buckets: the domain clamp runs in DOUBLE space before any
+    BIGINT cast, so no finite input can raise CAST_OVERFLOW / a DuckDB
+    ConversionException (pinned by the 1e300 edge test).
 
     Merge contract: ``sketch(A ∪ B) = (sketch(A) ∪ sketch(B))
     .groupBy(group, bucket).sum(cnt)`` — pinned by test.
@@ -92,10 +94,17 @@ def hist_counts(
     lo_units, hi_units, width_units = _lattice_params(lo, hi, n_buckets, scale)
     # integer DIV, not cast-of-true-division (which rounds toward zero and
     # diverges from floor for negatives); operands are clamped into the
-    # domain BEFORE the division so the quotient is always non-negative
+    # domain BEFORE the division so the quotient is always non-negative.
+    # The clamp runs in DOUBLE space BEFORE the BIGINT cast: a finite but
+    # huge value (1e300) would otherwise raise CAST_OVERFLOW under ANSI
+    # mode (and a ConversionException in the DuckDB twin) — one junk value
+    # in one shard killing a 100 TB job, the exact hole the NaN/Inf guard
+    # closes for non-finite floats. The clamped bounds are lattice units
+    # (far below 2^53), so the double→BIGINT cast is exact.
     bucket = F.expr(
-        f"CAST((GREATEST(LEAST(CAST(ROUND({col} * {scale}) AS BIGINT), "
-        f"{hi_units - 1}), {lo_units}) - {lo_units}) DIV {width_units} AS BIGINT)"
+        f"CAST((CAST(GREATEST(LEAST(ROUND({col} * {scale}), "
+        f"CAST({hi_units - 1} AS DOUBLE)), CAST({lo_units} AS DOUBLE)) AS BIGINT)"
+        f" - {lo_units}) DIV {width_units} AS BIGINT)"
     )
     from pyspark.sql.types import DoubleType, FloatType
 
@@ -187,8 +196,9 @@ def histogram_quantiles_sql(
     return f"""
     WITH counts AS (
       SELECT {g_pre}
-             CAST((GREATEST(LEAST(CAST(ROUND({col} * {scale}) AS BIGINT),
-                  {hi_units - 1}), {lo_units}) - {lo_units}) // {width_units} AS BIGINT) AS bucket,
+             CAST((CAST(GREATEST(LEAST(ROUND({col} * {scale}),
+                  CAST({hi_units - 1} AS DOUBLE)), CAST({lo_units} AS DOUBLE)) AS BIGINT)
+                  - {lo_units}) // {width_units} AS BIGINT) AS bucket,
              CAST(COUNT(*) AS BIGINT) AS cnt
       FROM {table} WHERE {col} IS NOT NULL AND isfinite({col})
       GROUP BY ALL

@@ -634,6 +634,96 @@ def test_funnel_survives_small_arrow_batches_and_repartitioning(spark, sf_dir):
     assert canon(base) == canon(tiny)
 
 
+def test_funnel_skew_pathological_entity(spark):
+    # VERDICT r08 next-round #3: prove the memory contract under skew —
+    # ONE entity owning ~a partition's worth of events. Hash partitioning
+    # cannot split an entity, so under skew the per-task peak is
+    # max(largest entity's rows, rows/partitions) — the docstring's
+    # "per-task memory is the partition's event rows" bound with the
+    # skewed entity as its floor. This fixture makes one user hold 300k
+    # events (1000x every other user, >> corpus/n_partitions) and pins:
+    # (a) the operator completes and resolves the mega user EXACTLY
+    # (first-completion times known by construction), (b) every normal
+    # user still resolves, (c) the layout fact itself — the mega user's
+    # partition carries >= its 300k rows while the median partition is
+    # tiny, so the test fails if a future rewrite silently starts
+    # splitting entities (correctness) or replicating the corpus
+    # (memory).
+    from pyspark.sql import functions as F
+
+    from hadoop_gpu_spark.operators.funnel import funnel
+
+    n_mega = 100_000  # x3 event types = 300k events for user 0
+    mega = (
+        spark.range(n_mega)
+        .select(
+            F.lit(0).alias("user_id"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        (F.lit(1_000_000) + F.col("id") * 3).alias("sec"),
+                        F.lit("view").alias("event_type"),
+                    ),
+                    F.struct(
+                        (F.lit(1_000_001) + F.col("id") * 3).alias("sec"),
+                        F.lit("click").alias("event_type"),
+                    ),
+                    F.struct(
+                        (F.lit(1_000_002) + F.col("id") * 3).alias("sec"),
+                        F.lit("purchase").alias("event_type"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("user_id", "e.sec", "e.event_type")
+    )
+    normal = (
+        spark.range(1, 201)
+        .select(
+            F.col("id").alias("user_id"),
+            F.explode(
+                F.array(
+                    F.struct((F.lit(500) + F.col("id")).alias("sec"), F.lit("view").alias("event_type")),
+                    F.struct((F.lit(700) + F.col("id")).alias("sec"), F.lit("click").alias("event_type")),
+                    F.struct((F.lit(900) + F.col("id")).alias("sec"), F.lit("purchase").alias("event_type")),
+                )
+            ).alias("e"),
+        )
+        .select("user_id", "e.sec", "e.event_type")
+    )
+    ev = mega.unionByName(normal).withColumn(
+        "ts", F.timestamp_seconds(F.col("sec"))
+    ).drop("sec")
+
+    out = funnel(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"],
+        n_partitions=8,
+    ).toPandas()
+    assert len(out) == 201  # every user performed step 0
+    m = out[out.user_id == 0].iloc[0]
+    # first view at sec 1_000_000; first click strictly after it is
+    # 1_000_001; first purchase strictly after that is 1_000_002
+    assert (m.t_view, m.t_click, m.t_purchase) == (
+        1_000_000 * 10**6, 1_000_001 * 10**6, 1_000_002 * 10**6
+    )
+    assert m.steps_completed == 3
+    rest = out[out.user_id != 0]
+    assert (rest.steps_completed == 3).all()
+    assert (rest.t_view == (500 + rest.user_id) * 10**6).all()
+
+    # the layout fact: the entity is unsplittable, so its partition
+    # carries all 300k of its rows; the median partition is ~3-row users
+    sizes = (
+        ev.repartition(8, F.col("user_id"))
+        .select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .toPandas()["count"]
+    )
+    assert sizes.max() >= 3 * n_mega
+    assert sizes.median() < 3 * n_mega / 100
+
+
 # ---------------------------------------------------------------------------
 # r08 pending gate: q_pq_train (integer-lattice k-means codebook training).
 # ---------------------------------------------------------------------------

@@ -114,6 +114,14 @@ HEADLINE_EXCHANGE_BUDGET = {
 #    rides the existing partitioning — one fewer exchange; at corpus
 #    scale AQE swaps in a term-keyed shuffle join instead of dying on
 #    the 8 GB broadcast cap.
+#  - q_unigram_logprob 2 -> 3 / q_ppl_buckets 3 -> 4 (r09, display-only:
+#    VERDICT r08 #1 fix): freq is now eager_persist + a construction-
+#    time scalar total, killing the |vocab|-row single-partition global
+#    window (the last unbounded-cardinality single-task pass). The +1 is
+#    the cached model's build shuffle printing twice (AQE initial+final
+#    pair inside the InMemoryRelation display, the q15 convention);
+#    executed post-cache work went DOWN — no window sort, same one
+#    probe-side scan, one doc_id aggregate exchange.
 #  - q_tfidf_topterms (r08 rewrite): 3 = tf aggregate + term window +
 #    doc_id rank window — ONE tokenize pass, no vocab broadcast, no
 #    scalar branch (was: two tokenize subtrees + crossJoin).
@@ -126,8 +134,8 @@ HEADLINE_EXCHANGE_BUDGET = {
 #    (per-iteration plans asserted in test_pending_gates).
 EXTRA_EXCHANGE_BUDGET = {
     "q20_potential_promotion": 3,
-    "q_unigram_logprob": 2,
-    "q_ppl_buckets": 3,
+    "q_unigram_logprob": 3,
+    "q_ppl_buckets": 4,
     "q_chunk_documents": 0,
     "q_domain_cap": 1,
     "q_embedding_outliers": 1,
@@ -146,6 +154,15 @@ EXTRA_EXCHANGE_BUDGET = {
     # distinct + the two cache-read joins.
     "q_dedup_ngram_jaccard": 8,
     "q_dedup_edit_distance": 8,
+    # r09 gates: the sketch is partial-agg + final-agg on (group, bucket)
+    # rows plus the ≤|groups|·n_buckets quantile resolve; the as-of gate
+    # is two filter-pushed event passes meeting in one keyed window join;
+    # the CTAS read-back join is co-bucketed (the write shuffles happened
+    # at CREATE time, outside this plan) — the 1 is the final mktsegment
+    # aggregate.
+    "q_quantile_sketch": 2,
+    "q_asof_event_state": 2,
+    "q_bucketed_ctas": 1,
 }
 
 
@@ -292,6 +309,14 @@ SCAN_BUDGET = {
     "q_chunk_documents": 1,
     "q_domain_cap": 1,
     "q_text_normalize": 1,
+    # r09 gates: the sketch's one-corpus-pass claim IS this pin; the
+    # as-of gate's 2 = two semantically distinct filter-pushed
+    # event_type passes (purchase probe + click state, r08 staging
+    # note); the CTAS 2 = the two read-back bucketed tables (the source
+    # scans ran at CREATE time, outside the returned plan).
+    "q_quantile_sketch": 1,
+    "q_asof_event_state": 2,
+    "q_bucketed_ctas": 2,
 }
 
 
@@ -500,6 +525,86 @@ def test_module_broadcast_hints_are_bounded_cardinality():
         "drop the hint and let AQE choose"
     )
     assert not stale, f"stale module hint allowlist entries: {stale}"
+
+
+# Every GLOBAL window frame (Window.partitionBy() with no keys, or with
+# only literal keys — both plan a single-task pass over the whole input
+# frame) in the package, keyed by (module-relative path, enclosing
+# function), with the argument for why the frame's cardinality is
+# BOUNDED. This is the last member of the unbounded-cardinality family
+# to get a detector (r09; VERDICT r08 what's-wrong #1): a broadcast
+# hint on a corpus frame dies on the 8 GB cap, and a global window over
+# a corpus-growing frame funnels it through ONE task — a straggler or
+# OOM at open-vocab scale. The _unigram_nll |vocab|-row global window
+# was exactly this; it is now an eager_persist + scalar re-aggregate.
+# A new global-window site fails until reviewed here.
+ALLOWED_GLOBAL_WINDOWS = {
+    ("queries.py", "q_mixture_weights"):
+        "|langs|-row mixture aggregate — bounded by the language set, "
+        "not the corpus (the r06 dual-branch fix)",
+    ("queries.py", "q_pretrain_pipeline"):
+        "|langs|-row mixture-stats aggregate — same bound (r06 fix)",
+}
+
+
+def test_global_windows_are_bounded_cardinality():
+    """No single-task global window over a corpus-cardinality frame —
+    package-wide, mechanized (the r09 audit, completing the
+    unbounded-cardinality detector family beside the hint audits)."""
+    import ast
+    import pathlib
+
+    import hadoop_gpu_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    found = set()
+    for py in sorted(root.rglob("*.py")):
+        rel = str(py.relative_to(root))
+
+        class V(ast.NodeVisitor):
+            def __init__(self):
+                self.stack = []
+
+            def visit_FunctionDef(self, n):
+                self.stack.append(n.name)
+                self.generic_visit(n)
+                self.stack.pop()
+
+            visit_AsyncFunctionDef = visit_FunctionDef
+
+            def visit_Call(self, n):
+                f = n.func
+                if (
+                    isinstance(f, ast.Attribute)
+                    and f.attr == "partitionBy"
+                    and isinstance(f.value, ast.Name)
+                    and f.value.id in ("Window", "W")
+                ):
+                    args = n.args
+                    is_global = (not args and not n.keywords) or (
+                        args
+                        and all(
+                            isinstance(a, ast.Call)
+                            and isinstance(a.func, ast.Attribute)
+                            and a.func.attr == "lit"
+                            for a in args
+                        )
+                    )
+                    if is_global:
+                        found.add((rel, self.stack[-1] if self.stack else "<module>"))
+                self.generic_visit(n)
+
+        V().visit(ast.parse(py.read_text()))
+    unknown = sorted(found - set(ALLOWED_GLOBAL_WINDOWS))
+    stale = sorted(set(ALLOWED_GLOBAL_WINDOWS) - found)
+    assert not unknown, (
+        f"unreviewed GLOBAL window frame(s): {unknown} — a partitionBy() "
+        "with no (or literal-only) keys runs the whole frame through ONE "
+        "task; prove the frame is bounded (model/stats aggregate) and add "
+        "it to ALLOWED_GLOBAL_WINDOWS, or restructure (eager_persist + "
+        "scalar re-aggregate — the _unigram_nll r09 fix)"
+    )
+    assert not stale, f"stale global-window allowlist entries: {stale}"
 
 
 def test_streaming_snapshot_set_matches_streaming_callers():

@@ -1,13 +1,14 @@
-"""r09 candidate gates, oracle-pinned while STAGED (outside QUERIES until
-the r09 window opens — the r06 ledger rule bans new pending gates before
-r09 and the r08 window is exactly full). Same staging pattern that carried
-funnel/pq_train from r06 to their r08 registration: the driver-identical
-oracle comparison runs here every session, so the r09 registration act is
-a one-line @query move with the evidence already standing.
+"""r09 gate cohort: the quantile-sketch / as-of / bucketed-CTAS trio
+REGISTERED in r09 (first driver rows that round) plus the still-staged
+q_stream_quantiles (r10 registration — the r09 spare slots went to the
+_unigram_nll changed pair). The driver-identical oracle comparison keeps
+running here for ALL FOUR every session: for the registered trio it is
+the same-session re-proof beside their driver rows; for the staged one
+it is the staging evidence (the funnel/pq_train pattern).
 
 Covers: the fixed-lattice histogram quantile sketch (operators/
-quantiles.py), the as-of-join gate on real events, and the bucketed-write
-CTAS round trip.
+quantiles.py, batch + streaming forms), the as-of-join gate on real
+events, and the bucketed-write CTAS round trip.
 """
 
 from __future__ import annotations
@@ -23,15 +24,21 @@ CANDIDATES = [
     "q_bucketed_ctas",
     "q_stream_quantiles",
 ]
+STAGED = ["q_stream_quantiles"]
 
 
 def test_candidate_list_matches_registry_constant():
     from hadoop_gpu_spark import queries as q
 
-    assert q.R09_CANDIDATES == CANDIDATES
-    # staged means staged: none of them is registered yet
-    assert not set(CANDIDATES) & set(q.QUERIES)
-    assert not set(CANDIDATES) & set(q.ORACLES)
+    assert q.STAGED_CANDIDATES == STAGED
+    # staged means staged: not registered until its window slot opens...
+    assert not set(STAGED) & set(q.QUERIES)
+    assert not set(STAGED) & set(q.ORACLES)
+    # ...and the r09 trio IS registered, inside the driver window, with
+    # its oracles bound
+    trio = [n for n in CANDIDATES if n not in STAGED]
+    assert set(trio) <= set(q.QUERIES) and set(trio) <= set(q.ORACLES)
+    assert set(trio) <= set(q._DRIVER_WINDOW)
 
 
 @pytest.mark.parametrize("name", CANDIDATES)
@@ -154,6 +161,10 @@ def test_hist_bucket_lattice_engine_parity_on_edges(spark):
         -5.0, -0.005,                        # underflow clamps to bucket 0
         119999.99, 120000.0, 250000.0,       # top edge + overflow clamp
         58.59, 58.60, 58.605,                # second boundary
+        9.3e18, 1e300, -1e300,               # beyond ±2^63 lattice units —
+        # CLAMP to the edge buckets; before the double-space clamp fix
+        # these raised CAST_OVERFLOW (Spark ANSI) / ConversionException
+        # (DuckDB) — the one-junk-value-kills-the-100TB-job hole
         None,
         float("nan"), float("inf"), float("-inf"),  # dropped, not raised
     ]
@@ -169,16 +180,17 @@ def test_hist_bucket_lattice_engine_parity_on_edges(spark):
     con.register("t", pd.DataFrame(rows, columns=["i", "x"]))
     want = con.sql(
         """
-        SELECT CAST((GREATEST(LEAST(CAST(ROUND(x * 100) AS BIGINT), 11999999), 0) - 0)
+        SELECT CAST((CAST(GREATEST(LEAST(ROUND(x * 100), CAST(11999999 AS DOUBLE)),
+               CAST(0 AS DOUBLE)) AS BIGINT) - 0)
                // 2930 AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM t WHERE x IS NOT NULL AND isfinite(x) GROUP BY 1 ORDER BY 1
         """
     ).df()
     con.close()
     assert got.values.tolist() == want.values.tolist()
-    # NULL and non-finite dropped on both sides (under ANSI mode both
-    # engines would otherwise RAISE on the lattice cast — one NaN in one
-    # shard must not kill a 100 TB job)
+    # NULL and non-finite dropped on both sides (NaN ordering inside
+    # GREATEST/LEAST is engine-divergent; finite-but-huge values CLAMP
+    # instead — the double-space clamp means no finite input can raise)
     import math
 
     finite = [v for v in vals if v is not None and math.isfinite(v)]
@@ -382,8 +394,8 @@ def _ctas_table_names(sf_dir):
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     return (
-        f"hgs_ctas_orders_{tag}_{os.getpid()}",
-        f"hgs_ctas_customer_{tag}_{os.getpid()}",
+        f"hgs_ctas_orders_{tag}",
+        f"hgs_ctas_customer_{tag}",
     )
 
 
