@@ -1,0 +1,126 @@
+"""SemDeDup-style semantic deduplication over an embedding column.
+
+The missing member of the dedup family beside exact / MinHash-LSH /
+SimHash / n-gram-Jaccard / embedding-pair (label-blocked): UNSUPERVISED
+near-dup pruning — cluster the corpus by nearest centroid, then inside
+each cluster drop every vector that has an earlier (smaller-id)
+neighbor above the cosine threshold. Keep-first greedy semantics
+(deterministic, SQL-expressible); the published SemDeDup recipe
+(Abbas et al. 2023, arXiv:2303.09540) differs only in which ε-ball
+representative it keeps.
+
+100 TB shape:
+- centroids are the first n_centroids vectors by id (the repo's IVF
+  convention — deterministic, no training pass); they broadcast
+  (bounded: n_centroids rows) and assignment is one narrow map over
+  the corpus.
+- the pairwise stage is CLUSTER-BUCKETED: vectors shuffle ONCE by
+  cluster id, and both sides of the pair self-join read that same
+  hash-partitioned assignment — pairs are bounded per cluster
+  (~(N/k)² each), never corpus × corpus. Size n_centroids so N/k
+  fits a task (the same knob IVF's nlist is).
+- the assignment frame is eager_persist'd: the self-join's two
+  branches would otherwise each recompute the full corpus × centroid
+  cosine pass (the dual-branch-recompute class, rounds 6-8); both
+  branches read one InMemoryRelation, lineage intact (executor loss
+  degrades to recompute — utils.eager_persist contract).
+
+Determinism: cosine is the functions.vectors left-fold double spelling
+(bit-equal to DuckDB's list_dot_product over DOUBLE[] — the
+q_dedup_embedding parity anchor); assignment ties break by centroid id,
+and the keep-first rule depends only on ids and exact cosine
+comparisons.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    tau: float = 0.30,
+) -> DataFrame:
+    """(id_col, cid) — the surviving vectors with their cluster id.
+
+    A vector survives iff NO same-cluster vector with a smaller id has
+    cosine >= tau against it. Centroids are the vectors with
+    id_col < n_centroids; every vector assigns to its max-cosine
+    centroid (ties to the smaller centroid id).
+    """
+    from hadoop_gpu_spark.functions.vectors import cosine
+    from hadoop_gpu_spark.utils import eager_persist
+
+    if n_centroids < 1:
+        raise ValueError("n_centroids must be >= 1")
+    cen = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+    )
+    scored = emb.select(id_col, vec_col).crossJoin(F.broadcast(cen)).withColumn(
+        "__cos", cosine(vec_col, "__cvec")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__cos").desc(), F.col("__cid"))
+    asg = eager_persist(
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "__cid", vec_col)
+    )
+    a = asg.select(
+        "__cid", F.col(id_col).alias("__a"), F.col(vec_col).alias("__va")
+    )
+    bb = asg.select(
+        "__cid", F.col(id_col).alias("__b"), F.col(vec_col).alias("__vb")
+    )
+    dup_ids = (
+        a.join(bb, "__cid")
+        .filter(F.col("__a") < F.col("__b"))
+        .filter(cosine("__va", "__vb") >= F.lit(float(tau)))
+        .select(F.col("__b").alias(id_col))
+        .distinct()
+    )
+    return asg.join(dup_ids, id_col, "left_anti").select(
+        id_col, F.col("__cid").cast("long").alias("cid")
+    )
+
+
+def semantic_dedup_sql(
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    tau: float = 0.30,
+) -> str:
+    """DuckDB twin (oracle generator): same assignment (max-cosine over
+    the id < n_centroids centroid table, ties to smaller cid), same
+    keep-first rule, same left-fold dot-product spelling
+    (list_dot_product over DOUBLE[] — the parity anchor)."""
+    cos_ac = (
+        f"list_dot_product(e.{vec_col}::DOUBLE[], c.{vec_col}::DOUBLE[]) / "
+        f"sqrt(list_dot_product(e.{vec_col}::DOUBLE[], e.{vec_col}::DOUBLE[]) * "
+        f"list_dot_product(c.{vec_col}::DOUBLE[], c.{vec_col}::DOUBLE[]))"
+    )
+    cos_ab = (
+        "list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) / "
+        "sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[]) * "
+        "list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))"
+    )
+    return f"""
+    WITH asg AS (
+      SELECT e.{id_col}, c.{id_col} AS cid, e.{vec_col} AS v
+      FROM {table} e CROSS JOIN (SELECT * FROM {table} WHERE {id_col} < {n_centroids}) c
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY e.{id_col}
+          ORDER BY {cos_ac} DESC, c.{id_col}) = 1),
+    dups AS (
+      SELECT DISTINCT b.{id_col}
+      FROM asg a JOIN asg b ON a.cid = b.cid AND a.{id_col} < b.{id_col}
+      WHERE {cos_ab} >= CAST({repr(float(tau))} AS DOUBLE))
+    SELECT v.{id_col}, CAST(v.cid AS BIGINT) AS cid
+    FROM asg v ANTI JOIN dups USING ({id_col})
+    """

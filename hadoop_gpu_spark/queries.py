@@ -4829,6 +4829,14 @@ STAGED_CANDIDATES = [
     # consumers = fits). On registration it must ALSO join
     # STREAMING_SNAPSHOT (see its docstring).
     "q_stream_quantiles",
+    # r09-built, r11 registration (the r10 window is exactly full; r11
+    # has ~5 spare beside the 24-query r07-latest rotation). Oracle-
+    # pinned at both scales by tests/test_r11_candidates.py since
+    # staging. On registration: q_semantic_dedup joins
+    # INTENTIONAL_NESTED_LOOP (broadcast centroid cross join) and both
+    # take SCAN_BUDGET/exchange pins.
+    "q_bm25_topk",
+    "q_semantic_dedup",
 ]
 
 
@@ -4871,6 +4879,65 @@ def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["event_type"], **_STREAM_Q_ARGS,
     )
     return hist_quantiles(snap, _STREAM_Q_QS, ["event_type"], **_STREAM_Q_ARGS)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (r09-built, r11 staged gate): the scored-search
+# primitive next to TF-IDF — see operators/retrieval.py for the 100 TB
+# shape (query terms prune at the scan; df rides the tf frame; N/total
+# are construction-time literals; decimal-exact accumulation).
+# Query texts draw from the synthetic corpus vocabulary, including the
+# rare 'dup' marker term (high idf) so the ranking exercises real
+# discrimination, not just tf mass.
+# ---------------------------------------------------------------------------
+_BM25_QUERIES = [
+    ("q_fast_sort", "fast sort merge"),
+    ("q_stream", "stream filter window"),
+    ("q_rare", "dup customer"),
+]
+
+
+def _bm25_oracle() -> str:
+    from hadoop_gpu_spark.operators.retrieval import bm25_topk_sql
+
+    return bm25_topk_sql("documents", _BM25_QUERIES, top_k=10)
+
+
+Q_BM25_TOPK_ORACLE = _bm25_oracle()
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents per query under Okapi BM25 (r11 staged gate):
+    ranked retrieval over the corpus with exact-decimal score
+    accumulation and deterministic ties — the operator a search/RAG
+    product runs where the reference runs Grep's match-count-sort."""
+    from hadoop_gpu_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(T(spark, sf_dir, "documents"), _BM25_QUERIES, top_k=10)
+
+
+def _semantic_dedup_oracle() -> str:
+    from hadoop_gpu_spark.dedup.semantic import semantic_dedup_sql
+
+    return semantic_dedup_sql("embeddings", n_centroids=8, tau=0.30)
+
+
+Q_SEMANTIC_DEDUP_ORACLE = _semantic_dedup_oracle()
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style unsupervised near-dup pruning (r11 staged gate):
+    cluster by max-cosine against the first-8-vectors centroid table,
+    keep-first within clusters at tau=0.30 (the synthetic corpus's
+    within-label cosine tops out ~0.38 — the q_dedup_embedding
+    threshold rationale). Returns survivors with their cluster id.
+    On registration: add to INTENTIONAL_NESTED_LOOP (bounded centroid
+    cross join) + scan/exchange pins."""
+    from hadoop_gpu_spark.dedup.semantic import semantic_dedup
+
+    return semantic_dedup(
+        T(spark, sf_dir, "embeddings"), n_centroids=8, tau=0.30
+    )
 
 
 # ===========================================================================

@@ -488,6 +488,9 @@ ALLOWED_MODULE_BROADCAST_HINTS = {
     ("similarity/ann.py", "probe_q"): "IVF probe set: n_queries rows",
     ("ml/matmul.py", "b"):
         "gram column-pairs: bounded by matrix width d, not row count",
+    ("dedup/semantic.py", "cen"):
+        "semantic-dedup centroid table: n_centroids rows (the IVF "
+        "first-k convention), never corpus-sized",
 }
 
 
