@@ -5,6 +5,7 @@ sort-validator invariants (TestMiniMRDFSSort)."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from hadoop_gpu_spark.operators import joins, sort
@@ -58,6 +59,35 @@ def test_asof_join_matches_pandas(spark):
     exp = expect.sort_values(["g", "t"]).reset_index(drop=True)
     assert got[["g", "t", "rv"]].where(got.notna(), None).values.tolist() == \
         exp[["g", "t", "rv"]].where(exp.notna(), None).values.tolist()
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason="r08 ADVICE low / r10 queue #3: asof_join fills each right "
+    "column with an INDEPENDENT last(ignorenulls) window, so when the "
+    "latest prior right row carries a NULL in one fill column the result "
+    "mixes that row's non-null columns with an OLDER row's value — a "
+    "torn row diverging from DuckDB ASOF (which takes the latest row "
+    "wholesale, NULLs included). Latent in every registered gate (their "
+    "right_cols are non-null by construction). The struct-pack fix is "
+    "earmarked for r10 when its consumers' window slots are free — this "
+    "falsifier written FIRST per the queue, flips green when it lands.",
+)
+def test_asof_join_null_right_column_takes_latest_row_wholesale(spark):
+    # right rows for key 1: t=5 (val=1.0, aux='a'), t=8 (val=NULL,
+    # aux='b'); probe at t=10. ASOF semantics: match the t=8 row
+    # wholesale -> (val NULL, aux 'b'). Today's per-column fill returns
+    # (val 1.0, aux 'b') — columns from two different right rows.
+    l = spark.createDataFrame([(1, 10)], "g long, t long")
+    r = spark.createDataFrame(
+        [(1, 5, 1.0, "a"), (1, 8, None, "b")], "g long, t long, val double, aux string"
+    )
+    out = joins.asof_join(l, r, on="t", by=["g"], right_cols=["val", "aux"]).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["aux"] == "b" and row["val"] is None, (
+        "torn row: val filled from an older right row than aux"
+    )
 
 
 def test_total_order_sort_validator(spark, sf_dir):
