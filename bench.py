@@ -58,6 +58,16 @@ from hadoop_gpu_spark.utils import release_persisted_frames
 #   post-load ambient-jitter band. No HEADLINE plan changed in r08
 #   (exchange budgets pinned both directions, suite green), so compare
 #   official-to-official when BENCH_r08 arrives.
+# - r09 local reference (same machine, contended=false, load 0.025,
+#   cooled after the round's suite runs, release-between-passes harness
+#   per the r08 ADVICE fix): 10.086s over the unchanged 21-query set —
+#   the best quiet-machine total on record (official r07 10.77s; r06
+#   quiet 11.70s), spreads <=1.48 everywhere. No HEADLINE plan changed
+#   in r09 (scan + exchange budgets pinned both directions, suite
+#   green), so the delta vs the 13.35s official r08 record confirms
+#   that record's ambient-inflation adjudication; per-query minima
+#   agree with prior rounds (q_kmeans 1.089 vs r04's 1.095; q_ann_lsh
+#   0.564; q21 0.827).
 # - r06 quiet-machine steady state (local, full 21-query set): total
 #   11.70s vs the r04 minima's 12.04s on the same set (0.97x),
 #   contended=false. The two deltas called out in the earlier version of
