@@ -1,0 +1,225 @@
+"""Distributed BPE tokenizer training (byte-pair-encoding merge learning).
+
+Beyond-ref LLM-pipeline operator: the tokenizer-training kernel every
+pretraining corpus pipeline runs before the token-counting / packing /
+sampling stages this repo already ships (q_token_count_bpe counts with a
+FIXED BPE-ish regex; this module LEARNS the merge table that defines such
+a tokenizer). The reference's closest surface is the WordCount family
+(M/lib/TokenCountMapper.java:38 tokenize + count) — BPE training is that
+aggregation run iteratively over a shrinking symbol alphabet.
+
+Algorithm (Sennrich et al. 2016, the word-count formulation every
+production trainer uses): tokenize the corpus ONCE into a
+(word, count) table; represent each distinct word as a symbol sequence
+(characters + a terminal ``</w>`` marker); then per merge step count
+adjacent symbol pairs weighted by word count, take the argmax
+(deterministic tie-break: count desc, lhs asc, rhs asc), and fuse that
+pair greedily left-to-right in every word.
+
+100 TB shape:
+- the corpus is scanned EXACTLY ONCE (the word-count aggregate — one
+  token-hash shuffle with map-side combine). Every iteration thereafter
+  runs over the distinct-word table, which Heaps' law keeps orders of
+  magnitude smaller than the corpus (~1e8-1e9 rows at 100 TB vs ~1e13
+  tokens), and which this module localCheckpoints once up front.
+- per iteration: one narrow pair-explode over the vocab frame + ONE
+  |pairs|-row integer-sum shuffle (map-side combine; |pairs| <=
+  |vocab| * avg word length, tiny strings), then a TakeOrderedAndProject
+  argmax — no global sort. Exactly ONE (lhs, rhs, cnt) row reaches the
+  driver per merge (the k-means/pq_train driver contract: sequential
+  merges are inherent to BPE — merge i+1's counts depend on merge i).
+- merge application is a narrow map (one literal string replace). Plan
+  depth grows one projection per merge, so every ``checkpoint_every``
+  merges the vocab frame is re-checkpointed and the predecessor's blocks
+  released — at real vocab-training scale (30k-50k merges) lineage and
+  per-iteration replay cost stay bounded.
+
+Symbol-sequence encoding (what makes a pure-SQL twin possible): a word's
+symbols are kept as a single string, each symbol wrapped in one leading
+and one trailing space — ``[l, ow, </w>]`` is ``' l  ow  </w> '``. The
+double space is the symbol boundary, so the greedy non-overlapping
+left-to-right fuse of pair (a, b) is EXACTLY one literal
+``replace(seq, ' a  b ', ' ab ')``: both Spark's ``F.replace`` and
+DuckDB's ``replace`` scan left-to-right non-overlapping, consuming the
+matched region — on ``[a,a,a]`` the match at symbols 1-2 consumes the
+shared boundary so symbols 2-3 cannot re-match, which IS the BPE greedy
+rule. Symbols never contain spaces (tokens come from a whitespace
+split), so a pattern can never match inside a symbol. Determinism is
+total: integer counts, binary-collation tie-breaks — the learned merge
+table is bit-identical across partitionings, sessions, and engines, so
+the oracle compares the merge table itself (no tolerance bands).
+
+``bpe_segment`` applies a learned merge list to raw text map-only (the
+inference half): the same chained replaces over a concatenated
+per-token stream. Cross-token merges cannot fire because ``</w>`` is
+always a word's LAST symbol — no learned pair has it on the left.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WORD_END = "</w>"
+
+_MERGE_SCHEMA = "step long, lhs string, rhs string, pair_count long"
+
+
+def _word_seq(word: Column | str) -> Column:
+    """' c1  c2 ... cN  </w> ' — each symbol space-wrapped, boundaries
+    double-spaced."""
+    c = F.col(word) if isinstance(word, str) else word
+    return F.concat(F.regexp_replace(c, r"(.)", " $1 "), F.lit(f" {WORD_END} "))
+
+
+def _pair_explode(seq_col: str) -> Column:
+    """Adjacent symbol pairs of a wrapped sequence, as structs."""
+    arr = F.split(F.trim(seq_col), "  ")
+    sz = F.size(arr)
+    return F.explode(
+        F.zip_with(
+            F.slice(arr, 1, sz - 1),
+            F.slice(arr, 2, sz - 1),
+            lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+        )
+    )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    checkpoint_every: int = 16,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns the merge table
+    (step, lhs, rhs, pair_count) in learning order — the artifact a
+    tokenizer ships. Stops early if the corpus runs out of pairs.
+
+    The returned frame is built from the driver-side merge list (one row
+    per iteration crossed the driver — the pq_train book contract), so
+    the training checkpoints are fully consumed here and released in the
+    ``finally``.
+    """
+    from hadoop_gpu_spark.operators.fields import tokenize
+    from hadoop_gpu_spark.utils import release_local_checkpoint
+
+    spark = docs.sparkSession
+    wc = (
+        docs.select(F.explode(tokenize(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.sum(F.lit(1)).cast("long").alias("wc"))
+    )
+    cur = wc.select(_word_seq("word").alias("seq"), "wc").localCheckpoint(eager=True)
+    checkpoints = [cur]
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for step in range(1, n_merges + 1):
+            best = (
+                cur.select(_pair_explode("seq").alias("z"), "wc")
+                .groupBy(F.col("z.lhs").alias("lhs"), F.col("z.rhs").alias("rhs"))
+                .agg(F.sum("wc").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "lhs", "rhs")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break  # alphabet exhausted (every word fully fused)
+            lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["cnt"])
+            merges.append((step, lhs, rhs, cnt))
+            cur = cur.select(
+                F.replace(
+                    "seq", F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} ")
+                ).alias("seq"),
+                "wc",
+            )
+            if step % checkpoint_every == 0 and step < n_merges:
+                cur = cur.localCheckpoint(eager=True)
+                release_local_checkpoint(checkpoints.pop())
+                checkpoints.append(cur)
+    finally:
+        for df in checkpoints:
+            release_local_checkpoint(df)
+    return spark.createDataFrame(merges, _MERGE_SCHEMA)
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "subwords",
+) -> DataFrame:
+    """Apply a learned merge list to raw text: adds ``out_col``, an
+    array of subword symbols (``</w>`` marking word ends). Map-only —
+    the merge list rides the plan as literals; nothing shuffles.
+
+    The whole text becomes one wrapped symbol stream (per-token
+    sequences concatenated); replaying the merges IN LEARNING ORDER
+    reproduces per-word BPE because no pair has ``</w>`` on the left,
+    so fuses never cross a token boundary.
+    """
+    # normalize whitespace runs, wrap every char, then widen the exact
+    # 3-space inter-token boundary into '  </w>  ' and terminate.
+    one_space = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    wrapped = F.regexp_replace(one_space, r"(\S)", " $1 ")
+    seq = F.concat(
+        F.replace(wrapped, F.lit("   "), F.lit(f"  {WORD_END}  ")),
+        F.lit(f" {WORD_END} "),
+    )
+    for lhs, rhs in merges:
+        seq = F.replace(seq, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} "))
+    return docs.withColumn(
+        out_col,
+        F.when(
+            F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+        ).otherwise(F.split(F.trim(seq), "  ")),
+    )
+
+
+def bpe_merges_sql(
+    table: str = "documents", text_col: str = "text", n_merges: int = 8
+) -> str:
+    """DuckDB twin (oracle generator): the identical iteration lattice
+    unrolled as chained CTEs — same tokenizer spelling, same wrapped
+    encoding, same literal replace (DuckDB's ``replace`` shares the
+    left-to-right non-overlapping scan), same argmax tie-break. BIGINT
+    casts keep driver-safe types (DuckDB SUM returns HUGEINT).
+
+    Deliberately naive unrolled SQL — auditability over shuffle count,
+    the funnel_sql/pq_train_sql stance.
+    """
+    toks = f"list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x <> '')"
+    ctes = [
+        f"""w AS (
+      SELECT word, CAST(SUM(1) AS BIGINT) AS wc
+      FROM (SELECT unnest({toks}) AS word FROM {table})
+      GROUP BY word)""",
+        rf"""v0 AS (
+      SELECT regexp_replace(word, '(.)', ' \1 ', 'g') || ' {WORD_END} ' AS seq, wc
+      FROM w)""",
+    ]
+    sel = []
+    for s in range(1, n_merges + 1):
+        # NB: DuckDB list-slice end indices are INCLUSIVE: arr[:-2] is the
+        # first len-1 elements, arr[2:] the last len-1.
+        ctes.append(
+            f"""p{s} AS (
+      SELECT z[1] AS lhs, z[2] AS rhs, CAST(SUM(wc) AS BIGINT) AS cnt
+      FROM (SELECT unnest(list_zip(arr[:-2], arr[2:])) AS z, wc
+            FROM (SELECT string_split(trim(seq), '  ') AS arr, wc FROM v{s - 1}))
+      GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""b{s} AS (
+      SELECT lhs, rhs, cnt FROM p{s} ORDER BY cnt DESC, lhs, rhs LIMIT 1)"""
+        )
+        if s < n_merges:
+            ctes.append(
+                f"""v{s} AS (
+      SELECT replace(seq, ' ' || lhs || '  ' || rhs || ' ',
+                     ' ' || lhs || rhs || ' ') AS seq, wc
+      FROM v{s - 1} CROSS JOIN b{s})"""
+            )
+        sel.append(
+            f"SELECT CAST({s} AS BIGINT) AS step, lhs, rhs, cnt AS pair_count FROM b{s}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(sel) + " ORDER BY step"

@@ -4837,6 +4837,12 @@ STAGED_CANDIDATES = [
     # take SCAN_BUDGET/exchange pins.
     "q_bm25_topk",
     "q_semantic_dedup",
+    # r09-built (continuation), r11 registration in the third spare slot
+    # (2 + 21 + 24 + this = 48; defers to r12 if the r11 window fills
+    # with reds). Oracle-pinned at both scales by
+    # tests/test_r11_candidates.py since staging, with a
+    # third-implementation cross-check (plain-python Sennrich BPE).
+    "q_bpe_merges",
 ]
 
 
@@ -4938,6 +4944,37 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         T(spark, sf_dir, "embeddings"), n_centroids=8, tau=0.30
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (r09-built, r11 staged gate): learn the merge
+# table a BPE tokenizer ships — see ml/bpe.py for the 100 TB shape (one
+# corpus scan into a word-count table; iterations run over the
+# checkpointed vocab only; one row per merge crosses the driver). The
+# wrapped-string symbol encoding makes the greedy fuse a literal
+# replace() in BOTH engines, so the learned table is bit-identical and
+# the oracle compares it directly (no tolerance bands).
+# ---------------------------------------------------------------------------
+_BPE_N_MERGES = 8
+
+
+def _bpe_oracle() -> str:
+    from hadoop_gpu_spark.ml.bpe import bpe_merges_sql
+
+    return bpe_merges_sql("documents", "text", _BPE_N_MERGES)
+
+
+Q_BPE_MERGES_ORACLE = _bpe_oracle()
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 learned BPE merges over the document corpus (r11 staged
+    gate): the tokenizer-training kernel of a pretraining pipeline —
+    adjacent-pair argmax + greedy fuse iterated on the word-count
+    table, deterministic ties (count desc, then lexicographic)."""
+    from hadoop_gpu_spark.ml.bpe import bpe_merges
+
+    return bpe_merges(T(spark, sf_dir, "documents"), "text", _BPE_N_MERGES)
 
 
 # ===========================================================================

@@ -24,7 +24,7 @@ CANDIDATES = [
     "q_bucketed_ctas",
     "q_stream_quantiles",
 ]
-STAGED = ["q_stream_quantiles", "q_bm25_topk", "q_semantic_dedup"]
+STAGED = ["q_stream_quantiles", "q_bm25_topk", "q_semantic_dedup", "q_bpe_merges"]
 
 
 def test_candidate_list_matches_registry_constant():

@@ -6,8 +6,10 @@ r09 trio: the driver-identical oracle comparison runs here every
 session, so registration is a one-line @query move with the evidence
 already standing.
 
-Covers: BM25 ranked retrieval (operators/retrieval.py) and
-SemDeDup-style semantic dedup (dedup/semantic.py).
+Covers: BM25 ranked retrieval (operators/retrieval.py), SemDeDup-style
+semantic dedup (dedup/semantic.py), and BPE tokenizer training
+(ml/bpe.py — staged in the r09 continuation for the third r11 spare
+slot, deferring to r12 if the r11 window fills).
 """
 
 from __future__ import annotations
@@ -17,7 +19,7 @@ from pyspark.sql import functions as F
 
 from tests.oracle import compare_frames, duckdb_con
 
-R11_CANDIDATES = ["q_bm25_topk", "q_semantic_dedup"]
+R11_CANDIDATES = ["q_bm25_topk", "q_semantic_dedup", "q_bpe_merges"]
 
 
 @pytest.mark.parametrize("name", R11_CANDIDATES)
@@ -237,3 +239,174 @@ def _release_persisted_after():
     from hadoop_gpu_spark.utils import release_persisted_frames
 
     release_persisted_frames()
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (ml/bpe.py)
+# ---------------------------------------------------------------------------
+def _py_bpe(texts, n_merges):
+    """Independent plain-python Sennrich BPE — the third implementation
+    (the BM25 cross-check stance): word counts, weighted adjacent-pair
+    argmax with (count desc, lhs asc, rhs asc) ties, greedy
+    left-to-right non-overlapping fuse."""
+    import collections
+
+    wc = collections.Counter(w for t in texts for w in t.split() if w)
+    vocab = collections.Counter()
+    for w, c in wc.items():
+        vocab[tuple(list(w) + ["</w>"])] += c
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = collections.Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (lhs, rhs), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, lhs, rhs, cnt))
+        nxt = collections.Counter()
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] += c
+        vocab = nxt
+    return merges
+
+
+def test_bpe_matches_standalone_reference_on_corpus(spark, sf_dir):
+    # Third-implementation cross-check on the REAL corpus (not the SQL
+    # twin): the full learned table must agree row for row.
+    from hadoop_gpu_spark import queries as q
+    from hadoop_gpu_spark.tables import load_table
+
+    texts = [
+        r["text"] for r in load_table(spark, "documents", sf_dir).select("text").collect()
+    ]
+    want = _py_bpe(texts, 8)
+    got = [
+        (int(r.step), r.lhs, r.rhs, int(r.pair_count))
+        for r in q.q_bpe_merges(spark, sf_dir).orderBy("step").collect()
+    ]
+    assert got == want
+
+
+def test_bpe_greedy_fuse_is_nonoverlapping(spark):
+    # 'aaaa' must fuse to [aa, aa], not [aa, a, a]: observable in the
+    # step-2 pair table only if step 1's replace consumed the shared
+    # boundary (the left-to-right non-overlapping BPE rule).
+    from hadoop_gpu_spark.ml.bpe import bpe_merges
+
+    docs = spark.createDataFrame([("aaaa aaa",)], "text string")
+    got = [
+        (int(r.step), r.lhs, r.rhs, int(r.pair_count))
+        for r in bpe_merges(docs, "text", 2).orderBy("step").collect()
+    ]
+    assert got == _py_bpe(["aaaa aaa"], 2)
+    assert got[0] == (1, "a", "a", 5)
+    # after a correct non-overlapping fuse the tie-break picks (a, </w>)
+    # from 'aaa' -> [aa, a, </w>]; an overlapping fuse would leave extra
+    # (a, a) mass and pick differently.
+    assert got[1] == (2, "a", "</w>", 1)
+
+
+def test_bpe_stops_when_alphabet_exhausted(spark):
+    # single-char words fully fuse after 2 merges; asking for 10 must
+    # return exactly the learnable 2 (driver loop breaks on empty pairs).
+    from hadoop_gpu_spark.ml.bpe import bpe_merges
+
+    docs = spark.createDataFrame([("a b",)], "text string")
+    got = bpe_merges(docs, "text", 10).orderBy("step").collect()
+    assert [(r.lhs, r.rhs) for r in got] == [("a", "</w>"), ("b", "</w>")]
+
+
+def test_bpe_segment_matches_reference_apply(spark):
+    # learn on a tiny corpus, apply with bpe_segment, compare against a
+    # per-word python replay of the same merge list.
+    from hadoop_gpu_spark.ml.bpe import bpe_merges, bpe_segment
+
+    corpus = ["low lower lowest", "newest widest low", "new newer low"]
+    docs = spark.createDataFrame([(t,) for t in corpus], "text string")
+    merges = [
+        (r.lhs, r.rhs)
+        for r in bpe_merges(docs, "text", 6).orderBy("step").collect()
+    ]
+
+    def apply_word(w):
+        syms = list(w) + ["</w>"]
+        for lhs, rhs in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = {
+        r["text"]: list(r["subwords"])
+        for r in bpe_segment(docs, merges, "text").collect()
+    }
+    for t in corpus:
+        want = [s for w in t.split() for s in apply_word(w)]
+        assert got[t] == want, (t, got[t], want)
+
+
+def test_bpe_segment_never_fuses_across_tokens(spark):
+    # (b, a) is adjacent across 'ab ab' only through the token boundary;
+    # </w> sits between, so a (b, a) merge must not fire — and an (a, b)
+    # merge segments each token independently.
+    from hadoop_gpu_spark.ml.bpe import bpe_segment
+
+    docs = spark.createDataFrame([("ab ab",), ("",)], "text string")
+    rows = {r["text"]: list(r["subwords"]) for r in bpe_segment(docs, [("b", "a")], "text").collect()}
+    assert rows["ab ab"] == ["a", "b", "</w>", "a", "b", "</w>"]
+    assert rows[""] == []  # empty text -> empty segmentation
+    rows2 = {r["text"]: list(r["subwords"]) for r in bpe_segment(docs, [("a", "b")], "text").collect()}
+    assert rows2["ab ab"] == ["ab", "</w>", "ab", "</w>"]
+
+
+def test_bpe_iterations_read_checkpoint_not_corpus(spark, sf_dir):
+    # The 100 TB contract: the corpus is scanned exactly once (the
+    # word-count pass inside the eager checkpoint); every iteration's
+    # pair-count plan reads the checkpointed vocab (LogicalRDD) and the
+    # argmax is TakeOrderedAndProject (no global sort shuffle).
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from hadoop_gpu_spark import plans
+    from hadoop_gpu_spark.ml.bpe import _pair_explode, _word_seq
+    from hadoop_gpu_spark.operators.fields import tokenize
+    from hadoop_gpu_spark.tables import load_table
+    from hadoop_gpu_spark.utils import release_local_checkpoint
+
+    docs = load_table(spark, "documents", sf_dir)
+    wc = (
+        docs.select(F.explode(tokenize("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.sum(F.lit(1)).cast("long").alias("wc"))
+    )
+    cur = wc.select(_word_seq("word").alias("seq"), "wc").localCheckpoint(eager=True)
+    try:
+        it = (
+            cur.select(_pair_explode("seq").alias("z"), "wc")
+            .groupBy(F.col("z.lhs").alias("lhs"), F.col("z.rhs").alias("rhs"))
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "lhs", "rhs")
+            .limit(1)
+        )
+        plan = plans.formatted_plan(it)
+        assert "Scan parquet" not in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+    finally:
+        release_local_checkpoint(cur)
