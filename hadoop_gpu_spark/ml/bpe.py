@@ -155,7 +155,12 @@ def bpe_segment(
     The whole text becomes one wrapped symbol stream (per-token
     sequences concatenated); replaying the merges IN LEARNING ORDER
     reproduces per-word BPE because no pair has ``</w>`` on the left,
-    so fuses never cross a token boundary.
+    so fuses never cross a token boundary. (Boundary: that holds for
+    corpora that do not contain the literal 4-char marker string — a
+    pathological token like ``x</w>y`` could FUSE into a symbol equal
+    to the marker through four merges. Production tokenizers escape or
+    byte-map such input; callers with adversarial text should strip
+    ``<`` or pick a marker outside the corpus alphabet.)
     """
     # normalize whitespace runs, wrap every char, then widen the exact
     # 3-space inter-token boundary into '  </w>  ' and terminate.

@@ -410,3 +410,40 @@ def test_bpe_iterations_read_checkpoint_not_corpus(spark, sf_dir):
         assert "TakeOrderedAndProject" in plan, plan
     finally:
         release_local_checkpoint(cur)
+
+
+def test_bpe_sql_twin_matches_reference_fuzz():
+    """python <-> DuckDB differential fuzz of the merge-learning lattice
+    over adversarial tiny corpora: a 2-3 letter alphabet forces count
+    ties (tie-break order), repeated-letter runs (greedy non-overlap),
+    single-char words (</w>-only pairs), and alphabet exhaustion (early
+    stop / short merge tables). No JVM per example — the Spark side is
+    pinned to this same twin by the oracle gate tests above, closing
+    the triangle."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hadoop_gpu_spark.ml.bpe import bpe_merges_sql
+
+    word = st.text(alphabet="ab" + "c", min_size=1, max_size=6)
+
+    @given(
+        words=st.lists(word, min_size=1, max_size=10),
+        n_merges=st.integers(min_value=1, max_value=6),
+    )
+    @settings(max_examples=60, deadline=None)
+    def run(words, n_merges):
+        texts = [" ".join(words)]
+        want = _py_bpe(texts, n_merges)
+        con = duckdb.connect()
+        con.sql("CREATE TABLE t (text VARCHAR)")
+        con.execute("INSERT INTO t VALUES (?)", [texts[0]])
+        got = [
+            (int(s), l, r, int(c))
+            for s, l, r, c in con.sql(bpe_merges_sql("t", "text", n_merges)).fetchall()
+        ]
+        con.close()
+        assert got == want, (words, n_merges, got, want)
+
+    run()
