@@ -4837,12 +4837,14 @@ STAGED_CANDIDATES = [
     # take SCAN_BUDGET/exchange pins.
     "q_bm25_topk",
     "q_semantic_dedup",
-    # r09-built (continuation), r11 registration in the third spare slot
-    # (2 + 21 + 24 + this = 48; defers to r12 if the r11 window fills
-    # with reds). Oracle-pinned at both scales by
-    # tests/test_r11_candidates.py since staging, with a
-    # third-implementation cross-check (plain-python Sennrich BPE).
+    # r09-built (continuation), r11 registration in the third and
+    # fourth spare slots (2 + 21 + 24 + these = 49; each defers to r12
+    # if the r11 window fills with reds). Oracle-pinned at both scales
+    # by tests/test_r11_candidates.py since staging, each with a
+    # third-implementation cross-check (plain-python Sennrich BPE /
+    # hashlib-md5 CMS).
     "q_bpe_merges",
+    "q_cms_token_freq",
 ]
 
 
@@ -4975,6 +4977,41 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_gpu_spark.ml.bpe import bpe_merges
 
     return bpe_merges(T(spark, sf_dir, "documents"), "text", _BPE_N_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch token-frequency estimates (r09-built, r11 staged
+# gate): the frequency-sketch sibling of q_quantile_sketch — see
+# operators/cms.py for the d*w fixed-state design, the md5 row hashes
+# that make it engine-exact, and the never-undercount guarantee. The
+# query set is a construction-time literal (the BM25 stance): common
+# words, the rare 'dup' marker, and an absent token (estimate 0).
+# ---------------------------------------------------------------------------
+_CMS_QUERY_TOKENS = ["the", "data", "spark", "join", "dup", "zzz_absent_token"]
+_CMS_D, _CMS_W = 4, 512
+
+
+def _cms_oracle() -> str:
+    from hadoop_gpu_spark.operators.cms import cms_token_estimates_sql
+
+    return cms_token_estimates_sql(
+        "documents", _CMS_QUERY_TOKENS, d=_CMS_D, w=_CMS_W
+    )
+
+
+Q_CMS_TOKEN_FREQ_ORACLE = _cms_oracle()
+
+
+def q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for a literal token set
+    (r11 staged gate): one corpus pass into a d*w counter grid (the
+    fixed-size state a streaming frequency tracker needs), min-over-
+    rows point estimates, exact integer arithmetic end to end."""
+    from hadoop_gpu_spark.operators.cms import cms_token_estimates
+
+    return cms_token_estimates(
+        T(spark, sf_dir, "documents"), _CMS_QUERY_TOKENS, d=_CMS_D, w=_CMS_W
+    )
 
 
 # ===========================================================================

@@ -24,7 +24,13 @@ CANDIDATES = [
     "q_bucketed_ctas",
     "q_stream_quantiles",
 ]
-STAGED = ["q_stream_quantiles", "q_bm25_topk", "q_semantic_dedup", "q_bpe_merges"]
+STAGED = [
+    "q_stream_quantiles",
+    "q_bm25_topk",
+    "q_semantic_dedup",
+    "q_bpe_merges",
+    "q_cms_token_freq",
+]
 
 
 def test_candidate_list_matches_registry_constant():

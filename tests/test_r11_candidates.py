@@ -7,9 +7,10 @@ session, so registration is a one-line @query move with the evidence
 already standing.
 
 Covers: BM25 ranked retrieval (operators/retrieval.py), SemDeDup-style
-semantic dedup (dedup/semantic.py), and BPE tokenizer training
-(ml/bpe.py — staged in the r09 continuation for the third r11 spare
-slot, deferring to r12 if the r11 window fills).
+semantic dedup (dedup/semantic.py), BPE tokenizer training (ml/bpe.py),
+and count-min sketch frequency estimates (operators/cms.py) — the
+latter two staged in the r09 continuation for the third and fourth r11
+spare slots, each deferring to r12 if the r11 window fills.
 """
 
 from __future__ import annotations
@@ -19,7 +20,7 @@ from pyspark.sql import functions as F
 
 from tests.oracle import compare_frames, duckdb_con
 
-R11_CANDIDATES = ["q_bm25_topk", "q_semantic_dedup", "q_bpe_merges"]
+R11_CANDIDATES = ["q_bm25_topk", "q_semantic_dedup", "q_bpe_merges", "q_cms_token_freq"]
 
 
 @pytest.mark.parametrize("name", R11_CANDIDATES)
@@ -445,5 +446,153 @@ def test_bpe_sql_twin_matches_reference_fuzz():
         ]
         con.close()
         assert got == want, (words, n_merges, got, want)
+
+    run()
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (operators/cms.py)
+# ---------------------------------------------------------------------------
+def _py_cms_estimates(tokens, queries, d, w):
+    """Independent hashlib-md5 count-min — the third implementation."""
+    import collections
+    import hashlib
+
+    def cell(v, i):
+        h = int(hashlib.md5(f"{v}:{i + 1}".encode()).hexdigest()[:8], 16)
+        return (i, h % w)
+
+    grid = collections.Counter()
+    for t in tokens:
+        for i in range(d):
+            grid[cell(t, i)] += 1
+    return {q: min(grid[cell(q, i)] for i in range(d)) for q in queries}
+
+
+def test_cms_never_undercounts_on_corpus(spark, sf_dir):
+    # The defining sketch guarantee, checked against exact corpus counts
+    # (absent token included: estimate must be >= 0 == its true count).
+    import collections
+
+    from hadoop_gpu_spark import queries as q
+    from hadoop_gpu_spark.tables import load_table
+
+    est = {r["token"]: int(r["est_cnt"]) for r in q.q_cms_token_freq(spark, sf_dir).collect()}
+    true = collections.Counter(
+        t
+        for r in load_table(spark, "documents", sf_dir).select("text").collect()
+        for t in r["text"].split()
+    )
+    assert set(est) == set(q._CMS_QUERY_TOKENS)
+    for tok, e in est.items():
+        assert e >= true.get(tok, 0), (tok, e, true.get(tok, 0))
+    assert est["zzz_absent_token"] >= 0
+
+
+def test_cms_matches_standalone_reference_under_collisions(spark):
+    # w=3 forces heavy collisions: MIN-over-d-rows and the coalesce(0)
+    # path must still match an independent hashlib implementation
+    # exactly, and never undercount.
+    import collections
+
+    from hadoop_gpu_spark.operators.cms import cms_token_estimates
+
+    corpus = ["a b a c d e a b", "f g a h b b c", "i j k a"]
+    tokens = [t for line in corpus for t in line.split()]
+    queries = ["a", "b", "e", "k", "absent"]
+    docs = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = {
+        r["token"]: int(r["est_cnt"])
+        for r in cms_token_estimates(docs, queries, d=2, w=3).collect()
+    }
+    want = _py_cms_estimates(tokens, queries, d=2, w=3)
+    assert got == want, (got, want)
+    true = collections.Counter(tokens)
+    for t in queries:
+        assert got[t] >= true.get(t, 0)
+
+
+def test_cms_single_cell_degenerates_to_total_count(spark):
+    # w=1, d=1: every token lands in the one cell, so ANY estimate is
+    # the corpus token total — pins the join/coalesce/min plumbing.
+    from hadoop_gpu_spark.operators.cms import cms_token_estimates
+
+    docs = spark.createDataFrame([("x y z",), ("p q",)], "text string")
+    got = {
+        r["token"]: int(r["est_cnt"])
+        for r in cms_token_estimates(docs, ["x", "never_seen"], d=1, w=1).collect()
+    }
+    assert got == {"x": 5, "never_seen": 5}
+
+
+def test_cms_merge_is_cell_sum(spark):
+    # Mergeability (the streaming-state property): the sketch of A ∪ B
+    # equals the per-cell sum of the sketches of A and B — exactly.
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from hadoop_gpu_spark.operators.cms import cms_build
+
+    a = spark.createDataFrame([(t,) for t in "a b c a".split()], "tok string")
+    b = spark.createDataFrame([(t,) for t in "c d a e".split()], "tok string")
+    whole = {
+        (r["row_id"], r["col_id"]): r["cnt"]
+        for r in cms_build(a.union(b), "tok", d=2, w=4).collect()
+    }
+    parts = (
+        cms_build(a, "tok", d=2, w=4)
+        .union(cms_build(b, "tok", d=2, w=4))
+        .groupBy("row_id", "col_id")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    merged = {(r["row_id"], r["col_id"]): r["cnt"] for r in parts.collect()}
+    assert whole == merged
+
+
+def test_cms_plan_single_scan_token_stream_never_shuffles(spark, sf_dir):
+    # One corpus scan; what crosses the aggregate exchange is (row_id,
+    # col_id) cell rows, never the token string itself.
+    import re
+
+    from hadoop_gpu_spark import plans
+    from hadoop_gpu_spark import queries as q
+
+    df = q.q_cms_token_freq(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert len(re.findall(r"^\s*\(\d+\) Scan parquet\b", plan, re.M)) == 1, plan
+    assert "tok" not in plans.shuffled_columns(df)
+
+
+def test_cms_sql_twin_matches_reference_fuzz():
+    """python <-> DuckDB differential fuzz with tiny widths (collision-
+    heavy) over random corpora and query sets — the BPE fuzz stance:
+    the Spark side is pinned to this twin by the oracle gate test."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hadoop_gpu_spark.operators.cms import cms_token_estimates_sql
+
+    word = st.text(alphabet="abc", min_size=1, max_size=3)
+
+    @given(
+        words=st.lists(word, min_size=1, max_size=12),
+        queries=st.lists(word, min_size=1, max_size=4),
+        d=st.integers(min_value=1, max_value=3),
+        w=st.integers(min_value=1, max_value=5),
+    )
+    @settings(max_examples=60, deadline=None)
+    def run(words, queries, d, w):
+        text = " ".join(words)
+        want = _py_cms_estimates(words, sorted(set(queries)), d, w)
+        con = duckdb.connect()
+        con.sql("CREATE TABLE t (text VARCHAR)")
+        con.execute("INSERT INTO t VALUES (?)", [text])
+        got = dict(
+            con.sql(
+                cms_token_estimates_sql("t", sorted(set(queries)), d=d, w=w)
+            ).fetchall()
+        )
+        con.close()
+        assert {k: int(v) for k, v in got.items()} == want, (words, queries, d, w)
 
     run()
