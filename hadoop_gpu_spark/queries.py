@@ -4845,6 +4845,13 @@ STAGED_CANDIDATES = [
     # hashlib-md5 CMS).
     "q_bpe_merges",
     "q_cms_token_freq",
+    # r09-built (continuation), r12 registration (the r11 spare slots
+    # are spoken for by the four above; r12's window has room beside
+    # the r08-latest rotation). Oracle-pinned at both scales by
+    # tests/test_r12_candidates.py since staging, with a hashlib-md5
+    # third-implementation cross-check and an EXHAUSTIVE (all 1024
+    # v_zero inputs) linear-counting-branch engine-parity test.
+    "q_hll_distinct",
 ]
 
 
@@ -5011,6 +5018,47 @@ def q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return cms_token_estimates(
         T(spark, sf_dir, "documents"), _CMS_QUERY_TOKENS, d=_CMS_D, w=_CMS_W
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count estimates (r09-built, r12 staged gate): the
+# cardinality member of the mergeable-sketch family (quantile sketch =
+# distribution, CMS = frequency, HLL = COUNT DISTINCT) — see
+# operators/hll.py for the engine-exact design: md5 bucket/rank hashes,
+# integer-lattice harmonic sum (one IEEE division of exact <2^53 ints,
+# no round(double, d) anywhere), exhaustively-verified round(ln, 9)
+# linear-counting branch, merge = per-register MAX. Subject: distinct
+# orders per returnflag over lineitem — ~1.1k/flag at sf0.001 exercises
+# the linear-counting branch, ~11k/flag at sf0.01 the raw harmonic
+# branch, so BOTH estimator arms earn oracle rows.
+# ---------------------------------------------------------------------------
+_HLL_P = 10
+
+
+def _hll_oracle() -> str:
+    from hadoop_gpu_spark.operators.hll import hll_distinct_sql
+
+    return hll_distinct_sql("lineitem", "l_orderkey", ["l_returnflag"], p=_HLL_P)
+
+
+Q_HLL_DISTINCT_ORACLE = _hll_oracle()
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag distinct-order estimates via the HyperLogLog
+    register sketch (r12 staged gate): one lineitem pass into 1024
+    max-rank registers per flag (fixed state no matter how many
+    distinct keys flow through — the scale path where exact
+    COUNT(DISTINCT)'s shuffle grows with cardinality), estimates
+    engine-exact so the oracle compares them as values."""
+    from hadoop_gpu_spark.operators.hll import hll_distinct
+
+    return hll_distinct(
+        T(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey"),
+        "l_orderkey",
+        ["l_returnflag"],
+        p=_HLL_P,
     )
 
 

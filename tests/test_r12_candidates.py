@@ -1,0 +1,278 @@
+"""r12 candidate gates, oracle-pinned while STAGED (built in the r09
+continuation; the r11 spare slots are spoken for by the four
+test_r11_candidates gates, so these register r12 beside the r08-latest
+rotation). Same staging pattern as funnel/pq_train, the r09 trio, and
+the r11 quartet: the driver-identical oracle comparison runs here every
+session, so registration is a one-line @query move with the evidence
+already standing.
+
+Covers: HyperLogLog distinct-count sketch (operators/hll.py) — the
+cardinality member of the mergeable-sketch family (quantile sketch =
+distribution, CMS = frequency).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracle import compare_frames, duckdb_con
+
+R12_CANDIDATES = ["q_hll_distinct"]
+
+_HLL_P = 10
+_HLL_M = 1 << _HLL_P
+
+
+@pytest.mark.parametrize("name", R12_CANDIDATES)
+def test_r12_candidate_gate_oracle(spark, sf_dir, name):
+    from hadoop_gpu_spark import queries as q
+
+    fn = getattr(q, name)
+    oracle = getattr(q, f"Q_{name[2:].upper()}_ORACLE")
+    got = fn(spark, sf_dir).toPandas()
+    con = duckdb_con(sf_dir)
+    want = con.sql(oracle).df()
+    con.close()
+    errs = compare_frames(got, want)
+    assert not errs, f"{name}: " + "; ".join(errs[:3])
+    assert len(got) > 0, f"{name}: empty gate proves nothing"
+
+
+def test_r12_candidate_oracles_emit_driver_safe_types(sf_dir):
+    from hadoop_gpu_spark import queries as q
+
+    con = duckdb_con(sf_dir)
+    offenders = []
+    for name in R12_CANDIDATES:
+        rel = con.sql(getattr(q, f"Q_{name[2:].upper()}_ORACLE"))
+        for col, typ in zip(rel.columns, [str(t) for t in rel.types]):
+            if typ in ("HUGEINT", "UHUGEINT", "UBIGINT"):
+                offenders.append(f"{name}.{col}: {typ}")
+    con.close()
+    assert not offenders, offenders
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (operators/hll.py)
+# ---------------------------------------------------------------------------
+def _py_hll(values, p):
+    """Independent hashlib-md5 HyperLogLog — the third implementation,
+    replicating registers AND the estimate arithmetic exactly."""
+    import hashlib
+
+    m = 1 << p
+
+    def h(v, seed):
+        return int(hashlib.md5(f"{v}:{seed}".encode()).hexdigest()[:8], 16)
+
+    regs: dict[int, int] = {}
+    for v in values:
+        reg = h(v, 1) % m
+        w = h(v, 2)
+        rank = 33 if w == 0 else 33 - w.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rank)
+    from hadoop_gpu_spark.operators.hll import hll_num
+
+    num = hll_num(p)
+    regs_hit = len(regs)
+    v_zero = m - regs_hit
+    scaled_sum = sum(1 << (33 - r) for r in regs.values()) + v_zero * (1 << 33)
+    if v_zero > 0 and 2 * num <= 5 * m * scaled_sum:
+        est = float(m) * round(math.log(float(m) / v_zero), 9)
+    else:
+        est = float(num) / scaled_sum
+    return regs, regs_hit, v_zero, scaled_sum, est
+
+
+def test_hll_matches_standalone_reference(spark):
+    # Registers AND estimate bit-equal to an independent hashlib
+    # implementation, on a corpus small enough to hand-verify (the LC
+    # branch) and one big enough to leave it (the raw branch at p=4).
+    from hadoop_gpu_spark.operators.hll import hll_distinct, hll_registers
+
+    values = [f"v{i}" for i in range(40)] * 3  # duplicates must not matter
+    df = spark.createDataFrame([(v,) for v in values], "k string")
+    for p in (4, 10):
+        regs, regs_hit, v_zero, scaled_sum, est = _py_hll(values, p)
+        got = hll_distinct(df, "k", p=p).collect()[0]
+        assert (got["regs_hit"], got["v_zero"], got["scaled_sum"]) == (
+            regs_hit,
+            v_zero,
+            scaled_sum,
+        ), p
+        assert got["est_distinct"] == est, (p, got["est_distinct"], est)
+        got_regs = {
+            r["reg"]: r["max_rank"] for r in hll_registers(df, "k", p=p).collect()
+        }
+        assert got_regs == regs, p
+
+
+def test_hll_estimator_branches_straddle_the_gate_scales(spark):
+    # The gate subject was CHOSEN so both estimator arms earn oracle
+    # rows: ~1.1k distinct orders/flag at sf0.001 -> linear counting;
+    # ~11k at sf0.01 -> raw harmonic. Pin that fact so a testdata
+    # regeneration that collapses it is loud.
+    from hadoop_gpu_spark import queries as q
+    from hadoop_gpu_spark.operators.hll import hll_num
+
+    num = hll_num(_HLL_P)
+
+    def branches(sf_dir):
+        rows = q.q_hll_distinct(spark, sf_dir).collect()
+        assert rows
+        return {
+            (r["v_zero"] > 0 and 2 * num <= 5 * _HLL_M * r["scaled_sum"])
+            for r in rows
+        }
+
+    assert branches("/root/testdata/sf0.001") == {True}  # all LC
+    assert branches("/root/testdata/sf0.01") == {False}  # all raw
+
+
+def test_hll_estimates_within_theoretical_error(spark, sf_dir):
+    # HLL standard error is 1.04/sqrt(m) (~3.25% at p=10); assert every
+    # group sits within 3 sigma of the exact distinct count (~9.8%) at
+    # both branch regimes. Deterministic (md5), so this is a fixed fact
+    # about the corpus, not a flaky probabilistic bound.
+    from hadoop_gpu_spark import queries as q
+    from hadoop_gpu_spark.tables import load_table
+
+    for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        est = {r["l_returnflag"]: r["est_distinct"] for r in q.q_hll_distinct(spark, d).collect()}
+        exact = {
+            r["l_returnflag"]: r["n"]
+            for r in load_table(spark, "lineitem", d)
+            .groupBy("l_returnflag")
+            .agg(F.countDistinct("l_orderkey").alias("n"))
+            .collect()
+        }
+        assert set(est) == set(exact)
+        for flag, e in est.items():
+            rel = abs(e / exact[flag] - 1.0)
+            assert rel <= 3 * 1.04 / math.sqrt(_HLL_M), (d, flag, e, exact[flag], rel)
+
+
+def test_hll_merge_is_register_max_and_idempotent(spark):
+    # Mergeability (the shard/stream story): sketch(A ∪ B) equals the
+    # per-register MAX merge of sketch(A) and sketch(B) exactly — and
+    # re-merging the same shard is a no-op (idempotence, which count-sum
+    # sketches cannot promise under replayed shards).
+    from hadoop_gpu_spark.operators.hll import hll_merge, hll_registers
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], "k string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(200)] + [("a0",)], "k string")
+    whole = {
+        (r["reg"]): r["max_rank"]
+        for r in hll_registers(a.unionByName(b), "k", p=6).collect()
+    }
+    sa, sb = hll_registers(a, "k", p=6), hll_registers(b, "k", p=6)
+    merged = {r["reg"]: r["max_rank"] for r in hll_merge(sa, sb).collect()}
+    assert merged == whole
+    twice = {
+        r["reg"]: r["max_rank"] for r in hll_merge(hll_merge(sa, sb), sb).collect()
+    }
+    assert twice == whole
+
+
+def test_hll_sketch_is_partition_invariant(spark, sf_dir):
+    # The register table (and hence every estimate) must not depend on
+    # partition layout — max is commutative/associative and the hashes
+    # are value-pure.
+    from hadoop_gpu_spark.operators.hll import hll_distinct
+    from hadoop_gpu_spark.tables import load_table
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_returnflag", "l_orderkey")
+    one = sorted(
+        tuple(r) for r in hll_distinct(li.repartition(1), "l_orderkey", ["l_returnflag"]).collect()
+    )
+    many = sorted(
+        tuple(r)
+        for r in hll_distinct(
+            li.repartition(17, "l_orderkey"), "l_orderkey", ["l_returnflag"]
+        ).collect()
+    )
+    assert one == many
+
+
+def test_hll_lc_branch_engine_parity_is_exhaustive():
+    # The linear-counting estimate is m * round(ln(m / v_zero), 9) — a
+    # round(double, d) whose tie semantics DIVERGE between engines in
+    # general (test_known_engine_divergent_numeric_behaviors). Here the
+    # input domain is the m integers v_zero ∈ [1, m], so parity is
+    # checked EXHAUSTIVELY: every value the branch can ever produce at
+    # p=10 agrees bit-for-bit across Spark's semantics (BigDecimal
+    # HALF_UP on the shortest decimal string) and DuckDB's (binary
+    # rounding) — proven equal, not assumed safe.
+    import duckdb
+
+    from hadoop_gpu_spark import get_spark
+
+    spark = get_spark(app_name="hgs-tests", shuffle_partitions=8)
+    got = {
+        r["v"]: r["est"]
+        for r in spark.range(1, _HLL_M + 1)
+        .selectExpr(
+            "id AS v",
+            f"{float(_HLL_M)!r} * round(ln({float(_HLL_M)!r} / CAST(id AS DOUBLE)), 9) AS est",
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"SELECT v, {float(_HLL_M)!r} * round(ln({float(_HLL_M)!r} / CAST(v AS DOUBLE)), 9) "
+            f"FROM generate_series(1, {_HLL_M}) t(v)"
+        ).fetchall()
+    )
+    con.close()
+    bad = [v for v in got if got[v] != want[v]]
+    assert not bad, bad[:10]
+
+
+def test_hll_rank_expression_matches_bit_length(spark):
+    # The integer leading-zero rank: 33 - length(bin(w)) with the w=0
+    # arm — against Python's bit_length on edges and random values, and
+    # against DuckDB's identical spelling.
+    import random
+
+    import duckdb
+
+    from hadoop_gpu_spark.operators.hll import _rank32
+
+    rng = random.Random(12)
+    vals = [0, 1, 2, 3, 2**31 - 1, 2**31, 2**32 - 1] + [
+        rng.randrange(2**32) for _ in range(200)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "w long")
+    got = {r["w"]: r["rank"] for r in df.select("w", _rank32(F.col("w")).alias("rank")).collect()}
+    con = duckdb.connect()
+    duck = dict(
+        con.execute(
+            "SELECT w, CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END "
+            "FROM (SELECT unnest(?) AS w)",
+            [vals],
+        ).fetchall()
+    )
+    con.close()
+    for v in vals:
+        want = 33 if v == 0 else 33 - v.bit_length()
+        assert got[v] == duck[v] == want, (v, got[v], duck[v], want)
+
+
+def test_hll_plan_single_scan_key_never_shuffles(spark, sf_dir):
+    # One lineitem scan; what crosses the aggregate exchanges is
+    # (flag, reg, rank) register rows — the key column itself never
+    # shuffles, the property that keeps the sketch viable when the key
+    # is a fat string at 100 TB.
+    import re
+
+    from hadoop_gpu_spark import plans
+    from hadoop_gpu_spark import queries as q
+
+    df = q.q_hll_distinct(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert len(re.findall(r"^\s*\(\d+\) Scan parquet\b", plan, re.M)) == 1, plan
+    assert "l_orderkey" not in plans.shuffled_columns(df)
