@@ -4852,6 +4852,13 @@ STAGED_CANDIDATES = [
     # third-implementation cross-check and an EXHAUSTIVE (all 1024
     # v_zero inputs) linear-counting-branch engine-parity test.
     "q_hll_distinct",
+    # r09-built (continuation), r12 registration beside q_hll_distinct:
+    # the CMS as a Structured Streaming aggregate (fixed d*w state vs
+    # an exact aggregate's Heaps-law state growth), snapshot == batch
+    # sketch bit-for-bit so it shares q_cms_token_freq's oracle. On
+    # registration it must ALSO join STREAMING_SNAPSHOT (see its
+    # docstring).
+    "q_stream_cms_freq",
 ]
 
 
@@ -5059,6 +5066,46 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         ["l_returnflag"],
         p=_HLL_P,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming count-min sketch (r09-built, r12 staged gate): the CMS as a
+# Structured Streaming aggregate — the deployment where the sketch's
+# fixed d*w state actually earns its keep: an exact streaming token-
+# frequency aggregate holds one state row per distinct token (growing
+# with Heaps' law forever); the sketch never exceeds its grid. After
+# an availableNow drain the snapshot equals the batch sketch bit-for-
+# bit (count-sum merge across micro-batches), so this gate shares the
+# batch operator's exact SQL oracle — the q_stream_quantiles pattern
+# applied to the frequency sibling.
+# ---------------------------------------------------------------------------
+Q_STREAM_CMS_FREQ_ORACLE = Q_CMS_TOKEN_FREQ_ORACLE
+
+
+def q_stream_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming token-frequency estimates via the count-min sketch
+    (r12 staged gate): stream the document corpus, maintain the d*w
+    counter grid as complete-mode state (FIXED size regardless of
+    volume or vocabulary), drain with availableNow, resolve the same
+    literal query set as q_cms_token_freq off the snapshot. On
+    registration this name must ALSO join queries.STREAMING_SNAPSHOT
+    (it drives a Structured Streaming pipeline at construction, so its
+    batch plan is a snapshot read)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from hadoop_gpu_spark.operators.cms import cms_estimate
+    from hadoop_gpu_spark.streaming import cms_stream_snapshot, docs_stream
+
+    out_dir = _os.path.join(
+        _tempfile.gettempdir(), f"hgs_stream_cms_{_os.getpid()}"
+    )
+    snap = cms_stream_snapshot(
+        docs_stream(spark, sf_dir), "text", out_dir, d=_CMS_D, w=_CMS_W
+    )
+    return cms_estimate(
+        snap, _CMS_QUERY_TOKENS, d=_CMS_D, w=_CMS_W, value_alias="token"
     )
 
 

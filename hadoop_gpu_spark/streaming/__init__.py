@@ -374,3 +374,65 @@ def hist_sketch_stream_snapshot(
     )
     q.awaitTermination()
     return stream.sparkSession.read.parquet(out_dir)
+
+
+def docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (the events_stream
+    pattern without event time: documents carry no timestamp column, so
+    no watermark/ts normalization applies). Schema is probed from the
+    parquet footer via a driver-side batch read — the same
+    probe-and-share that keeps events_stream immune to data-epoch
+    drift."""
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def cms_stream_snapshot(
+    stream: DataFrame,
+    text_col: str,
+    out_dir: str,
+    d: int = 4,
+    w: int = 512,
+) -> DataFrame:
+    """Streaming count-min sketch (operators.cms) via the foreachBatch
+    snapshot-sink pattern — the deployment the sketch was designed for.
+
+    CMS merge IS count-sum per cell, so a streaming groupBy over the
+    (row_id, col_id) cell expressions maintains the sketch incrementally
+    with state bounded by ``d * w`` rows — FIXED regardless of stream
+    volume, uptime, or (the CMS-specific point) VOCABULARY SIZE: an
+    exact streaming token-frequency aggregate holds one state row per
+    distinct token and grows with Heaps' law forever, while the sketch
+    never exceeds its grid (no watermark needed: the state cannot
+    grow). Complete mode + idempotent overwrite snapshot (the
+    hist_sketch_stream_snapshot shape); after an availableNow drain the
+    snapshot EQUALS the batch sketch of the same corpus bit-for-bit
+    (count-sum mergeability across micro-batches, pinned by test), so a
+    resolved-estimates gate shares the batch operator's exact SQL
+    oracle: cms_token_estimates_sql over the batch table.
+
+    Returns the drained snapshot read back as a batch frame
+    ``(row_id, col_id, cnt)`` — feed it to operators.cms.cms_estimate
+    to resolve point estimates.
+    """
+    from hadoop_gpu_spark.operators.cms import cms_build
+    from hadoop_gpu_spark.operators.fields import tokenize
+
+    toks = stream.select(F.explode(tokenize(text_col)).alias("tok"))
+    agg = cms_build(toks, "tok", d, w)
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream.sparkSession.read.parquet(out_dir)

@@ -8,7 +8,9 @@ already standing.
 
 Covers: HyperLogLog distinct-count sketch (operators/hll.py) — the
 cardinality member of the mergeable-sketch family (quantile sketch =
-distribution, CMS = frequency).
+distribution, CMS = frequency) — and the streaming count-min sketch
+(streaming.cms_stream_snapshot), whose availableNow snapshot equals the
+batch sketch bit-for-bit and therefore shares q_cms_token_freq's oracle.
 """
 
 from __future__ import annotations
@@ -20,7 +22,7 @@ from pyspark.sql import functions as F
 
 from tests.oracle import compare_frames, duckdb_con
 
-R12_CANDIDATES = ["q_hll_distinct"]
+R12_CANDIDATES = ["q_hll_distinct", "q_stream_cms_freq"]
 
 _HLL_P = 10
 _HLL_M = 1 << _HLL_P
@@ -276,3 +278,99 @@ def test_hll_plan_single_scan_key_never_shuffles(spark, sf_dir):
     plan = plans.formatted_plan(df)
     assert len(re.findall(r"^\s*\(\d+\) Scan parquet\b", plan, re.M)) == 1, plan
     assert "l_orderkey" not in plans.shuffled_columns(df)
+
+
+# ---------------------------------------------------------------------------
+# Streaming count-min sketch (streaming.cms_stream_snapshot)
+# ---------------------------------------------------------------------------
+def test_stream_cms_snapshot_equals_batch_sketch(spark, sf_dir):
+    # Mergeability end to end: the availableNow-drained streaming CMS
+    # must equal the batch sketch of the same corpus bit-for-bit —
+    # the property the shared oracle stands on.
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hadoop_gpu_spark.operators.cms import cms_build
+    from hadoop_gpu_spark.operators.fields import tokenize
+    from hadoop_gpu_spark.streaming import cms_stream_snapshot, docs_stream
+    from hadoop_gpu_spark.tables import load_table
+
+    out_dir = os.path.join(tempfile.gettempdir(), f"hgs_test_scms_{os.getpid()}")
+    snap = cms_stream_snapshot(
+        docs_stream(spark, sf_dir), "text", out_dir, d=4, w=64
+    ).toPandas()
+    batch = cms_build(
+        load_table(spark, "documents", sf_dir).select(
+            F.explode(tokenize("text")).alias("tok")
+        ),
+        "tok",
+        d=4,
+        w=64,
+    ).toPandas()
+    key = ["row_id", "col_id", "cnt"]
+    assert sorted(map(tuple, snap[key].values.tolist())) == sorted(
+        map(tuple, batch[key].values.tolist())
+    )
+
+
+def test_stream_cms_state_is_bounded_by_grid_not_vocab(spark, sf_dir):
+    # The CMS-specific streaming story: the snapshot (= the complete-
+    # mode state) is capped at d * w rows by construction — an exact
+    # streaming token-frequency aggregate would instead hold one state
+    # row per distinct token (Heaps-law growth).
+    import os
+    import tempfile
+
+    from hadoop_gpu_spark.streaming import cms_stream_snapshot, docs_stream
+
+    d, w = 3, 8
+    out_dir = os.path.join(tempfile.gettempdir(), f"hgs_test_scmsb_{os.getpid()}")
+    snap = cms_stream_snapshot(
+        docs_stream(spark, sf_dir), "text", out_dir, d=d, w=w
+    ).toPandas()
+    assert len(snap) <= d * w
+    assert set(snap["row_id"]) <= set(range(d))
+    assert (snap["col_id"] >= 0).all() and (snap["col_id"] < w).all()
+
+
+def test_stream_cms_merges_across_micro_batches(spark, sf_dir):
+    # Force MULTIPLE micro-batches (maxFilesPerTrigger=1 over a 3-file
+    # copy of the corpus) and assert the drained state still equals the
+    # batch sketch — the count-sum merge across micro-batch increments,
+    # not just a single-batch replay.
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hadoop_gpu_spark.operators.cms import cms_build
+    from hadoop_gpu_spark.operators.fields import tokenize
+    from hadoop_gpu_spark.streaming import cms_stream_snapshot
+    from hadoop_gpu_spark.tables import load_table
+
+    base = os.path.join(tempfile.gettempdir(), f"hgs_test_scmsm_{os.getpid()}")
+    src_dir = os.path.join(base, "src")
+    out_dir = os.path.join(base, "snap")
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    docs.repartition(3).write.mode("overwrite").parquet(src_dir)
+    n_files = len([f for f in os.listdir(src_dir) if f.endswith(".parquet")])
+    assert n_files >= 2, "need multiple files to force multiple micro-batches"
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    snap = cms_stream_snapshot(stream, "text", out_dir, d=2, w=32).toPandas()
+    batch = cms_build(
+        docs.select(F.explode(tokenize("text")).alias("tok")), "tok", d=2, w=32
+    ).toPandas()
+    key = ["row_id", "col_id", "cnt"]
+    assert sorted(map(tuple, snap[key].values.tolist())) == sorted(
+        map(tuple, batch[key].values.tolist())
+    )
+    shutil.rmtree(base, ignore_errors=True)
