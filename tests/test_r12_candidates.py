@@ -374,3 +374,33 @@ def test_stream_cms_merges_across_micro_batches(spark, sf_dir):
         map(tuple, batch[key].values.tolist())
     )
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_hll_sql_twin_matches_reference_fuzz():
+    """python <-> DuckDB differential fuzz at tiny p (collision-heavy
+    registers, both estimator branches) over random value lists — the
+    CMS fuzz stance: the Spark side is pinned to this twin by the
+    oracle gate test and by test_hll_matches_standalone_reference."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hadoop_gpu_spark.operators.hll import hll_distinct_sql
+
+    word = st.text(alphabet="abcxyz", min_size=1, max_size=4)
+
+    @given(
+        values=st.lists(word, min_size=1, max_size=40),
+        p=st.integers(min_value=4, max_value=6),
+    )
+    @settings(max_examples=60, deadline=None)
+    def run(values, p):
+        _, regs_hit, v_zero, scaled_sum, est = _py_hll(values, p)
+        con = duckdb.connect()
+        con.sql("CREATE TABLE t (k VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?)", [[v] for v in values])
+        got = con.sql(hll_distinct_sql("t", "k", p=p)).fetchall()[0]
+        con.close()
+        assert got == (regs_hit, v_zero, scaled_sum, est), (values, p, got)
+
+    run()
