@@ -4859,6 +4859,13 @@ STAGED_CANDIDATES = [
     # registration it must ALSO join STREAMING_SNAPSHOT (see its
     # docstring).
     "q_stream_cms_freq",
+    # r09-built (continuation), r12 registration: exact all-pairs
+    # hashed-TF-IDF cosine via inverted-index self-join with a df-cap
+    # prefilter — the sparse complement of the dense similarity stack.
+    # Oracle-pinned at both scales by tests/test_r12_candidates.py;
+    # the posting frame is eager_persist'd (dual-branch class
+    # pre-empted, plan-pinned).
+    "q_sparse_allpairs",
 ]
 
 
@@ -5106,6 +5113,46 @@ def q_stream_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cms_estimate(
         snap, _CMS_QUERY_TOKENS, d=_CMS_D, w=_CMS_W, value_alias="token"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sparse all-pairs TF-IDF cosine similarity (r09-built, r12 staged
+# gate): the sparse complement of the dense embedding stack — exact
+# cosine over feature-hashed TF-IDF word-3-gram vectors for every pair
+# above tau, as an inverted-index self-join with a df-cap prefilter
+# (Bayardo et al. all-pairs similarity). See similarity/sparse.py for
+# the engine-exact lattice design (integer idf, exact BIGINT
+# dot/norms, single-op IEEE cosine — no round(double, d) anywhere) and
+# the max_df^2 fan-out bound. tau=0.5 surfaces the corpus's injected
+# near-dup pairs (cos ~0.99) plus genuine mid-range template overlaps.
+# ---------------------------------------------------------------------------
+_SPARSE_TAU, _SPARSE_MAX_DF = 0.5, 8
+
+
+def _sparse_allpairs_oracle() -> str:
+    from hadoop_gpu_spark.similarity.sparse import sparse_allpairs_sql
+
+    return sparse_allpairs_sql(
+        "documents", tau=_SPARSE_TAU, max_df=_SPARSE_MAX_DF
+    )
+
+
+Q_SPARSE_ALLPAIRS_ORACLE = _sparse_allpairs_oracle()
+
+
+def q_sparse_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with hashed-TF-IDF word-3-gram cosine ≥ 0.5
+    (r12 staged gate): the scored near-dup/template-detection pass —
+    MinHash/SimHash give booleans, Jaccard needs candidates first;
+    this gives exact scores with join fan-out capped at max_df^2 per
+    feature by construction."""
+    from hadoop_gpu_spark.similarity.sparse import sparse_allpairs
+
+    return sparse_allpairs(
+        T(spark, sf_dir, "documents").select("doc_id", "text"),
+        tau=_SPARSE_TAU,
+        max_df=_SPARSE_MAX_DF,
     )
 
 

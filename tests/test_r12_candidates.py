@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from tests.oracle import compare_frames, duckdb_con
 
-R12_CANDIDATES = ["q_hll_distinct", "q_stream_cms_freq"]
+R12_CANDIDATES = ["q_hll_distinct", "q_stream_cms_freq", "q_sparse_allpairs"]
 
 _HLL_P = 10
 _HLL_M = 1 << _HLL_P
@@ -404,3 +404,171 @@ def test_hll_sql_twin_matches_reference_fuzz():
         assert got == (regs_hit, v_zero, scaled_sum, est), (values, p, got)
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# Sparse all-pairs TF-IDF cosine (similarity/sparse.py)
+# ---------------------------------------------------------------------------
+def _py_sparse_allpairs(texts_by_id, tau, max_df, n=3, idf_scale=1000):
+    """Independent hashlib/stdlib implementation — the third
+    implementation, replicating grams, feature hashing, the idf
+    lattice, and the IEEE cosine exactly."""
+    import collections
+    import hashlib
+    import itertools
+    import math
+
+    def grams(text):
+        toks = [t for t in text.split() if t]
+        cnt = max(len(toks) - n + 1, 1)
+        gs = [" ".join(toks[i : i + n]) for i in range(cnt)]
+        return [g for g in gs if g != ""]
+
+    def h(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+
+    n_docs = float(len(texts_by_id))
+    tf = {
+        i: collections.Counter(h(g) for g in grams(t)) for i, t in texts_by_id.items()
+    }
+    df = collections.Counter(g for i in tf for g in tf[i])
+    w = {
+        i: {
+            g: c * int(round(math.log(n_docs / df[g]) * idf_scale))
+            for g, c in tf[i].items()
+            if df[g] <= max_df
+        }
+        for i in tf
+    }
+    norm2 = {i: sum(x * x for x in w[i].values()) for i in w}
+    out = {}
+    for a, b in itertools.combinations(sorted(w), 2):
+        shared = set(w[a]) & set(w[b])
+        if not shared:
+            continue
+        dot = sum(w[a][g] * w[b][g] for g in shared)
+        cos = float(dot) / (math.sqrt(float(norm2[a])) * math.sqrt(float(norm2[b])))
+        if cos >= tau:
+            out[(a, b)] = (len(shared), cos)
+    return out
+
+
+def test_sparse_allpairs_matches_standalone_reference(spark):
+    # A crafted corpus with an exact template pair, a partial overlap,
+    # and unrelated docs — Spark output must equal the stdlib reference
+    # bit-for-bit (n_shared AND cosine).
+    from hadoop_gpu_spark.similarity.sparse import sparse_allpairs
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta",
+        2: "alpha beta gamma delta epsilon zeta eta iota",
+        3: "alpha beta gamma delta epsilon zeta eta theta",  # exact dup of 1
+        4: "one two three four five six seven eight nine",
+        5: "one two three four five ten eleven twelve",
+        6: "completely different words everywhere here now",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_shared"], r["cos"])
+        for r in sparse_allpairs(docs, tau=0.1, max_df=5).collect()
+    }
+    want = _py_sparse_allpairs(texts, tau=0.1, max_df=5)
+    assert got == want, (got, want)
+    assert got[(1, 3)][1] == 1.0  # the exact dup pair at cosine exactly 1
+
+
+def test_sparse_allpairs_threshold_and_order_invariants(spark, sf_dir):
+    # Output contract: doc_a < doc_b, every cosine in [tau, 1], at
+    # least one injected near-dup pair surfaces at ~0.99.
+    from hadoop_gpu_spark import queries as q
+
+    rows = q.q_sparse_allpairs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert q._SPARSE_TAU <= r["cos"] <= 1.0 + 1e-12
+        assert r["n_shared"] >= 1
+    assert max(r["cos"] for r in rows) > 0.95  # the injected near-dups
+
+
+def test_sparse_allpairs_df_cap_bounds_fanout(spark):
+    # The scale contract itself: a feature appearing in > max_df docs
+    # must be absent from the posting frame, so per-feature join
+    # fan-out can never exceed max_df^2. Construct a boilerplate gram
+    # present in every doc and assert it pairs nothing.
+    from hadoop_gpu_spark.similarity.sparse import sparse_allpairs
+
+    boiler = "same boiler plate"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} tail{i} word{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    # max_df=2 < 10 docs: the boilerplate grams are dropped; remaining
+    # grams are doc-unique -> no pair shares a surviving feature.
+    out = sparse_allpairs(docs, tau=0.01, max_df=2).collect()
+    assert out == []
+
+
+def test_sparse_allpairs_idf_lattice_engine_parity_is_exhaustive():
+    # idf_u = CAST(round(ln(N/df) * scale) AS BIGINT) must agree across
+    # Spark, DuckDB, and Python for EVERY df the operator can see
+    # (df ∈ [1, max_df], and far beyond for headroom): verified over
+    # df ∈ [1, 4096] at several corpus sizes — the HLL LC-branch
+    # stance: proven equal over the whole input domain, not sampled.
+    import math
+
+    import duckdb
+
+    from hadoop_gpu_spark import get_spark
+
+    spark = get_spark(app_name="hgs-tests", shuffle_partitions=8)
+    con = duckdb.connect()
+    for n_docs in (500.0, 5000.0, 1e8):
+        got = {
+            r["df"]: r["idf_u"]
+            for r in spark.range(1, 4097)
+            .selectExpr(
+                "id AS df",
+                f"CAST(round(ln({n_docs!r} / CAST(id AS DOUBLE)) * 1000.0) AS BIGINT) AS idf_u",
+            )
+            .collect()
+        }
+        want = dict(
+            con.execute(
+                f"SELECT v, CAST(trunc(round(ln({n_docs!r} / CAST(v AS DOUBLE)) * 1000.0)) AS BIGINT) "
+                "FROM generate_series(1, 4096) t(v)"
+            ).fetchall()
+        )
+        py = {d: int(round(math.log(n_docs / d) * 1000.0)) for d in range(1, 4097)}
+        bad = [d for d in got if not (got[d] == want[d] == py[d])]
+        assert not bad, (n_docs, bad[:10])
+    con.close()
+
+
+def test_sparse_allpairs_plan_shares_one_posting_relation(spark, sf_dir):
+    # The self-join's two branches must read ONE cached posting
+    # relation (eager_persist), not recompute the gram/tf/df pipeline
+    # per side — the dual-branch-recompute class, pre-empted at build
+    # time (the semantic_dedup precedent). And the document text never
+    # shuffles: grams hash at the scan.
+    import re
+
+    from hadoop_gpu_spark import plans
+    from hadoop_gpu_spark import queries as q
+
+    df = q.q_sparse_allpairs(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    live = re.findall(r"^\s*\(\d+\) Scan parquet\b", plan, re.M)
+    assert len(live) <= 1, plan  # only the cached relation's build lineage
+    assert "text" not in plans.shuffled_columns(df)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _release_persisted_after_r12():
+    yield
+    from hadoop_gpu_spark.utils import release_persisted_frames
+
+    release_persisted_frames()
