@@ -4866,6 +4866,12 @@ STAGED_CANDIDATES = [
     # the posting frame is eager_persist'd (dual-branch class
     # pre-empted, plan-pinned).
     "q_sparse_allpairs",
+    # r09-built (continuation), r12 registration: span-level dedup —
+    # maximal cross-document duplicated character ranges (Lee et al.
+    # ExactSubstr as fixed-k position matching + interval-union merge).
+    # Oracle-pinned at both scales by tests/test_r12_candidates.py
+    # with a hashlib third implementation.
+    "q_dup_spans",
 ]
 
 
@@ -5154,6 +5160,34 @@ def q_sparse_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         tau=_SPARSE_TAU,
         max_df=_SPARSE_MAX_DF,
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-substring span detection (r09-built, r12 staged gate): the
+# span-level member of the dedup family — maximal cross-document
+# duplicated character ranges per document (Lee et al. 2022 ExactSubstr
+# re-expressed as fixed-k position matching + interval-union run
+# merging; see dedup/substr.py). k=20 chars, min_docs=2: the corpus's
+# injected near-dups and shared templates surface as spans up to ~500
+# chars; within-doc repetition alone does not trigger.
+# ---------------------------------------------------------------------------
+def _dup_spans_oracle() -> str:
+    from hadoop_gpu_spark.dedup.substr import dup_substring_spans_sql
+
+    return dup_substring_spans_sql("documents")
+
+
+Q_DUP_SPANS_ORACLE = _dup_spans_oracle()
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated character spans per document
+    (r12 staged gate): the cut-list a substring-level dedup pass feeds
+    to a span remover — (doc_id, span_start, span_end, span_len),
+    disjoint and non-adjacent per document by construction."""
+    from hadoop_gpu_spark.dedup.substr import dup_substring_spans
+
+    return dup_substring_spans(T(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
 # ===========================================================================
