@@ -27,8 +27,12 @@ Semantics (declared, engine-exact end to end):
   both engines round halves away from zero; no round(double, d>0)
   anywhere). The df domain is tiny (``[1, max_df]``), so idf parity is
   verified exhaustively by test, the HLL linear-counting stance,
-- weight ``w = tf * idf_u`` (exact BIGINT); ``norm2 = SUM(w^2)`` per
-  doc and ``dot = SUM(w_a * w_b)`` per pair are exact BIGINTs,
+- weight ``w = tf * idf_u`` (exact BIGINT), keeping only ``w > 0``
+  (an idf-0 feature — df == N when ``max_df >= N`` — contributes
+  nothing to dot or norms but can zero a document's norm entirely and
+  0/0 the pair score; found by the twin fuzz, fixed on both engines);
+  ``norm2 = SUM(w^2)`` per doc and ``dot = SUM(w_a * w_b)`` per pair
+  are exact BIGINTs,
 - ``cos = dot / (sqrt(norm2_a) * sqrt(norm2_b))`` — int64→double
   conversions, sqrt, multiply, divide: each a single correctly-rounded
   IEEE op on identical inputs, hence bit-identical across engines
@@ -114,8 +118,13 @@ def sparse_allpairs(
         F.round(F.log(F.lit(n_docs) / F.col("df").cast("double")) * F.lit(float(idf_scale)))
         .cast("long")
     )
-    wts = dfx.filter(F.col("df") <= max_df).select(
-        "__id", "g_h", (F.col("tf") * idf_u).alias("w")
+    # w > 0 also drops idf-0 features (df == N when max_df >= N): they
+    # contribute nothing to dot or norms, and keeping them can zero a
+    # document's norm entirely -> 0/0 at pair scoring (ANSI raises).
+    wts = (
+        dfx.filter(F.col("df") <= max_df)
+        .select("__id", "g_h", (F.col("tf") * idf_u).alias("w"))
+        .filter(F.col("w") > 0)
     )
     posts = eager_persist(
         wts.withColumn(
@@ -179,9 +188,11 @@ def sparse_allpairs_sql(
     tf AS (SELECT id, g_h, CAST(COUNT(*) AS BIGINT) AS tf FROM g GROUP BY 1, 2),
     dfx AS (SELECT *, COUNT(*) OVER (PARTITION BY g_h) AS df FROM tf),
     wts AS (
-      SELECT id, g_h,
-             tf * CAST(trunc(round(ln(n_docs / CAST(df AS DOUBLE)) * {float(idf_scale)!r})) AS BIGINT) AS w
-      FROM dfx, nn WHERE df <= {max_df}),
+      SELECT * FROM (
+        SELECT id, g_h,
+               tf * CAST(trunc(round(ln(n_docs / CAST(df AS DOUBLE)) * {float(idf_scale)!r})) AS BIGINT) AS w
+        FROM dfx, nn WHERE df <= {max_df})
+      WHERE w > 0),
     posts AS (
       SELECT id, g_h, w,
              CAST(SUM(w * w) OVER (PARTITION BY id) AS BIGINT) AS norm2

@@ -439,9 +439,10 @@ def _py_sparse_allpairs(texts_by_id, tau, max_df, n=3, idf_scale=1000):
     df = collections.Counter(g for i in tf for g in tf[i])
     w = {
         i: {
-            g: c * int(round(math.log(n_docs / df[g]) * idf_scale))
+            g: wt
             for g, c in tf[i].items()
             if df[g] <= max_df
+            and (wt := c * int(round(math.log(n_docs / df[g]) * idf_scale))) > 0
         }
         for i in tf
     }
@@ -761,3 +762,68 @@ def test_dup_spans_pandas_matches_expression(spark, sf_dir):
     assert fast == spec
     assert (4, 1, 20, 20) in fast and (5, 1, 20, 20) in fast  # exact-k pair
     assert not any(r[0] == 3 for r in fast)  # shorter than k: no positions
+
+
+def test_sparse_allpairs_sql_twin_matches_reference_fuzz():
+    """python <-> DuckDB differential fuzz over tiny random corpora
+    (short alphabets force shared grams and hash-feature reuse) — the
+    CMS/HLL fuzz stance: the Spark side is pinned to this twin by the
+    oracle gate test and the stdlib-reference test."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hadoop_gpu_spark.similarity.sparse import sparse_allpairs_sql
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    @given(docs=st.lists(doc, min_size=2, max_size=6), tau=st.sampled_from([0.05, 0.3, 0.8]))
+    @settings(max_examples=40, deadline=None)
+    def run(docs, tau):
+        texts = {i: t for i, t in enumerate(docs)}
+        want = _py_sparse_allpairs(texts, tau=tau, max_df=4, n=3)
+        con = duckdb.connect()
+        con.sql("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", list(texts.items()))
+        got = {
+            (a, b): (ns, cos)
+            for a, b, ns, cos in con.sql(
+                sparse_allpairs_sql("t", tau=tau, max_df=4, n=3)
+            ).fetchall()
+        }
+        con.close()
+        assert got == want, (docs, tau, got, want)
+
+    run()
+
+
+def test_dup_spans_sql_twin_matches_reference_fuzz():
+    """python <-> DuckDB differential fuzz with a small k (k=4 over a
+    2-letter alphabet — duplicated substrings everywhere, heavy
+    interval merging) — pins the twin the Spark side is gated on."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hadoop_gpu_spark.dedup.substr import dup_substring_spans_sql
+
+    doc = st.text(alphabet="xy", min_size=0, max_size=24)
+
+    @given(docs=st.lists(doc, min_size=2, max_size=6), min_docs=st.integers(2, 3))
+    @settings(max_examples=60, deadline=None)
+    def run(docs, min_docs):
+        texts = {i: t for i, t in enumerate(docs)}
+        want = _py_dup_spans(texts, k=4, min_docs=min_docs)
+        con = duckdb.connect()
+        con.sql("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", list(texts.items()))
+        got = sorted(
+            con.sql(
+                dup_substring_spans_sql("t", k=4, min_docs=min_docs)
+            ).fetchall()
+        )
+        con.close()
+        assert got == want, (docs, min_docs, got, want)
+
+    run()
