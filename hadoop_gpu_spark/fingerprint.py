@@ -85,12 +85,26 @@ def _collect(obj, seen: dict[str, str]) -> None:
     local_imports: dict[str, object] = {}
     names: set[str] = set()
     attr_chains: list[tuple[str, str]] = []
+    # Precision (r10): a Name node that is the BASE of a `module.attr`
+    # chain must not ALSO be collected as a bare name — that hashed the
+    # entire module source for every `mod.fn()` call site, so a one-
+    # function edit flagged every query touching ANY function of that
+    # module (observed: the asof_join struct-fill fix flipped 8 queries,
+    # 5 of them join_ops users whose closures never reach asof_join —
+    # more than the window's spare slots). The attr loop below collects
+    # exactly the referenced attribute; bases fall back to whole-module
+    # hashing only when an attribute cannot be resolved to a hashable
+    # callable/submodule (e.g. a module-level constant).
+    attr_base_nodes: set[int] = set()
     for node in ast.walk(tree):
-        if isinstance(node, ast.Name):
-            names.add(node.id)
-        elif isinstance(node, ast.Attribute) and isinstance(node.value, ast.Name):
+        if isinstance(node, ast.Attribute) and isinstance(node.value, ast.Name):
             attr_chains.append((node.value.id, node.attr))
-        elif isinstance(node, ast.ImportFrom) and node.module and node.module.startswith(_PKG):
+            attr_base_nodes.add(id(node.value))
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Name) and id(node) not in attr_base_nodes:
+            names.add(node.id)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module and node.module.startswith(_PKG):
             try:
                 mod = importlib.import_module(node.module)
             except ImportError:
@@ -137,6 +151,15 @@ def _collect(obj, seen: dict[str, str]) -> None:
                     sub = None
             if sub is not None and _in_pkg(sub) and (callable(sub) or isinstance(sub, types.ModuleType)):
                 _collect(sub, seen)
+            else:
+                # module-level constant (or unresolvable attr): no function
+                # source to hash — fall back to the whole module so a
+                # constant edit still flips the consumer's fingerprint.
+                names.add(base)
+        elif tgt is not None and _in_pkg(tgt):
+            # non-module base (class, object): hash the base itself, as
+            # the bare-name path always did.
+            names.add(base)
     for name in names:
         tgt = resolve(name)
         if tgt is None or not _in_pkg(tgt):

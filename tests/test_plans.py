@@ -293,6 +293,46 @@ def test_fingerprints_independent_of_import_order():
     assert query_fingerprint("q_multimodal_decode") == fp1
 
 
+def test_fingerprint_module_attr_is_function_precise():
+    # r10 precision fix: a `join_ops.broadcast_join(...)` call site hashes
+    # exactly the referenced function (transitively), NOT the whole joins
+    # module — before this, a one-function edit (the asof_join struct-fill
+    # fix) flipped 8 queries, 5 of them join_ops users whose closures never
+    # reach asof_join, overflowing the driver window's spare slots with
+    # provably-unchanged queries.
+    from hadoop_gpu_spark.fingerprint import _collect
+
+    seen: dict[str, str] = {}
+    _collect(QUERIES["q_join_broadcast"], seen)
+    assert "hadoop_gpu_spark.operators.joins.broadcast_join" in seen
+    assert "hadoop_gpu_spark.operators.joins" not in seen, (
+        "whole joins module hashed for a single-function reference — the "
+        "module-coupling the r10 precision fix removed"
+    )
+    assert not any(".asof_join" in k for k in seen), seen.keys()
+
+
+def _refs_module_constant():
+    # fixture for the constant-fallback test below — a module-level
+    # constant reference has no function source to hash
+    from hadoop_gpu_spark import fingerprint as fp_mod
+
+    return fp_mod.DATA_EPOCH_KEY
+
+
+def test_fingerprint_module_constant_falls_back_to_module_hash():
+    # The precision fix must stay CONSERVATIVE for `mod.CONSTANT`: there is
+    # no function source to hash, so the whole module is hashed — a
+    # constant edit still flips every consumer's fingerprint.
+    from hadoop_gpu_spark.fingerprint import _collect
+
+    seen: dict[str, str] = {}
+    _collect(_refs_module_constant, seen)
+    assert "hadoop_gpu_spark.fingerprint" in seen, (
+        "module-level constant reference escaped the fingerprint closure"
+    )
+
+
 def test_pipe_pipeline_has_no_rdd_boundary(spark, sf_dir):
     # The Streaming line-protocol legs (pipe_map/pipe_reduce) must stay
     # inside ONE DataFrame plan. The old rdd.pipe form compiled to a
