@@ -129,10 +129,15 @@ def asof_join(
     ``by`` equality groups.
 
     Shuffle-based formulation (no driver loop, scales): tag both sides,
-    union, then a window ``last(right_value, ignorenulls=True)`` ordered by
-    the as-of key within each ``by`` group — one shuffle on (by, on), no
-    cross product. This matches DuckDB's ASOF JOIN semantics for the
-    backward direction (lossy: left rows with no prior right row keep NULL).
+    union, then ONE window ``last(struct(right_cols), ignorenulls=True)``
+    ordered by the as-of key within each ``by`` group — one shuffle on
+    (by, on), no cross product. The fill columns are packed into a single
+    struct BEFORE the window so every filled column comes from the SAME
+    right row: a right row carrying NULL in one fill column is still taken
+    wholesale (its struct is non-null), never mixed with an older row's
+    value for that column. This matches DuckDB's ASOF JOIN semantics for
+    the backward direction (lossy: left rows with no prior right row keep
+    NULL in every fill column).
 
     Scale caveat: with ``by=[]`` the window is global (single partition) —
     fine for small lookup tables (MapFile.getClosest); for large un-keyed
@@ -148,11 +153,11 @@ def asof_join(
 
     l = left.withColumn("__side", F.lit(1))
     r = right.select(
-        *by, on, *[F.col(c).alias(f"__r_{c}") for c in right_cols]
+        *by, on, F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("__r")
     ).withColumn("__side", F.lit(0))
-    l_aligned = l
-    for c in right_cols:
-        l_aligned = l_aligned.withColumn(f"__r_{c}", F.lit(None).cast(r.schema[f"__r_{c}"].dataType))
+    # struct(...) is non-null even when every field is null, so a right row
+    # whose fill columns are all NULL still wins the last() below.
+    l_aligned = l.withColumn("__r", F.lit(None).cast(r.schema["__r"].dataType))
     u = l_aligned.unionByName(r, allowMissingColumns=True)
     # Right rows sort before left rows at the same key (side 0 < 1), so a
     # right row at exactly t matches a left row at t.
@@ -161,13 +166,11 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u
-    for c in right_cols:
-        filled = filled.withColumn(f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+    filled = u.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
     out = filled.filter(F.col("__side") == 1).drop("__side")
     for c in right_cols:
-        out = out.withColumnRenamed(f"__r_{c}", c)
-    return out
+        out = out.withColumn(c, F.col("__r").getField(c))
+    return out.drop("__r")
 
 
 def cogroup_tagged_join(

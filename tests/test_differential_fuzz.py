@@ -947,7 +947,13 @@ def asof_spec(draw):
         )
     )
     keyed = draw(st.booleans())
-    return {"left": left, "right": right_keys, "keyed": keyed}
+    # NULL-bearing right values (r10): a matched right row carrying NULL
+    # must be taken wholesale (v=NULL), never skipped for an older row's
+    # non-null v — the torn-row divergence the struct-pack fill closed.
+    null_mask = draw(
+        st.lists(st.booleans(), min_size=len(right_keys), max_size=len(right_keys))
+    )
+    return {"left": left, "right": right_keys, "keyed": keyed, "nulls": null_mask}
 
 
 @given(spec=asof_spec())
@@ -963,7 +969,10 @@ def test_asof_join_matches_duckdb_native_asof(spark, spec):
     from hadoop_gpu_spark.operators.joins import asof_join
 
     lrows = [(i, g, t) for i, (g, t) in enumerate(spec["left"])]
-    rrows = [(g, t, g * 1000 + t) for g, t in spec["right"]]
+    rrows = [
+        (g, t, None if is_null else g * 1000 + t)
+        for (g, t), is_null in zip(spec["right"], spec["nulls"])
+    ]
     by = ["g"] if spec["keyed"] else []
     if not spec["keyed"]:
         # unkeyed: collapse groups so right "t" keys must be unique again

@@ -61,19 +61,13 @@ def test_asof_join_matches_pandas(spark):
         exp[["g", "t", "rv"]].where(exp.notna(), None).values.tolist()
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="r08 ADVICE low / r10 queue #3: asof_join fills each right "
-    "column with an INDEPENDENT last(ignorenulls) window, so when the "
-    "latest prior right row carries a NULL in one fill column the result "
-    "mixes that row's non-null columns with an OLDER row's value — a "
-    "torn row diverging from DuckDB ASOF (which takes the latest row "
-    "wholesale, NULLs included). Latent in every registered gate (their "
-    "right_cols are non-null by construction). The struct-pack fix is "
-    "earmarked for r10 when its consumers' window slots are free — this "
-    "falsifier written FIRST per the queue, flips green when it lands.",
-)
 def test_asof_join_null_right_column_takes_latest_row_wholesale(spark):
+    # r08 ADVICE low, landed r10: right_cols are packed into ONE struct and
+    # filled by ONE last(ignorenulls) window, so every filled column comes
+    # from the SAME right row — a latest-prior right row carrying NULL in
+    # one fill column is taken wholesale (DuckDB ASOF semantics), never
+    # torn against an older row's value. This test was the falsifier
+    # (strict xfail) written one round before the fix, per the queue.
     # right rows for key 1: t=5 (val=1.0, aux='a'), t=8 (val=NULL,
     # aux='b'); probe at t=10. ASOF semantics: match the t=8 row
     # wholesale -> (val NULL, aux 'b'). Today's per-column fill returns

@@ -30,6 +30,13 @@ STAGED = [
     "q_semantic_dedup",
     "q_bpe_merges",
     "q_cms_token_freq",
+    # r09-continuation staging (r12 registration) — kept in sync with
+    # queries.STAGED_CANDIDATES; the r09 window trio remains CANDIDATES
+    # minus q_stream_quantiles above
+    "q_hll_distinct",
+    "q_stream_cms_freq",
+    "q_sparse_allpairs",
+    "q_dup_spans",
 ]
 
 
