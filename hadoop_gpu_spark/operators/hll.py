@@ -69,8 +69,16 @@ _RANK_MAX = 33
 
 
 def _check_p(p: int) -> int:
-    if not (4 <= p <= 16):
-        raise ValueError("p must be in [4, 16]")
+    # Upper bound 10, not 16 (r09 ADVICE medium): the exact-IEEE-division
+    # contract needs NUM = alpha_m * m^2 * 2^33 < 2^53 (p=11 already gives
+    # ~2.6e16 > 2^53), and the LC predicate's 5 * m * scaled_sum must stay
+    # inside BIGINT. The 2^33 lattice CANNOT be rescaled down for larger
+    # p: harmonic terms are 2^(scale - rank) with rank up to 33, so any
+    # scale < 33 makes them fractional and the exactness argument dies.
+    # ~3.25% standard error at p=10 is the design point; callers needing
+    # better precision at >2^53 lattices need a wider-than-double proof.
+    if not (4 <= p <= 10):
+        raise ValueError("p must be in [4, 10] (2^33 lattice exactness bound)")
     return 1 << p
 
 
@@ -80,7 +88,9 @@ def hll_num(p: int) -> int:
     m = _check_p(p)
     alpha = 0.7213 / (1.0 + 1.079 / m)
     num = round(alpha * m * m * float(1 << _RANK_MAX))
-    assert num < (1 << 53)  # exactly representable as a double
+    if num >= (1 << 53):  # pragma: no cover - unreachable for p <= 10
+        # explicit raise, not assert: the invariant must survive python -O
+        raise OverflowError(f"HLL constant {num} not exactly representable")
     return num
 
 
@@ -113,8 +123,13 @@ def hll_registers(
     Merge two sketches with :func:`hll_merge` (per-register MAX)."""
     m = _check_p(p)
     gcols = list(group_cols or [])
+    # NULL keys would otherwise build a phantom NULL register row
+    # (counted by regs_hit, skipped by SUM — the estimate inflates
+    # identically in both engines, so the oracle can't catch it; r09
+    # ADVICE low). COUNT DISTINCT semantics ignore NULLs anyway.
     return (
-        df.select(
+        df.filter(F.col(col).isNotNull())
+        .select(
             *gcols,
             (hash_u32(col, seed=1) % F.lit(m)).alias("reg"),
             _rank32(hash_u32(col, seed=2)).alias("rank"),
@@ -213,6 +228,7 @@ def hll_distinct_sql(
       SELECT {gsel}{h1} % {m} AS reg,
              CAST(MAX({_rank32_sql(h2)}) AS BIGINT) AS max_rank
       FROM {table}
+      WHERE ({col_expr}) IS NOT NULL
       GROUP BY {"".join(f"{g}, " for g in gcols)}reg),
     agg AS (
       SELECT {gsel}CAST(COUNT(*) AS BIGINT) AS regs_hit,

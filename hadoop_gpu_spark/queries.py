@@ -56,6 +56,7 @@ STREAMING_SNAPSHOT: set[str] = {
     "q_stream_join",
     "q_stream_dedup",
     "q_stream_topk",
+    "q_stream_quantiles",
 }
 
 
@@ -2690,11 +2691,18 @@ def q_db_count_pageview(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed per-process scratch path (not a fresh mkdtemp per call) and the
     # table is written with mode="overwrite", so repeated gate/bench
     # invocations reuse the same directory instead of accumulating
-    # orphaned databases.
+    # orphaned databases WITHIN a process; dead predecessors' dirs are
+    # swept here at construction (r10, queue #7 — the accumulation source
+    # was non-pytest processes: driver runs, bench, verify drives; the
+    # path stays pid-keyed because embedded Derby holds an exclusive
+    # db.lck, so a FIXED name would break under concurrent processes).
     import os
     import tempfile
 
     from hadoop_gpu_spark.sources import DERBY_DRIVER, derby_url, read_jdbc, write_jdbc
+    from hadoop_gpu_spark.utils import sweep_stale_scratch
+
+    sweep_stale_scratch()
 
     access = (
         T(spark, sf_dir, "events")
@@ -4378,12 +4386,28 @@ Q_STREAM_TOPK_ORACLE = """
 """
 
 
-@query("q_stream_topk", oracle=Q_STREAM_TOPK_ORACLE)
-def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming hourly top-3 event types (registered r06)."""
+def _snapshot_scratch_dir(prefix: str, *key_parts) -> str:
+    """Per-(process, config) streaming-snapshot dir (r09 ADVICE low on
+    q_stream_cms_freq, applied to every snapshot site): the pid keeps
+    concurrent processes apart and the dead-pid sweep applicable (the
+    name still ends ``_<pid>``); the config digest keeps two sf_dirs (or
+    parameterizations) constructed in ONE process from overwriting each
+    other's snapshot before a lazy reader collects. Same config in the
+    same process still reuses ONE overwrite-mode directory — warm bench
+    cycles accumulate nothing."""
+    import hashlib
     import os
     import tempfile
 
+    digest = hashlib.md5("|".join(map(str, key_parts)).encode()).hexdigest()[:8]
+    return os.path.join(
+        tempfile.gettempdir(), f"hgs_{prefix}_{digest}_{os.getpid()}"
+    )
+
+
+@query("q_stream_topk", oracle=Q_STREAM_TOPK_ORACLE)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hourly top-3 event types (registered r06)."""
     from hadoop_gpu_spark.streaming import (
         events_stream,
         topk_per_window_snapshot,
@@ -4391,13 +4415,7 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     agg = windowed_counts(events_stream(spark, sf_dir))
-    # Fixed per-process scratch path (repo convention — see
-    # q_db_count_pageview): the snapshot sink writes mode("overwrite"), so
-    # repeated gate/bench invocations (warm cycles, min-of-3) reuse one
-    # directory instead of accumulating orphaned mkdtemp snapshots.
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"hgs_stream_topk_{os.getpid()}"
-    )
+    out_dir = _snapshot_scratch_dir("stream_topk", sf_dir, 3)
     snap = topk_per_window_snapshot(agg, out_dir, k=3)
     return snap.select("hour", "event_type", "cnt", "rank")
 
@@ -4823,12 +4841,9 @@ def q_bucketed_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Still-staged gates awaiting window slots (for tests to iterate; the
 # r09 trio above graduated out of this list on registration).
 STAGED_CANDIDATES = [
-    # streaming form of the sketch (defined below) — registers in r10
-    # (the r09 spare slots went to the 2 changed queries; the r10 window
-    # is 26 r06-latest + 21 HEADLINE + this + the asof struct-fix
-    # consumers = fits). On registration it must ALSO join
-    # STREAMING_SNAPSHOT (see its docstring).
-    "q_stream_quantiles",
+    # (q_stream_quantiles graduated out of this list on its r10
+    # registration — 26 r06-latest + 21 HEADLINE + it + the 2 asof
+    # struct-fix consumers = exactly 50.)
     # r09-built, r11 registration (the r10 window is exactly full; r11
     # has ~5 spare beside the 24-query r07-latest rotation). Oracle-
     # pinned at both scales by tests/test_r11_candidates.py since
@@ -4890,24 +4905,22 @@ def _stream_quantiles_oracle() -> str:
 Q_STREAM_QUANTILES_ORACLE = _stream_quantiles_oracle()
 
 
+@query("q_stream_quantiles", oracle=Q_STREAM_QUANTILES_ORACLE)
 def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-type value quantiles via the fixed-lattice sketch
-    (r09/r10 candidate gate): the sketch's count-sum merge makes the
-    streaming state a FIXED |types|·512 rows regardless of stream volume
-    — after an availableNow drain the snapshot equals the batch sketch
-    bit-for-bit, so this gate shares the batch operator's exact SQL
-    oracle (no tolerance bands for a streaming float statistic). On
-    registration this name must ALSO join queries.STREAMING_SNAPSHOT
-    (it drives a Structured Streaming pipeline at construction, so its
-    batch plan is a snapshot read)."""
-    import os as _os
-    import tempfile as _tempfile
-
+    (r09-staged, REGISTERED r10 — first driver row this round): the
+    sketch's count-sum merge makes the streaming state a FIXED
+    |types|·512 rows regardless of stream volume — after an availableNow
+    drain the snapshot equals the batch sketch bit-for-bit, so this gate
+    shares the batch operator's exact SQL oracle (no tolerance bands for
+    a streaming float statistic). Member of STREAMING_SNAPSHOT: it
+    drives a Structured Streaming pipeline at construction, so its batch
+    plan is a snapshot read."""
     from hadoop_gpu_spark.operators.quantiles import hist_quantiles
     from hadoop_gpu_spark.streaming import events_stream, hist_sketch_stream_snapshot
 
-    out_dir = _os.path.join(
-        _tempfile.gettempdir(), f"hgs_stream_quantiles_{_os.getpid()}"
+    out_dir = _snapshot_scratch_dir(
+        "stream_quantiles", sf_dir, sorted(_STREAM_Q_ARGS.items())
     )
     snap = hist_sketch_stream_snapshot(
         events_stream(spark, sf_dir), "value", out_dir,
@@ -5105,15 +5118,10 @@ def q_stream_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     registration this name must ALSO join queries.STREAMING_SNAPSHOT
     (it drives a Structured Streaming pipeline at construction, so its
     batch plan is a snapshot read)."""
-    import os as _os
-    import tempfile as _tempfile
-
     from hadoop_gpu_spark.operators.cms import cms_estimate
     from hadoop_gpu_spark.streaming import cms_stream_snapshot, docs_stream
 
-    out_dir = _os.path.join(
-        _tempfile.gettempdir(), f"hgs_stream_cms_{_os.getpid()}"
-    )
+    out_dir = _snapshot_scratch_dir("stream_cms", sf_dir, _CMS_D, _CMS_W)
     snap = cms_stream_snapshot(
         docs_stream(spark, sf_dir), "text", out_dir, d=_CMS_D, w=_CMS_W
     )
@@ -5205,51 +5213,52 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the module so every @query registration (including same-round gate
 # registrations) precedes the reorder.
 #
-# Round 9 window. Slot accounting (hard 50; every set below MUST be
+# Round 10 window. Slot accounting (hard 50; every set below MUST be
 # inside it). Freshness policy: 4-round re-proof period (amended r07 —
 # after round N no query's latest driver row may be older than N-3;
 # pytest's oracle-parity suite still re-proves the ENTIRE surface every
 # session).
 #
-# - NEW queries (first driver rows; mechanically enforced by
-#   tests/test_plans.py::test_changed_queries_are_windowed): the 3 gates
-#   staged during r08 and registered this round — q_quantile_sketch,
-#   q_asof_event_state, q_bucketed_ctas. The 4th staged gate
-#   (q_stream_quantiles) defers to r10: the 2 changed queries below took
-#   its slot, the branch the r08 slot math pre-authorized.
+# - NEW query (first driver row; mechanically enforced by
+#   tests/test_plans.py::test_changed_queries_are_windowed):
+#   q_stream_quantiles — the last r08-staged gate, registered this round
+#   after its pre-authorized r09 deferral (+ STREAMING_SNAPSHOT
+#   membership per its docstring).
 # - bench HEADLINE (policy c): the full 21-query macro set, unchanged
 #   since r04.
 # - CHANGED this round outside the rotation set (must take a slot;
-#   mechanically enforced): q_unigram_logprob + q_ppl_buckets — the
-#   _unigram_nll |vocab|-row single-partition global window (VERDICT r08
-#   what's-wrong #1, the last weak class) replaced by eager_persist(freq)
-#   + a construction-time scalar total (the q15/q_tfidf patterns,
-#   combined); both re-pinned (exchange display +1 from the cached
-#   model's lineage, scans unchanged) and both oracle-green at
-#   sf0.001+sf0.01 locally before this window was cut.
-# - stale-evidence rotation: the ENTIRE 24-query r05-latest cohort, at
-#   the policy boundary after the r08 deferral — the 8 r08-deferred
-#   (q02_min_cost_supplier, q_approx_stats, q_cogroup_join,
-#   q_connected_components, q_cube, q_dedup_embedding,
-#   q_dedup_minhash_pairs, q_dedup_simhash_pairs) + the 16 remaining
-#   (q_near_dedup_survivors was pulled forward to r08 and is r08-latest).
-# - 3 + 21 + 2 + 24 = exactly 50, zero overlap.
+#   mechanically enforced): q_asof_event_state + q_mapfile_get_closest —
+#   the asof_join struct-fill fix (r08 ADVICE low, earmarked for exactly
+#   this window so its other consumers rotate for free): right_cols pack
+#   into ONE struct filled by ONE last(ignorenulls) window, so every
+#   filled column comes from the SAME right row. Both oracle-green at
+#   sf0.01 through the entry surface before this window was cut; the
+#   r09-written falsifier flipped green; the as-of fuzz now draws
+#   NULL-bearing right values. (The r10 fingerprint-precision fix keeps
+#   the changed set at the REAL consumers: under the old whole-module
+#   hashing this edit flagged 8 queries — 3 more than the window's spare
+#   slots — 5 of them join_ops users whose closures never reach
+#   asof_join.)
+# - stale-evidence rotation: the ENTIRE 26-query r06-latest cohort at
+#   the policy boundary (q_ann_pq .. q_union_distinct below). Three of
+#   them are ALSO changed this round: q_asof_join (struct-fill fix),
+#   q_db_count_pageview (construction-time dead-pid scratch sweep,
+#   queue #7), q_stream_topk (config-keyed snapshot dir, the r09 ADVICE
+#   class applied to every snapshot site).
+# - 1 + 21 + 2 + 26 = exactly 50, zero overlap.
 #
-# r10 lookahead (enumerate against CORRECTNESS_r09 when it lands): the
-# 26-query r06-latest cohort hits the boundary together (q_ann_pq ..
-# q_union_distinct) + 21 HEADLINE + q_stream_quantiles (registration +
-# STREAMING_SNAPSHOT membership) = 48, leaving ~2 slots — earmarked for
-# the asof_join struct-fill fix (r08 ADVICE low: pack right_cols into
-# one struct so all filled columns come from the SAME right row;
-# consumers q_asof_join — already in the 26 — and q_mapfile_get_closest,
-# which takes a changed slot). The fix waits for r10 PRECISELY so its
-# changed-query slots coincide with the cohort rotation.
+# r11 lookahead (enumerate against CORRECTNESS_r10 when it lands): the
+# 24-query r07-latest cohort hits the boundary (q_chunk_documents ..
+# q_uniq_value_count) + 21 HEADLINE = 45, ~5 spare: register
+# q_bm25_topk + q_semantic_dedup + q_bpe_merges + q_cms_token_freq
+# (all oracle-pinned in tests/test_r11_candidates.py since r09;
+# q_semantic_dedup joins INTENTIONAL_NESTED_LOOP, all take scan/
+# exchange pins; the last two defer to r12 if the window fills with
+# reds or changed queries).
 # ===========================================================================
 _DRIVER_WINDOW = [
-    # NEW r09 gates (first driver rows)
-    "q_quantile_sketch",
-    "q_asof_event_state",
-    "q_bucketed_ctas",
+    # NEW r10 gate (first driver row) — registered + STREAMING_SNAPSHOT
+    "q_stream_quantiles",
     # bench HEADLINE — full 21-query macro set (kept in sync with
     # bench.HEADLINE)
     "q01_pricing_summary",
@@ -5273,35 +5282,37 @@ _DRIVER_WINDOW = [
     "q_sequence_pack",
     "q_ann_lsh",
     "q_pretrain_pipeline",
-    # changed this round (the _unigram_nll global-window fix)
-    "q_unigram_logprob",
-    "q_ppl_buckets",
-    # stale rotation: the full r05-latest cohort (8 r08-deferred at the
-    # boundary + 16 remaining)
-    "q02_min_cost_supplier",
-    "q_approx_stats",
-    "q_cogroup_join",
-    "q_connected_components",
-    "q_cube",
-    "q_dedup_embedding",
-    "q_dedup_minhash_pairs",
-    "q_dedup_simhash_pairs",
-    "q_except",
-    "q_frame_sample",
-    "q_hybrid_token_stats",
-    "q_inverse_map",
-    "q_join_anti",
-    "q_json_extract",
-    "q_kmeans_grouped",
-    "q_matmul_blocked",
-    "q_moving_window",
-    "q_multimodal_decode",
-    "q_pi_estimator",
-    "q_pipe_lang_counts",
-    "q_pipes_native_wordcount",
-    "q_salted_agg",
-    "q_scalar_funcs",
-    "q_stream_dedup",
+    # changed this round outside the rotation set (asof struct-fill fix)
+    "q_asof_event_state",
+    "q_mapfile_get_closest",
+    # stale rotation: the full r06-latest cohort (3 of them also changed
+    # this round — q_asof_join, q_db_count_pageview, q_stream_topk)
+    "q_ann_pq",
+    "q_asof_join",
+    "q_audio_decode",
+    "q_contamination",
+    "q_db_count_pageview",
+    "q_dedup_fingerprint",
+    "q_join_expr_composite",
+    "q_join_override",
+    "q_join_semi",
+    "q_kvjob_wordcount",
+    "q_kvjob_wordcount_pandas",
+    "q_media_probe",
+    "q_mixture_weights",
+    "q_ngram_freq",
+    "q_pii_redact",
+    "q_pq_encode",
+    "q_quality_filter",
+    "q_range_join",
+    "q_repetition_ratio",
+    "q_rollup",
+    "q_salted_join",
+    "q_sq8_quantize",
+    "q_stratified_sample",
+    "q_stream_topk",
+    "q_token_count_bpe",
+    "q_union_distinct",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

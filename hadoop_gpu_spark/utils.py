@@ -24,6 +24,39 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     return df.repartition(target)
 
 
+def sweep_stale_scratch() -> int:
+    """Remove pid-suffixed ``hgs_*_<pid>`` scratch dirs in the system temp
+    whose owning process is dead. Derby JDBC scratch, test sink dirs, and
+    streaming snapshot dirs all use the ``<prefix>_<pid>`` convention —
+    idempotent within a process, accumulating across them (114 dead dirs
+    found when the pytest-session sweep landed in r09; this shared helper
+    moves the sweep to the accumulation SOURCES: it runs at construction
+    of every scratch-writing query, not only at pytest startup).
+    Conservative: a reused pid skips cleanup; content-addressed caches
+    (hgs_native) carry no pid suffix and are never touched. Returns the
+    number of dirs removed."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    tmp = tempfile.gettempdir()
+    pat = re.compile(r"\Ahgs_.*_(\d+)\Z")
+    try:
+        entries = os.listdir(tmp)
+    except OSError:  # pragma: no cover
+        return 0
+    removed = 0
+    for name in entries:
+        m = pat.match(name)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        if not os.path.exists(f"/proc/{m.group(1)}"):
+            shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+            removed += 1
+    return removed
+
+
 # Every frame eager_persist() handed out, strongest-ref'd so
 # release_persisted_frames() can unpersist them deterministically.
 # Spark's CacheManager keys cached data by logical plan and DEDUPES

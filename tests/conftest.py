@@ -27,34 +27,13 @@ except ImportError:  # pragma: no cover - hypothesis is baked in
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
-def _sweep_stale_scratch() -> None:
-    """Remove pid-suffixed hgs_* scratch dirs in /tmp whose owning
-    process is dead (r09 hygiene, the CTAS-accumulation class advisory
-    applied to the whole scratch convention): Derby JDBC scratch, test
-    sink dirs, and streaming checkpoints all use <prefix>_<pid> names —
-    idempotent within a process, accumulating across them (56 dead
-    Derby dirs were found when this landed). Conservative: a reused pid
-    skips cleanup; content-addressed caches (hgs_native) have no pid
-    suffix and are never touched."""
-    import re
-    import shutil
-    import tempfile
+# r09 hygiene (CTAS-accumulation class applied to the whole scratch
+# convention), r10: the sweep moved to hadoop_gpu_spark.utils so the
+# scratch-WRITING queries run it at construction too — pytest startup
+# keeps its session-level pass.
+from hadoop_gpu_spark.utils import sweep_stale_scratch
 
-    tmp = tempfile.gettempdir()
-    pat = re.compile(r"\Ahgs_.*_(\d+)\Z")
-    try:
-        entries = os.listdir(tmp)
-    except OSError:  # pragma: no cover
-        return
-    for name in entries:
-        m = pat.match(name)
-        if not m or int(m.group(1)) == os.getpid():
-            continue
-        if not os.path.exists(f"/proc/{m.group(1)}"):
-            shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
-
-
-_sweep_stale_scratch()
+sweep_stale_scratch()
 
 
 @pytest.fixture(scope="session")

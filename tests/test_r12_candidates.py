@@ -117,6 +117,56 @@ def test_hll_matches_standalone_reference(spark):
         assert got_regs == regs, p
 
 
+def test_hll_p_out_of_lattice_range_raises_valueerror():
+    # r09 ADVICE medium: p in [11, 16] used to pass _check_p and then die
+    # on a bare assert in hll_num (NUM > 2^53 at p=11 — the exact-IEEE-
+    # division contract breaks; under python -O it would SILENTLY break
+    # instead). The contract bound is now an explicit ValueError at the
+    # gate, so every entry point fails loudly and identically.
+    import pytest as _pytest
+
+    from hadoop_gpu_spark.operators.hll import hll_distinct_sql, hll_num
+
+    for p in (3, 11, 16):
+        with _pytest.raises(ValueError):
+            hll_num(p)
+        with _pytest.raises(ValueError):
+            hll_distinct_sql("t", "k", p=p)
+    assert hll_num(10) < (1 << 53)  # the design point still fits
+
+
+def test_hll_null_keys_are_ignored_like_count_distinct(spark):
+    # r09 ADVICE low: a NULL key used to build a phantom NULL register
+    # row — counted by regs_hit, skipped by SUM — inflating the estimate
+    # identically in both engines (invisible to the oracle). NULLs are
+    # now filtered in hll_registers AND the SQL twin: sketches with and
+    # without NULL rows must be identical, matching COUNT(DISTINCT)
+    # semantics, and the twin must agree.
+    import duckdb as _dd
+    import pandas as _pd
+
+    from hadoop_gpu_spark.operators.hll import hll_distinct, hll_distinct_sql
+
+    vals = [f"v{i}" for i in range(30)]
+    clean = spark.createDataFrame([(v,) for v in vals], "k string")
+    dirty = spark.createDataFrame(
+        [(v,) for v in vals] + [(None,)] * 7, "k string"
+    )
+    a = hll_distinct(clean, "k", p=4).collect()[0]
+    b = hll_distinct(dirty, "k", p=4).collect()[0]
+    assert a.asDict() == b.asDict()
+    con = _dd.connect()
+    con.register("t", _pd.DataFrame({"k": vals + [None] * 7}))
+    twin = con.sql(hll_distinct_sql("t", "k", p=4)).df().iloc[0]
+    con.close()
+    assert (
+        int(twin["regs_hit"]),
+        int(twin["v_zero"]),
+        int(twin["scaled_sum"]),
+        float(twin["est_distinct"]),
+    ) == (b["regs_hit"], b["v_zero"], b["scaled_sum"], b["est_distinct"])
+
+
 def test_hll_estimator_branches_straddle_the_gate_scales(spark):
     # The gate subject was CHOSEN so both estimator arms earn oracle
     # rows: ~1.1k distinct orders/flag at sf0.001 -> linear counting;
@@ -318,6 +368,30 @@ def test_stream_cms_snapshot_equals_batch_sketch(spark, sf_dir):
     assert sorted(map(tuple, snap[key].values.tolist())) == sorted(
         map(tuple, batch[key].values.tolist())
     )
+
+
+def test_stream_cms_construct_two_scales_then_collect_first(spark, sf_dir):
+    # r09 ADVICE low: the snapshot dir was keyed only by PID and the
+    # returned frame reads it LAZILY, so constructing the query for a
+    # second sf_dir overwrote the first's snapshot before a collect —
+    # wrong-scale results for construct-then-collect callers. The dir is
+    # now keyed by (pid, sf_dir, d, w): construct at BOTH scales, then
+    # collect the FIRST frame and require the first scale's answer.
+    import pandas as pd
+
+    from hadoop_gpu_spark.queries import q_stream_cms_freq
+
+    first = q_stream_cms_freq(spark, sf_dir)
+    q_stream_cms_freq(spark, "/root/testdata/sf0.01")  # would overwrite before
+    got = first.toPandas().sort_values("token").reset_index(drop=True)
+    import tests.oracle as oracle
+
+    con = oracle.duckdb_con(sf_dir)
+    from hadoop_gpu_spark.queries import Q_STREAM_CMS_FREQ_ORACLE
+
+    want = con.sql(Q_STREAM_CMS_FREQ_ORACLE).df().sort_values("token").reset_index(drop=True)
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
 def test_stream_cms_state_is_bounded_by_grid_not_vocab(spark, sf_dir):
