@@ -125,27 +125,29 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """As-of join (beyond-reference): for each left row, the latest right row
-    with ``right.on <= left.on`` (direction='backward'), optionally within
-    ``by`` equality groups.
+    with ``right.on <= left.on`` (direction='backward') or the earliest
+    right row with ``right.on >= left.on`` (direction='forward'),
+    optionally within ``by`` equality groups.
 
     Shuffle-based formulation (no driver loop, scales): tag both sides,
-    union, then ONE window ``last(struct(right_cols), ignorenulls=True)``
-    ordered by the as-of key within each ``by`` group — one shuffle on
-    (by, on), no cross product. The fill columns are packed into a single
-    struct BEFORE the window so every filled column comes from the SAME
-    right row: a right row carrying NULL in one fill column is still taken
-    wholesale (its struct is non-null), never mixed with an older row's
-    value for that column. This matches DuckDB's ASOF JOIN semantics for
-    the backward direction (lossy: left rows with no prior right row keep
-    NULL in every fill column).
+    union, then ONE window ``last/first(struct(right_cols),
+    ignorenulls=True)`` ordered by the as-of key within each ``by`` group —
+    one shuffle on (by, on), no cross product. The fill columns are packed
+    into a single struct BEFORE the window so every filled column comes
+    from the SAME right row: a right row carrying NULL in one fill column
+    is still taken wholesale (its struct is non-null), never mixed with
+    another row's value for that column. Both directions match DuckDB's
+    ASOF JOIN semantics (``l.on >= r.on`` / ``l.on <= r.on``; lossy: left
+    rows with no matching right row keep NULL in every fill column; a
+    right row at exactly ``on`` matches in both directions).
 
     Scale caveat: with ``by=[]`` the window is global (single partition) —
     fine for small lookup tables (MapFile.getClosest); for large un-keyed
     as-ofs, range-partition on ``on`` and run per-partition with boundary
     rows replicated.
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     by = by or []
     right_cols = right_cols or [c for c in right.columns if c != on and c not in by]
 
@@ -156,17 +158,27 @@ def asof_join(
         *by, on, F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("__r")
     ).withColumn("__side", F.lit(0))
     # struct(...) is non-null even when every field is null, so a right row
-    # whose fill columns are all NULL still wins the last() below.
+    # whose fill columns are all NULL still wins the last()/first() below.
     l_aligned = l.withColumn("__r", F.lit(None).cast(r.schema["__r"].dataType))
     u = l_aligned.unionByName(r, allowMissingColumns=True)
-    # Right rows sort before left rows at the same key (side 0 < 1), so a
-    # right row at exactly t matches a left row at t.
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = u.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
+    base = Window.partitionBy(*by)
+    if direction == "backward":
+        # Right rows sort before left rows at the same key (side 0 < 1), so
+        # a right row at exactly t matches a left row at t.
+        w = base.orderBy(F.col(on).asc(), F.col("__side").asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        fill = F.last("__r", ignorenulls=True)
+    else:
+        # Mirror image: right rows sort AFTER left rows at the same key
+        # (side desc: 1 before 0), so the frame [current, following) from a
+        # left row still contains a right row at exactly t, and first()
+        # picks the earliest right at-or-after it.
+        w = base.orderBy(F.col(on).asc(), F.col("__side").desc()).rowsBetween(
+            Window.currentRow, Window.unboundedFollowing
+        )
+        fill = F.first("__r", ignorenulls=True)
+    filled = u.withColumn("__r", fill.over(w))
     out = filled.filter(F.col("__side") == 1).drop("__side")
     for c in right_cols:
         out = out.withColumn(c, F.col("__r").getField(c))

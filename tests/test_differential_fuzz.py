@@ -953,7 +953,16 @@ def asof_spec(draw):
     null_mask = draw(
         st.lists(st.booleans(), min_size=len(right_keys), max_size=len(right_keys))
     )
-    return {"left": left, "right": right_keys, "keyed": keyed, "nulls": null_mask}
+    # both directions (r10): forward = earliest right at-or-after, the
+    # mirror window; DuckDB native ASOF flips the comparison operator
+    direction = draw(st.sampled_from(["backward", "forward"]))
+    return {
+        "left": left,
+        "right": right_keys,
+        "keyed": keyed,
+        "nulls": null_mask,
+        "direction": direction,
+    }
 
 
 @given(spec=asof_spec())
@@ -982,7 +991,12 @@ def test_asof_join_matches_duckdb_native_asof(spark, spec):
     ldf = spark.createDataFrame(lrows, "id long, g long, t long")
     rdf = spark.createDataFrame(rrows, "g long, t long, v long")
     out = asof_join(
-        ldf, rdf.drop("g") if not spec["keyed"] else rdf, "t", by=by, right_cols=["v"]
+        ldf,
+        rdf.drop("g") if not spec["keyed"] else rdf,
+        "t",
+        by=by,
+        right_cols=["v"],
+        direction=spec["direction"],
     )
     got = sorted(
         (r["id"], r["v"]) for r in out.select("id", "v").collect()
@@ -991,7 +1005,8 @@ def test_asof_join_matches_duckdb_native_asof(spark, spec):
     con = _dd.connect()
     con.register("l", _pd.DataFrame(lrows, columns=["id", "g", "t"]))
     con.register("r", _pd.DataFrame(rrows, columns=["g", "t", "v"]))
-    cond = "l.t >= r.t" + (" AND l.g = r.g" if spec["keyed"] else "")
+    op = ">=" if spec["direction"] == "backward" else "<="
+    cond = f"l.t {op} r.t" + (" AND l.g = r.g" if spec["keyed"] else "")
     want = sorted(
         tuple(x)
         for x in con.sql(

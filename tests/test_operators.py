@@ -84,6 +84,31 @@ def test_asof_join_null_right_column_takes_latest_row_wholesale(spark):
     )
 
 
+def test_asof_join_forward_direction(spark):
+    # forward = earliest right at-or-after the probe (r10: the mirror
+    # window — first(ignorenulls) over [current, following), right rows
+    # sorted after left at equal t so an exact-t right still matches).
+    l = spark.createDataFrame([(1, 10), (1, 4), (2, 10)], "g long, t long")
+    r = spark.createDataFrame(
+        [(1, 4, None, "x"), (1, 12, 7.0, "y"), (2, 3, 9.0, "z")],
+        "g long, t long, val double, aux string",
+    )
+    out = {
+        (row["g"], row["t"]): (row["val"], row["aux"])
+        for row in joins.asof_join(
+            l, r, on="t", by=["g"], right_cols=["val", "aux"], direction="forward"
+        ).collect()
+    }
+    # equal-t match taken WHOLESALE (val NULL from the matched row, never
+    # torn against the later row's 7.0)
+    assert out[(1, 4)] == (None, "x")
+    assert out[(1, 10)] == (7.0, "y")
+    assert out[(2, 10)] == (None, None)  # no right row at-or-after
+
+    with pytest.raises(ValueError):
+        joins.asof_join(l, r, on="t", by=["g"], direction="nearest")
+
+
 def test_total_order_sort_validator(spark, sf_dir):
     from hadoop_gpu_spark.tables import load_table
 
