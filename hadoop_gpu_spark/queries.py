@@ -4887,6 +4887,16 @@ STAGED_CANDIDATES = [
     # Oracle-pinned at both scales by tests/test_r12_candidates.py
     # with a hashlib third implementation.
     "q_dup_spans",
+    # r10-built, r13 registration (the r11 spare slots are spoken for
+    # by the four r09-built gates, r12's by the four above): streaming
+    # COUNT DISTINCT via the HLL register sketch — fixed |groups|*2^p
+    # state where exact streaming COUNT(DISTINCT) grows with key
+    # cardinality forever; MAX-merge idempotent across micro-batch
+    # replays. Snapshot == batch registers bit-for-bit, so it shares
+    # hll_distinct_sql as its oracle (subject: events.user_id per
+    # event_type — a different table than the batch gate). On
+    # registration it must ALSO join STREAMING_SNAPSHOT.
+    "q_stream_hll_distinct",
 ]
 
 
@@ -5196,6 +5206,48 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_gpu_spark.dedup.substr import dup_substring_spans
 
     return dup_substring_spans(T(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming HyperLogLog distinct-count sketch (r10-built, r13 staged
+# gate): streaming COUNT DISTINCT in fixed state, completing the
+# streaming-sketch family (distribution r10, frequency r12-staged,
+# cardinality this). Exact streaming COUNT(DISTINCT users) must hold
+# every distinct key in state forever — no watermark can expire it
+# without changing the answer — while the register table is capped at
+# |types| * 1024 rows; MAX-merge is idempotent, so replayed
+# micro-batches are no-ops (the guarantee the count-sum sketches can't
+# make). Snapshot == batch registers bit-for-bit after an availableNow
+# drain, so the gate shares the batch operator's exact SQL oracle.
+# ---------------------------------------------------------------------------
+def _stream_hll_oracle() -> str:
+    from hadoop_gpu_spark.operators.hll import hll_distinct_sql
+
+    return hll_distinct_sql("events", "user_id", ["event_type"], p=_HLL_P)
+
+
+Q_STREAM_HLL_DISTINCT_ORACLE = _stream_hll_oracle()
+
+
+def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user estimates per event type via the HLL
+    register sketch (r13 staged gate): stream the events table, maintain
+    |types|*1024 max-rank registers as complete-mode state (fixed no
+    matter how many distinct users flow through — the state story exact
+    streaming COUNT DISTINCT cannot have), drain with availableNow,
+    resolve estimates off the snapshot. On registration this name must
+    ALSO join queries.STREAMING_SNAPSHOT (it drives a Structured
+    Streaming pipeline at construction, so its batch plan is a snapshot
+    read)."""
+    from hadoop_gpu_spark.operators.hll import hll_estimate
+    from hadoop_gpu_spark.streaming import events_stream, hll_stream_snapshot
+
+    out_dir = _snapshot_scratch_dir("stream_hll", sf_dir, _HLL_P)
+    snap = hll_stream_snapshot(
+        events_stream(spark, sf_dir), "user_id", out_dir,
+        group_cols=["event_type"], p=_HLL_P,
+    )
+    return hll_estimate(snap, ["event_type"], p=_HLL_P)
 
 
 # ===========================================================================

@@ -376,6 +376,55 @@ def hist_sketch_stream_snapshot(
     return stream.sparkSession.read.parquet(out_dir)
 
 
+def hll_stream_snapshot(
+    stream: DataFrame,
+    col: str,
+    out_dir: str,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+) -> DataFrame:
+    """Streaming HyperLogLog register sketch (operators.hll) via the
+    foreachBatch snapshot-sink pattern — streaming COUNT DISTINCT in
+    fixed state, completing the streaming-sketch family (distribution =
+    hist_sketch_stream_snapshot, frequency = cms_stream_snapshot,
+    cardinality = this).
+
+    HLL merge IS per-register MAX, so a streaming groupBy over the
+    (group, reg) expressions maintains the sketch incrementally with
+    state bounded by ``|groups| * 2^p`` rows — FIXED regardless of
+    stream volume, uptime, or KEY CARDINALITY: exact streaming
+    COUNT(DISTINCT) must hold every distinct key in state forever (no
+    watermark can expire it without changing the answer), while the
+    register table never grows past the grid. MAX-merge is additionally
+    IDEMPOTENT — a replayed micro-batch is a no-op, a guarantee the
+    count-sum sketches (CMS, histogram) cannot make. Complete mode +
+    idempotent overwrite snapshot; after an availableNow drain the
+    snapshot EQUALS the batch register table of the same data
+    bit-for-bit (pinned by test), so a resolved-estimates gate shares
+    the batch operator's exact SQL oracle: hll_distinct_sql over the
+    batch table.
+
+    Returns the drained snapshot read back as a batch frame
+    ``(group..., reg, max_rank)`` — feed it to operators.hll.hll_estimate
+    to resolve distinct-count estimates.
+    """
+    from hadoop_gpu_spark.operators.hll import hll_registers
+
+    agg = hll_registers(stream, col, group_cols, p)
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream.sparkSession.read.parquet(out_dir)
+
+
 def docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents parquet (the events_stream
     pattern without event time: documents carry no timestamp column, so

@@ -37,6 +37,8 @@ STAGED = [
     "q_stream_cms_freq",
     "q_sparse_allpairs",
     "q_dup_spans",
+    # r10-continuation staging (r13 registration)
+    "q_stream_hll_distinct",
 ]
 
 
