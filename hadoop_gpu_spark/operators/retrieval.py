@@ -14,9 +14,11 @@ term matching with document-length normalization.
   shuffles.
 - df rides the tf frame as COUNT(*) OVER (PARTITION BY term) — the
   q_tfidf_topterms pattern: no vocabulary broadcast, no second tokenize
-  pass; N and the corpus token total are construction-time literals
-  from one projection-pruned stats pass (two BIGINTs to the driver —
-  the bounded-collect class).
+  pass; N and the corpus token total either arrive precomputed via
+  ``corpus_stats`` (ONE corpus scan total — the per-corpus-stats-table
+  path a 100 TB deployment runs) or ride the plan as a broadcast
+  1-row aggregate (two in-plan scans, zero driver barriers — the
+  operator is a pure lazy plan constructor either way; no collect).
 - scoring is pure column arithmetic; the per-query top-k window runs
   over candidate rows only, partitioned by qid (|queries| partitions of
   |candidate-doc| rows — never corpus rows).
@@ -57,12 +59,19 @@ def bm25_topk(
     top_k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    corpus_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """(qid, doc_id, rank, score): the top_k documents per query under
     Okapi BM25 with idf = ln((N - df + 0.5)/(df + 0.5) + 1) (the
     non-negative "plus one" form) and tf normalization
     tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)), dl/avgdl spelled as
     (dl * N) / total_tokens in exact-int-valued doubles.
+
+    ``corpus_stats`` = (n_docs, total_tokens): pass the corpus' doc and
+    token counts (maintained once per corpus — the stats-table path) for
+    a single-scan plan; omit them and the plan computes both via a
+    broadcast 1-row aggregate (second projection-pruned scan, still zero
+    driver round-trips — construction never runs a job).
 
     Ties rank deterministically: exact decimal score desc, then id_col.
     Documents sharing no term with a query simply never rank; a query
@@ -76,13 +85,6 @@ def bm25_topk(
     terms = sorted({t for _, t in qt})
     spark = docs.sparkSession
 
-    # construction-time corpus stats: two exact BIGINTs to the driver
-    row = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.regexp_count(F.col(text_col), F.lit(_DL_RE))).alias("tt"),
-    ).collect()[0]
-    n_docs, total_tokens = int(row["n"]), int(row["tt"])
-
     toks = docs.select(
         id_col,
         F.regexp_count(F.col(text_col), F.lit(_DL_RE)).alias("__dl"),
@@ -92,16 +94,35 @@ def bm25_topk(
     w_term = Window.partitionBy("term")
     with_df = tf.withColumn("df", F.count(F.lit(1)).over(w_term))
 
+    # Corpus stats ride the candidate frame as the long columns
+    # __n/__tt — literals when precomputed, else a broadcast 1-row
+    # aggregate cross-joined onto the (tiny) post-filter frame. All
+    # downstream arithmetic is column-vs-column either way, and the
+    # int-valued doubles are exact in both spellings.
+    if corpus_stats is None:
+        stats = docs.agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(F.regexp_count(F.col(text_col), F.lit(_DL_RE)))
+            .cast("long")
+            .alias("__tt"),
+        )
+        with_df = with_df.crossJoin(F.broadcast(stats))
+    else:
+        n_docs, total_tokens = corpus_stats
+        with_df = with_df.withColumn(
+            "__n", F.lit(int(n_docs)).cast("long")
+        ).withColumn("__tt", F.lit(int(total_tokens)).cast("long"))
+
     idf9 = F.round(
         F.log(
-            ((F.lit(n_docs) - F.col("df")) + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ((F.col("__n") - F.col("df")) + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
             + F.lit(1.0)
         ),
         9,
     )
-    dl_over_avgdl = (F.col("__dl").cast("double") * F.lit(float(n_docs))) / F.lit(
-        float(total_tokens)
-    )
+    dl_over_avgdl = (F.col("__dl").cast("double") * F.col("__n").cast("double")) / F.col(
+        "__tt"
+    ).cast("double")
     ratio = (F.col("tf") * F.lit(k1 + 1.0)) / (
         F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_over_avgdl)
     )
@@ -143,8 +164,9 @@ def bm25_topk_sql(
     same decimal accumulation, same double-cast points. Deliberately
     naive CTE SQL (auditability over shuffle count — the funnel_sql
     stance). Corpus stats are CTE scalars; they equal the Spark side's
-    collected literals by construction, and every arithmetic step is
-    spelled with the same operand order and explicit DOUBLE casts."""
+    in-plan aggregate (or precomputed literals) by construction, and
+    every arithmetic step is spelled with the same operand order and
+    explicit DOUBLE casts."""
     qt = _query_terms(queries)
     terms_list = ", ".join(f"'{t}'" for t in sorted({t for _, t in qt}))
     qt_values = ", ".join(f"('{qid}', '{t}')" for qid, t in qt)
