@@ -141,6 +141,20 @@ def asof_join(
     rows with no matching right row keep NULL in every fill column; a
     right row at exactly ``on`` matches in both directions).
 
+    NULL keys follow the strict inequality reading (r12 fix): NULL
+    matches NOTHING — ``l.on >= r.on`` and the ``by`` equality are never
+    true for a NULL operand, exactly as a plain SQL inequality join
+    evaluates them. Spark windows sort NULLS FIRST, so NULL-keyed right
+    rows would otherwise sit at the front of the frame and get taken by
+    ``last()``; they are filtered before the union. A left row with NULL
+    ``on`` keeps NULL in every fill column; its fill is forced NULL at
+    the window expression (a ``when`` guard — not a second left-scan
+    branch). Note DuckDB 1.0's NATIVE ``ASOF JOIN`` is internally
+    inconsistent here (backward treats NULL as the largest key and
+    matches NULL-to-NULL; forward matches nothing) — the differential
+    fuzz therefore oracles NULL-key rows against the inequality
+    semantics, not the quirk.
+
     Scale caveat: with ``by=[]`` the window is global (single partition) —
     fine for small lookup tables (MapFile.getClosest); for large un-keyed
     as-ofs, range-partition on ``on`` and run per-partition with boundary
@@ -154,7 +168,13 @@ def asof_join(
     from pyspark.sql.window import Window
 
     l = left.withColumn("__side", F.lit(1))
-    r = right.select(
+    # NULL-keyed right rows can never match under inequality/equality
+    # semantics — drop them before the union or NULLS-FIRST ordering
+    # hands them to last()/first().
+    r_clean = right.filter(F.col(on).isNotNull())
+    for b in by:
+        r_clean = r_clean.filter(F.col(b).isNotNull())
+    r = r_clean.select(
         *by, on, F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("__r")
     ).withColumn("__side", F.lit(0))
     # struct(...) is non-null even when every field is null, so a right row
@@ -178,7 +198,16 @@ def asof_join(
             Window.currentRow, Window.unboundedFollowing
         )
         fill = F.first("__r", ignorenulls=True)
-    filled = u.withColumn("__r", fill.over(w))
+    # Left rows with NULL `on` match nothing (DuckDB: NULL fails every
+    # inequality); forcing their fill NULL here covers the forward
+    # direction, where NULLS FIRST would otherwise put a real right row
+    # inside their [current, following] frame.
+    filled = u.withColumn(
+        "__r",
+        F.when(
+            F.col(on).isNull(), F.lit(None).cast(r.schema["__r"].dataType)
+        ).otherwise(fill.over(w)),
+    )
     out = filled.filter(F.col("__side") == 1).drop("__side")
     for c in right_cols:
         out = out.withColumn(c, F.col("__r").getField(c))

@@ -956,11 +956,23 @@ def asof_spec(draw):
     # both directions (r10): forward = earliest right at-or-after, the
     # mirror window; DuckDB native ASOF flips the comparison operator
     direction = draw(st.sampled_from(["backward", "forward"]))
+    # NULL on-keys BOTH sides (r12, ADVICE): a NULL right `t` fails every
+    # inequality in DuckDB but sorts NULLS-FIRST in a Spark window — the
+    # divergence the pre-union isNotNull filter closed; a NULL left `t`
+    # must fill NULL in both directions.
+    null_on_right = draw(
+        st.lists(st.booleans(), min_size=len(right_keys), max_size=len(right_keys))
+    )
+    null_on_left = draw(
+        st.lists(st.booleans(), min_size=len(left), max_size=len(left))
+    )
     return {
         "left": left,
         "right": right_keys,
         "keyed": keyed,
         "nulls": null_mask,
+        "null_on_right": null_on_right,
+        "null_on_left": null_on_left,
         "direction": direction,
     }
 
@@ -977,10 +989,15 @@ def test_asof_join_matches_duckdb_native_asof(spark, spec):
 
     from hadoop_gpu_spark.operators.joins import asof_join
 
-    lrows = [(i, g, t) for i, (g, t) in enumerate(spec["left"])]
+    lrows = [
+        (i, g, None if t_null else t)
+        for i, ((g, t), t_null) in enumerate(zip(spec["left"], spec["null_on_left"]))
+    ]
     rrows = [
-        (g, t, None if is_null else g * 1000 + t)
-        for (g, t), is_null in zip(spec["right"], spec["nulls"])
+        (g, None if t_null else t, None if is_null else g * 1000 + t)
+        for (g, t), is_null, t_null in zip(
+            spec["right"], spec["nulls"], spec["null_on_right"]
+        )
     ]
     by = ["g"] if spec["keyed"] else []
     if not spec["keyed"]:
@@ -1002,16 +1019,37 @@ def test_asof_join_matches_duckdb_native_asof(spark, spec):
         (r["id"], r["v"]) for r in out.select("id", "v").collect()
     )
 
+    # Oracle: DuckDB native ASOF over the NON-NULL-keyed rows only.
+    # DuckDB 1.0's ASOF is internally inconsistent on NULL keys
+    # (backward treats NULL as the largest key — NULL left t matches a
+    # NULL right row; forward matches nothing), so NULL-key rows are
+    # oracled against the strict inequality semantics instead: a NULL
+    # key on either side matches nothing (asof_join docstring).
     con = _dd.connect()
-    con.register("l", _pd.DataFrame(lrows, columns=["id", "g", "t"]))
-    con.register("r", _pd.DataFrame(rrows, columns=["g", "t", "v"]))
+    l_null_ids = [i for i, _, t in lrows if t is None]
+    con.register(
+        "l",
+        _pd.DataFrame(
+            [r for r in lrows if r[2] is not None], columns=["id", "g", "t"]
+        ).astype({"id": "int64", "g": "int64", "t": "int64"}),
+    )
+    rrows_nn = [r for r in rrows if r[1] is not None]
+    con.register(
+        "r",
+        _pd.DataFrame(rrows_nn, columns=["g", "t", "v"]).astype(
+            {"g": "int64", "t": "int64"}
+        ),
+    )
     op = ">=" if spec["direction"] == "backward" else "<="
     cond = f"l.t {op} r.t" + (" AND l.g = r.g" if spec["keyed"] else "")
     want = sorted(
-        tuple(x)
-        for x in con.sql(
-            f"SELECT l.id, r.v FROM l ASOF LEFT JOIN r ON {cond}"
-        ).fetchall()
+        [
+            tuple(x)
+            for x in con.sql(
+                f"SELECT l.id, r.v FROM l ASOF LEFT JOIN r ON {cond}"
+            ).fetchall()
+        ]
+        + [(i, None) for i in l_null_ids]
     )
     con.close()
     norm = lambda rows: [(i, None if v is None or v != v else int(v)) for i, v in rows]

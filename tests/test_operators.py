@@ -109,6 +109,43 @@ def test_asof_join_forward_direction(spark):
         joins.asof_join(l, r, on="t", by=["g"], direction="nearest")
 
 
+def test_asof_join_null_keys_match_nothing(spark):
+    # r12 fix (r11 VERDICT #3): NULL keys follow the strict inequality
+    # reading — they match NOTHING on either side. Before the pre-union
+    # isNotNull filter, Spark's NULLS-FIRST window order let a NULL-`t`
+    # right row (sorted to the front) fill ANY backward-probing left row
+    # with no real prior match; a NULL-`by` right row likewise paired
+    # with NULL-`by` left rows, where SQL equality never matches NULL.
+    l = spark.createDataFrame(
+        [(1, 3, "probe"), (1, None, "null_t"), (None, 9, "null_g")],
+        "g long, t long, lv string",
+    )
+    r = spark.createDataFrame(
+        [(1, None, "poison_t"), (None, 1, "poison_g"), (1, 8, "late")],
+        "g long, t long, rv string",
+    )
+    out = {
+        row["lv"]: row["rv"]
+        for row in joins.asof_join(
+            l, r, on="t", by=["g"], right_cols=["rv"]
+        ).collect()
+    }
+    # probe at t=3: only right rows are NULL-t / NULL-g (never match) and
+    # t=8 (after the probe) -> no fill
+    assert out == {"probe": None, "null_t": None, "null_g": None}, out
+
+    # forward direction: a NULL-t LEFT row sorts NULLS FIRST, so without
+    # the fill guard its [current, following] frame would swallow the
+    # real t=8 right row
+    fwd = {
+        row["lv"]: row["rv"]
+        for row in joins.asof_join(
+            l, r, on="t", by=["g"], right_cols=["rv"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {"probe": "late", "null_t": None, "null_g": None}, fwd
+
+
 def test_total_order_sort_validator(spark, sf_dir):
     from hadoop_gpu_spark.tables import load_table
 
