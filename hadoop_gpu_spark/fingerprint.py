@@ -58,6 +58,40 @@ def _in_pkg(obj) -> bool:
     return bool(mod) and (mod == _PKG or str(mod).startswith(_PKG + "."))
 
 
+_REPR_SCALARS = (str, bytes, int, float, bool, complex, type(None))
+
+
+def _stable_repr(v, depth: int = 0) -> str | None:
+    """Deterministic repr for builtin scalar/container values, or None if
+    the value's repr cannot be proven process-stable (default object
+    reprs embed id()). Sets are rendered sorted by element repr; depth
+    is capped so a pathological self-referencing constant terminates."""
+    if depth > 6:
+        return None
+    if isinstance(v, _REPR_SCALARS):
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        parts = [_stable_repr(x, depth + 1) for x in v]
+        if any(p is None for p in parts):
+            return None
+        inner = ", ".join(parts)
+        return f"[{inner}]" if isinstance(v, list) else f"({inner})"
+    if isinstance(v, dict):
+        items = [
+            (_stable_repr(k, depth + 1), _stable_repr(x, depth + 1))
+            for k, x in v.items()
+        ]
+        if any(a is None or b is None for a, b in items):
+            return None
+        return "{" + ", ".join(f"{a}: {b}" for a, b in items) + "}"
+    if isinstance(v, (set, frozenset)):
+        parts = [_stable_repr(x, depth + 1) for x in v]
+        if any(p is None for p in parts):
+            return None
+        return "set{" + ", ".join(sorted(parts)) + "}"
+    return None
+
+
 def _collect(obj, seen: dict[str, str]) -> None:
     """Recursively record {qualified-name: source} for obj and every
     package-internal callable its source references."""
@@ -162,10 +196,26 @@ def _collect(obj, seen: dict[str, str]) -> None:
             names.add(base)
     for name in names:
         tgt = resolve(name)
-        if tgt is None or not _in_pkg(tgt):
+        if tgt is None:
             continue
-        if callable(tgt) or isinstance(tgt, types.ModuleType):
+        if _in_pkg(tgt) and (callable(tgt) or isinstance(tgt, types.ModuleType)):
             _collect(tgt, seen)
+        elif not callable(tgt) and not isinstance(tgt, types.ModuleType):
+            # r12 (ADVICE r11): a module-level CONSTANT consumed by bare
+            # name (e.g. retrieval._DL_RE inside bm25_topk) resolved here
+            # to a plain value and fell through both branches — its edit
+            # changed behavior without flipping any consumer fingerprint,
+            # the exact hole the green-manifest safety story cannot
+            # afford. Hash a deterministic repr of the VALUE, keyed by
+            # the consuming function's module + name. Only reprs proven
+            # stable (builtin scalars/containers, recursively) are
+            # hashed; anything else (objects with id()-bearing reprs)
+            # falls back to nothing rather than a flaky fingerprint —
+            # such constants should be lifted into functions.
+            rep = _stable_repr(tgt)
+            if rep is not None:
+                owner = g.get("__name__", "?")
+                seen.setdefault(f"{owner}.${name}", rep)
 
 
 def query_fingerprint(name: str) -> str:
@@ -305,6 +355,33 @@ def refresh(correctness_json: str) -> None:
     print(f"manifest: {len(green & set(fps))} refreshed, {len(manifest)} total")
 
 
+def restamp(exclude: list[str] | None = None) -> None:
+    """Recompute every EXISTING manifest entry under the current
+    fingerprint ALGORITHM. Only valid when the working tree is
+    behaviorally identical to the tree that earned those greens — i.e.
+    immediately after a change to this module's hashing itself, in the
+    same commit. Queries named in ``exclude`` (behaviorally changed in
+    the same round) keep their stale entries, so the invariant test
+    still forces them into the driver window."""
+    import json
+
+    path = manifest_path()
+    with open(path) as f:
+        manifest = json.load(f)
+    fps = all_fingerprints()
+    skip = set(exclude or [])
+    n = 0
+    for name in list(manifest):
+        if name.startswith("__") or name in skip or name not in fps:
+            continue
+        manifest[name] = fps[name]
+        n += 1
+    with open(path, "w") as f:
+        json.dump(dict(sorted(manifest.items())), f, indent=1)
+        f.write("\n")
+    print(f"manifest: {n} restamped, {len(skip)} excluded")
+
+
 def ack_epoch() -> None:
     """Pin the current data epoch without touching query fingerprints — the
     explicit, committed acknowledgement after a data regeneration has been
@@ -326,6 +403,8 @@ if __name__ == "__main__":
 
     if len(sys.argv) >= 3 and sys.argv[1] == "refresh":
         refresh(sys.argv[2])
+    elif len(sys.argv) >= 2 and sys.argv[1] == "restamp":
+        restamp(sys.argv[2].split(",") if len(sys.argv) >= 3 else None)
     elif len(sys.argv) >= 2 and sys.argv[1] == "epoch":
         ack_epoch()
     elif len(sys.argv) >= 2 and sys.argv[1] == "dump":

@@ -333,6 +333,44 @@ def test_fingerprint_module_constant_falls_back_to_module_hash():
     )
 
 
+def test_fingerprint_sees_bare_name_constants(monkeypatch):
+    # r12 fix (r11 VERDICT #4 / ADVICE r11): a constant consumed by BARE
+    # name inside a traced function (tokenize's TOKEN_SPLIT_RE default,
+    # bm25_topk's _DL_RE) resolved to a plain value and fell through both
+    # _collect branches — editing it changed behavior without flipping
+    # any consumer fingerprint. The closure now hashes a stable repr of
+    # the value, so the edit flips every consumer.
+    from hadoop_gpu_spark import fingerprint as fp
+    from hadoop_gpu_spark.operators import fields
+
+    seen: dict[str, str] = {}
+    fp._collect(QUERIES["q_wordcount"], seen)
+    key = "hadoop_gpu_spark.operators.fields.$TOKEN_SPLIT_RE"
+    assert key in seen and seen[key] == repr(fields.TOKEN_SPLIT_RE), sorted(
+        k for k in seen if "$" in k
+    )
+
+    fp1 = fp.query_fingerprint("q_wordcount")
+    monkeypatch.setattr(fields, "TOKEN_SPLIT_RE", r"[,;]+")
+    assert fp.query_fingerprint("q_wordcount") != fp1, (
+        "bare-name constant edit did not flip the consumer fingerprint"
+    )
+
+
+def test_stable_repr_rejects_unstable_and_orders_sets():
+    # The constant-hash must never inject process-flaky material: default
+    # object reprs carry id(); set iteration order varies by hash seed.
+    from hadoop_gpu_spark.fingerprint import _stable_repr
+
+    assert _stable_repr({"a": [1, 2.5, ("x", None)]}) == "{'a': [1, 2.5, ('x', None)]}"
+    assert _stable_repr({3, 1, 2}) == "set{1, 2, 3}"
+    assert _stable_repr(object()) is None
+    assert _stable_repr([1, object()]) is None
+    lst: list = [1]
+    lst.append(lst)  # self-referencing constant must terminate
+    assert _stable_repr(lst) is None
+
+
 def test_pipe_pipeline_has_no_rdd_boundary(spark, sf_dir):
     # The Streaming line-protocol legs (pipe_map/pipe_reduce) must stay
     # inside ONE DataFrame plan. The old rdd.pipe form compiled to a
