@@ -60,6 +60,28 @@ def _in_pkg(obj) -> bool:
 
 _REPR_SCALARS = (str, bytes, int, float, bool, complex, type(None))
 
+# Bare-name constant hashing (r12) is scoped to CONVENTIONAL constants:
+# ALL_CAPS names only, so mutable lowercase module state (e.g.
+# tables._schema_cache, whose contents depend on which tables the
+# process has already loaded) can never make a fingerprint
+# process-flaky. The registration registries are excluded explicitly:
+# the @query decorator's source references QUERIES/ORACLES, so hashing
+# ORACLES (a dict of oracle strings — stable-repr'able) would couple
+# EVERY registered query's fingerprint to every other query's oracle,
+# flipping the whole registry on each registration — the same
+# module-coupling failure the r10 attr-precision fix removed. A query's
+# OWN oracle is already hashed directly in query_fingerprint.
+import re as _re
+
+_CONST_NAME_RE = _re.compile(r"_?[A-Z][A-Z0-9_]*")
+_CONST_EXCLUDE = {
+    ("hadoop_gpu_spark.queries", "QUERIES"),
+    ("hadoop_gpu_spark.queries", "ORACLES"),
+    ("hadoop_gpu_spark.queries", "STAGED_CANDIDATES"),
+    ("hadoop_gpu_spark.queries", "STREAMING_SNAPSHOT"),
+    ("hadoop_gpu_spark.queries", "_DRIVER_WINDOW"),
+}
+
 
 def _stable_repr(v, depth: int = 0) -> str | None:
     """Deterministic repr for builtin scalar/container values, or None if
@@ -200,7 +222,12 @@ def _collect(obj, seen: dict[str, str]) -> None:
             continue
         if _in_pkg(tgt) and (callable(tgt) or isinstance(tgt, types.ModuleType)):
             _collect(tgt, seen)
-        elif not callable(tgt) and not isinstance(tgt, types.ModuleType):
+        elif (
+            not callable(tgt)
+            and not isinstance(tgt, types.ModuleType)
+            and _CONST_NAME_RE.fullmatch(name)
+            and (g.get("__name__"), name) not in _CONST_EXCLUDE
+        ):
             # r12 (ADVICE r11): a module-level CONSTANT consumed by bare
             # name (e.g. retrieval._DL_RE inside bm25_topk) resolved here
             # to a plain value and fell through both branches — its edit

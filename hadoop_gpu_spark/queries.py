@@ -4841,54 +4841,40 @@ def q_bucketed_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Still-staged gates awaiting window slots (for tests to iterate; the
 # r09 trio above graduated out of this list on registration).
 STAGED_CANDIDATES = [
-    # (q_stream_quantiles graduated out of this list on its r10
-    # registration — 26 r06-latest + 21 HEADLINE + it + the 2 asof
-    # struct-fix consumers = exactly 50.)
-    # r09-built, r11 registration (the r10 window is exactly full; r11
-    # has ~5 spare beside the 24-query r07-latest rotation). Oracle-
-    # pinned at both scales by tests/test_r11_candidates.py since
-    # staging. On registration: q_semantic_dedup joins
-    # INTENTIONAL_NESTED_LOOP (broadcast centroid cross join) and both
-    # take SCAN_BUDGET/exchange pins.
-    "q_bm25_topk",
-    "q_semantic_dedup",
-    # r09-built (continuation), r11 registration in the third and
-    # fourth spare slots (2 + 21 + 24 + these = 49; each defers to r12
-    # if the r11 window fills with reds). Oracle-pinned at both scales
-    # by tests/test_r11_candidates.py since staging, each with a
-    # third-implementation cross-check (plain-python Sennrich BPE /
-    # hashlib-md5 CMS).
-    "q_bpe_merges",
-    "q_cms_token_freq",
-    # r09-built (continuation), r12 registration (the r11 spare slots
-    # are spoken for by the four above; r12's window has room beside
+    # (q_bm25_topk / q_semantic_dedup / q_bpe_merges / q_cms_token_freq
+    # graduated out of this list on their r12 registration — the r11
+    # round shipped zero commits, so the r11-planned registration
+    # executed one round late; bm25's construction-time stats collect
+    # was removed first, per its registration precondition.)
+    # r09-built (continuation), r13 registration (the r12 spare slots
+    # went to the four delayed r11 gates; r13's window has room beside
     # the r08-latest rotation). Oracle-pinned at both scales by
     # tests/test_r12_candidates.py since staging, with a hashlib-md5
     # third-implementation cross-check and an EXHAUSTIVE (all 1024
     # v_zero inputs) linear-counting-branch engine-parity test.
     "q_hll_distinct",
-    # r09-built (continuation), r12 registration beside q_hll_distinct:
+    # r09-built (continuation), r13 registration beside q_hll_distinct:
     # the CMS as a Structured Streaming aggregate (fixed d*w state vs
     # an exact aggregate's Heaps-law state growth), snapshot == batch
     # sketch bit-for-bit so it shares q_cms_token_freq's oracle. On
     # registration it must ALSO join STREAMING_SNAPSHOT (see its
     # docstring).
     "q_stream_cms_freq",
-    # r09-built (continuation), r12 registration: exact all-pairs
+    # r09-built (continuation), r13 registration: exact all-pairs
     # hashed-TF-IDF cosine via inverted-index self-join with a df-cap
     # prefilter — the sparse complement of the dense similarity stack.
     # Oracle-pinned at both scales by tests/test_r12_candidates.py;
     # the posting frame is eager_persist'd (dual-branch class
     # pre-empted, plan-pinned).
     "q_sparse_allpairs",
-    # r09-built (continuation), r12 registration: span-level dedup —
+    # r09-built (continuation), r13 registration: span-level dedup —
     # maximal cross-document duplicated character ranges (Lee et al.
     # ExactSubstr as fixed-k position matching + interval-union merge).
     # Oracle-pinned at both scales by tests/test_r12_candidates.py
     # with a hashlib third implementation.
     "q_dup_spans",
-    # r10-built, r13 registration (the r11 spare slots are spoken for
-    # by the four r09-built gates, r12's by the four above): streaming
+    # r10-built, r13/r14 registration (the r12 spare slots went to the
+    # four delayed r11 gates; it queues behind the four above): streaming
     # COUNT DISTINCT via the HLL register sketch — fixed |groups|*2^p
     # state where exact streaming COUNT(DISTINCT) grows with key
     # cardinality forever; MAX-merge idempotent across micro-batch
@@ -4964,11 +4950,14 @@ def _bm25_oracle() -> str:
 Q_BM25_TOPK_ORACLE = _bm25_oracle()
 
 
+@query("q_bm25_topk", oracle=Q_BM25_TOPK_ORACLE)
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 documents per query under Okapi BM25 (r11 staged gate):
-    ranked retrieval over the corpus with exact-decimal score
-    accumulation and deterministic ties — the operator a search/RAG
-    product runs where the reference runs Grep's match-count-sort."""
+    """Top-10 documents per query under Okapi BM25 (r12 registered —
+    the r11 staged gate, landed after the construction-time stats
+    collect was folded into the plan): ranked retrieval over the corpus
+    with exact-decimal score accumulation and deterministic ties — the
+    operator a search/RAG product runs where the reference runs Grep's
+    match-count-sort."""
     from hadoop_gpu_spark.operators.retrieval import bm25_topk
 
     return bm25_topk(T(spark, sf_dir, "documents"), _BM25_QUERIES, top_k=10)
@@ -4983,14 +4972,15 @@ def _semantic_dedup_oracle() -> str:
 Q_SEMANTIC_DEDUP_ORACLE = _semantic_dedup_oracle()
 
 
+@query("q_semantic_dedup", oracle=Q_SEMANTIC_DEDUP_ORACLE)
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style unsupervised near-dup pruning (r11 staged gate):
+    """SemDeDup-style unsupervised near-dup pruning (r12 registered):
     cluster by max-cosine against the first-8-vectors centroid table,
     keep-first within clusters at tau=0.30 (the synthetic corpus's
     within-label cosine tops out ~0.38 — the q_dedup_embedding
     threshold rationale). Returns survivors with their cluster id.
-    On registration: add to INTENTIONAL_NESTED_LOOP (bounded centroid
-    cross join) + scan/exchange pins."""
+    Member of INTENTIONAL_NESTED_LOOP (bounded centroid cross join)
+    with scan/exchange pins in test_plan_invariants."""
     from hadoop_gpu_spark.dedup.semantic import semantic_dedup
 
     return semantic_dedup(
@@ -5019,11 +5009,13 @@ def _bpe_oracle() -> str:
 Q_BPE_MERGES_ORACLE = _bpe_oracle()
 
 
+@query("q_bpe_merges", oracle=Q_BPE_MERGES_ORACLE)
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First 8 learned BPE merges over the document corpus (r11 staged
-    gate): the tokenizer-training kernel of a pretraining pipeline —
-    adjacent-pair argmax + greedy fuse iterated on the word-count
-    table, deterministic ties (count desc, then lexicographic)."""
+    """First 8 learned BPE merges over the document corpus (r12
+    registered): the tokenizer-training kernel of a pretraining
+    pipeline — adjacent-pair argmax + greedy fuse iterated on the
+    word-count table, deterministic ties (count desc, then
+    lexicographic)."""
     from hadoop_gpu_spark.ml.bpe import bpe_merges
 
     return bpe_merges(T(spark, sf_dir, "documents"), "text", _BPE_N_MERGES)
@@ -5052,9 +5044,10 @@ def _cms_oracle() -> str:
 Q_CMS_TOKEN_FREQ_ORACLE = _cms_oracle()
 
 
+@query("q_cms_token_freq", oracle=Q_CMS_TOKEN_FREQ_ORACLE)
 def q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimates for a literal token set
-    (r11 staged gate): one corpus pass into a d*w counter grid (the
+    (r12 registered): one corpus pass into a d*w counter grid (the
     fixed-size state a streaming frequency tracker needs), min-over-
     rows point estimates, exact integer arithmetic end to end."""
     from hadoop_gpu_spark.operators.cms import cms_token_estimates
@@ -5265,52 +5258,54 @@ def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the module so every @query registration (including same-round gate
 # registrations) precedes the reorder.
 #
-# Round 10 window. Slot accounting (hard 50; every set below MUST be
+# Round 12 window. Slot accounting (hard 50; every set below MUST be
 # inside it). Freshness policy: 4-round re-proof period (amended r07 —
 # after round N no query's latest driver row may be older than N-3;
 # pytest's oracle-parity suite still re-proves the ENTIRE surface every
-# session).
+# session). Round 11 shipped zero commits (CORRECTNESS_r11 re-greened
+# the r10 window on the identical tree), so this cut executes the
+# r11-planned rotation one round late, against the merged r10+r11
+# freshness ledger: latest-green r07 = 23 queries, r08 = 27, r09 = 28,
+# r11 = 50.
 #
-# - NEW query (first driver row; mechanically enforced by
-#   tests/test_plans.py::test_changed_queries_are_windowed):
-#   q_stream_quantiles — the last r08-staged gate, registered this round
-#   after its pre-authorized r09 deferral (+ STREAMING_SNAPSHOT
-#   membership per its docstring).
+# - NEW queries (first driver row; mechanically enforced by
+#   tests/test_plans.py::test_changed_queries_are_windowed): the four
+#   r09-built gates staged since r09 — q_bm25_topk (registered only
+#   after its construction-time stats collect was folded into the plan,
+#   per the r10/r11 VERDICT precondition), q_semantic_dedup (joins
+#   INTENTIONAL_NESTED_LOOP: bounded centroid cross join),
+#   q_bpe_merges, q_cms_token_freq. All oracle-pinned at both scales in
+#   tests/test_r11_candidates.py since r09; all take SCAN_BUDGET pins.
 # - bench HEADLINE (policy c): the full 21-query macro set, unchanged
 #   since r04.
-# - CHANGED this round outside the rotation set (must take a slot;
-#   mechanically enforced): q_asof_event_state + q_mapfile_get_closest —
-#   the asof_join struct-fill fix (r08 ADVICE low, earmarked for exactly
-#   this window so its other consumers rotate for free): right_cols pack
-#   into ONE struct filled by ONE last(ignorenulls) window, so every
-#   filled column comes from the SAME right row. Both oracle-green at
-#   sf0.01 through the entry surface before this window was cut; the
-#   r09-written falsifier flipped green; the as-of fuzz now draws
-#   NULL-bearing right values. (The r10 fingerprint-precision fix keeps
-#   the changed set at the REAL consumers: under the old whole-module
-#   hashing this edit flagged 8 queries — 3 more than the window's spare
-#   slots — 5 of them join_ops users whose closures never reach
-#   asof_join.)
-# - stale-evidence rotation: the ENTIRE 26-query r06-latest cohort at
-#   the policy boundary (q_ann_pq .. q_union_distinct below). Three of
-#   them are ALSO changed this round: q_asof_join (struct-fill fix),
-#   q_db_count_pageview (construction-time dead-pid scratch sweep,
-#   queue #7), q_stream_topk (config-keyed snapshot dir, the r09 ADVICE
-#   class applied to every snapshot site).
-# - 1 + 21 + 2 + 26 = exactly 50, zero overlap.
+# - CHANGED this round outside the rotation set (must take slots;
+#   mechanically enforced): q_asof_join + q_asof_event_state +
+#   q_mapfile_get_closest — the asof_join NULL-key fix (r11 VERDICT
+#   #3): NULL-keyed right rows filtered pre-union, NULL-`on` left rows
+#   fill-guarded, per the strict inequality semantics; fuzz now draws
+#   NULL on-keys on both sides. All three oracle-green at sf0.01
+#   through the entry surface before this window was cut.
+# - stale-evidence rotation: 22 of the 23-query r07-latest cohort
+#   (q_chunk_documents .. q_token_budget_sample below).
+#   q_uniq_value_count DEFERS to r13 (the only slot casualty of the
+#   lost round: 21+3+4+23 = 51; it is the single-operator
+#   UniqValueCount gate, unchanged since r07, lowest re-proof risk).
+# - 21 + 3 + 4 + 22 = exactly 50, zero overlap.
 #
-# r11 lookahead (enumerate against CORRECTNESS_r10 when it lands): the
-# 24-query r07-latest cohort hits the boundary (q_chunk_documents ..
-# q_uniq_value_count) + 21 HEADLINE = 45, ~5 spare: register
-# q_bm25_topk + q_semantic_dedup + q_bpe_merges + q_cms_token_freq
-# (all oracle-pinned in tests/test_r11_candidates.py since r09;
-# q_semantic_dedup joins INTENTIONAL_NESTED_LOOP, all take scan/
-# exchange pins; the last two defer to r12 if the window fills with
-# reds or changed queries).
+# r13 lookahead (enumerate against CORRECTNESS_r12 when it lands): the
+# deferred q_uniq_value_count + the 27-query r08-latest cohort
+# (q04..q_tfidf_topterms) + 21 HEADLINE = 49, 1 spare: register
+# q_hll_distinct there; q_stream_cms_freq / q_sparse_allpairs /
+# q_dup_spans / q_stream_hll_distinct queue for r14 (r09 cohort is only
+# 28, leaving ~1 spare beside it — tight; spill into r15 if changed
+# queries eat the spare).
 # ===========================================================================
 _DRIVER_WINDOW = [
-    # NEW r10 gate (first driver row) — registered + STREAMING_SNAPSHOT
-    "q_stream_quantiles",
+    # NEW r12 gates (first driver rows)
+    "q_bm25_topk",
+    "q_semantic_dedup",
+    "q_bpe_merges",
+    "q_cms_token_freq",
     # bench HEADLINE — full 21-query macro set (kept in sync with
     # bench.HEADLINE)
     "q01_pricing_summary",
@@ -5334,37 +5329,34 @@ _DRIVER_WINDOW = [
     "q_sequence_pack",
     "q_ann_lsh",
     "q_pretrain_pipeline",
-    # changed this round outside the rotation set (asof struct-fill fix)
+    # changed this round outside the rotation set (asof NULL-key fix)
+    "q_asof_join",
     "q_asof_event_state",
     "q_mapfile_get_closest",
-    # stale rotation: the full r06-latest cohort (3 of them also changed
-    # this round — q_asof_join, q_db_count_pageview, q_stream_topk)
-    "q_ann_pq",
-    "q_asof_join",
-    "q_audio_decode",
-    "q_contamination",
-    "q_db_count_pageview",
-    "q_dedup_fingerprint",
-    "q_join_expr_composite",
-    "q_join_override",
-    "q_join_semi",
-    "q_kvjob_wordcount",
-    "q_kvjob_wordcount_pandas",
-    "q_media_probe",
-    "q_mixture_weights",
-    "q_ngram_freq",
-    "q_pii_redact",
-    "q_pq_encode",
-    "q_quality_filter",
-    "q_range_join",
-    "q_repetition_ratio",
-    "q_rollup",
-    "q_salted_join",
-    "q_sq8_quantize",
-    "q_stratified_sample",
-    "q_stream_topk",
-    "q_token_count_bpe",
-    "q_union_distinct",
+    # stale rotation: the r07-latest cohort minus the deferred
+    # q_uniq_value_count (see slot accounting above)
+    "q_chunk_documents",
+    "q_descriptor_agg",
+    "q_domain_cap",
+    "q_epoch_shuffle",
+    "q_field_selection",
+    "q_grep",
+    "q_grep_ranked",
+    "q_join_broadcast",
+    "q_join_outer_counts",
+    "q_lang_id_confusion",
+    "q_matmul_gram",
+    "q_quality_score",
+    "q_secondary_sort",
+    "q_sessionization",
+    "q_stream_hourly",
+    "q_stream_join",
+    "q_stream_sessionize",
+    "q_stream_sliding",
+    "q_terasort",
+    "q_text_normalize",
+    "q_text_stats",
+    "q_token_budget_sample",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

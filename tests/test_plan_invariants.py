@@ -55,6 +55,14 @@ INTENTIONAL_NESTED_LOOP = {
                                # the cached distance frame
     "q_matmul_gram",           # gram product: all column-pairs by design
     "q_range_join",            # bounded interval join (broadcast ranges)
+    # r12 registrations:
+    "q_bm25_topk",             # corpus stats scalar (broadcast 1-row agg
+                               # crossJoined onto the post-filter candidate
+                               # frame — the fold-in that replaced the
+                               # construction-time collect)
+    "q_semantic_dedup",        # broadcast 8-row centroid table cross join
+                               # (bounded BY DESIGN: k centroids, never
+                               # corpus x corpus)
 }
 
 # Exchange-count budget per bench HEADLINE query (hash/range/broadcast
@@ -317,6 +325,19 @@ SCAN_BUDGET = {
     "q_quantile_sketch": 1,
     "q_asof_event_state": 2,
     "q_bucketed_ctas": 2,
+    # r12 registrations: bm25's 2 = token scan + the broadcast 1-row
+    # corpus-stats aggregate scan that replaced the construction-time
+    # collect (with precomputed corpus_stats the operator plans ONE scan
+    # — pinned in test_r11_candidates); semantic_dedup's 2 = corpus scan
+    # + the 8-row centroid-table scan it cross-joins; bpe's 0 = the
+    # merge loop ran at construction over the checkpointed word-count
+    # table, the returned frame is the local 8-row merge table (the
+    # q_kmeans convention); cms = the sketch family's one-corpus-pass
+    # claim, pinned.
+    "q_bm25_topk": 2,
+    "q_semantic_dedup": 2,
+    "q_bpe_merges": 0,
+    "q_cms_token_freq": 1,
 }
 
 
@@ -491,6 +512,9 @@ ALLOWED_MODULE_BROADCAST_HINTS = {
     ("dedup/semantic.py", "cen"):
         "semantic-dedup centroid table: n_centroids rows (the IVF "
         "first-k convention), never corpus-sized",
+    ("operators/retrieval.py", "stats"):
+        "bm25 corpus stats: a 1-row (n_docs, total_tokens) aggregate — "
+        "the fold-in that replaced the construction-time collect (r12)",
 }
 
 

@@ -356,6 +356,18 @@ def test_fingerprint_sees_bare_name_constants(monkeypatch):
         "bare-name constant edit did not flip the consumer fingerprint"
     )
 
+    # Scope guards: the hashing is limited to ALL_CAPS conventional
+    # constants (mutable lowercase module state like tables._schema_cache
+    # would make fingerprints depend on which tables the process already
+    # loaded) and excludes the registration registries (hashing ORACLES
+    # would couple every query's fingerprint to every OTHER query's
+    # oracle — registering one new gate flipped all 128 when this
+    # landed unscoped).
+    assert not any("_schema_cache" in k for k in seen), sorted(
+        k for k in seen if "$" in k
+    )
+    assert not any(k.endswith(".$ORACLES") or k.endswith(".$QUERIES") for k in seen)
+
 
 def test_stable_repr_rejects_unstable_and_orders_sets():
     # The constant-hash must never inject process-flaky material: default

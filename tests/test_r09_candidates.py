@@ -25,19 +25,16 @@ CANDIDATES = [
     "q_stream_quantiles",
 ]
 STAGED = [
-    # q_stream_quantiles graduated on its r10 registration
-    "q_bm25_topk",
-    "q_semantic_dedup",
-    "q_bpe_merges",
-    "q_cms_token_freq",
-    # r09-continuation staging (r12 registration) — kept in sync with
-    # queries.STAGED_CANDIDATES; the r09 window trio remains CANDIDATES
-    # minus q_stream_quantiles above
+    # q_stream_quantiles graduated on its r10 registration; q_bm25_topk,
+    # q_semantic_dedup, q_bpe_merges and q_cms_token_freq on their r12
+    # registration (one round after plan — r11 shipped zero commits)
+    # r09-continuation staging (r13 registration) — kept in sync with
+    # queries.STAGED_CANDIDATES
     "q_hll_distinct",
     "q_stream_cms_freq",
     "q_sparse_allpairs",
     "q_dup_spans",
-    # r10-continuation staging (r13 registration)
+    # r10-continuation staging (r13/r14 registration)
     "q_stream_hll_distinct",
 ]
 
@@ -50,13 +47,37 @@ def test_candidate_list_matches_registry_constant():
     assert not set(STAGED) & set(q.QUERIES)
     assert not set(STAGED) & set(q.ORACLES)
     # ...and every graduated candidate IS registered with its oracle
-    # bound (window membership is a per-round fact: the r09 trio earned
-    # its first driver rows in the r09 window and has since rotated out;
-    # q_stream_quantiles, registered r10, must sit in the r10 window for
-    # ITS first row)
+    # bound (window membership is a per-round fact: the r09 trio and
+    # q_stream_quantiles earned their first driver rows in their
+    # registration rounds and have since rotated out; the four r12
+    # registrations must sit in the r12 window for THEIR first rows)
     graduated = [n for n in CANDIDATES if n not in STAGED]
     assert set(graduated) <= set(q.QUERIES) and set(graduated) <= set(q.ORACLES)
-    assert "q_stream_quantiles" in q._DRIVER_WINDOW
+    for n in ("q_bm25_topk", "q_semantic_dedup", "q_bpe_merges", "q_cms_token_freq"):
+        assert n in q._DRIVER_WINDOW, n
+
+
+def test_readme_counts_match_registry():
+    # r12 housekeeping (r11 VERDICT #5, third round running as a stale
+    # hand-count): the README's "N registered queries" / "M staged
+    # candidates" figures are now GENERATED facts — this test greps them
+    # out and compares against the registry, so the stale-count class
+    # dies instead of recurring every registration round.
+    import pathlib
+    import re
+
+    from hadoop_gpu_spark import queries as q
+
+    readme = (pathlib.Path(__file__).parent.parent / "README.md").read_text()
+    m = re.search(r"(\d+) registered queries", readme)
+    assert m and int(m.group(1)) == len(q.QUERIES), (
+        f"README says {m and m.group(1)} registered, registry has {len(q.QUERIES)}"
+    )
+    m = re.search(r"(\d+) staged candidates", readme)
+    assert m and int(m.group(1)) == len(q.STAGED_CANDIDATES), (
+        f"README says {m and m.group(1)} staged, "
+        f"STAGED_CANDIDATES has {len(q.STAGED_CANDIDATES)}"
+    )
 
 
 @pytest.mark.parametrize("name", CANDIDATES)
