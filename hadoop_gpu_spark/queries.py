@@ -3368,7 +3368,8 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     L = 128
     # Fixed bucket width: bucket id is a pure function of doc_id, never of
     # the physical partitioning. 256 docs/bucket → ~1 base-offset long per
-    # 256 docs driver-side (4 MB of longs per 10^9 docs; hierarchical
+    # 256 docs driver-side (10^9 docs → ~3.9M buckets → ~31 MB of longs,
+    # r12 comment fix: the earlier "4 MB" understated 8×; hierarchical
     # cumsum if that ever matters).
     B = 256
     docs = T(spark, sf_dir, "documents").select(

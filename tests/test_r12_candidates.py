@@ -381,8 +381,18 @@ def test_stream_cms_construct_two_scales_then_collect_first(spark, sf_dir):
 
     from hadoop_gpu_spark.queries import q_stream_cms_freq
 
+    import os
+
+    # second scale chosen to DIFFER from the suite's sf_dir — with a
+    # hardcoded sf0.01 this test went vacuous whenever
+    # SPARK_GRAFT_TEST_SF_DIR was itself sf0.01 (r11 ADVICE)
+    second = (
+        "/root/testdata/sf0.01"
+        if os.path.normpath(sf_dir) != "/root/testdata/sf0.01"
+        else "/root/testdata/sf0.001"
+    )
     first = q_stream_cms_freq(spark, sf_dir)
-    q_stream_cms_freq(spark, "/root/testdata/sf0.01")  # would overwrite before
+    q_stream_cms_freq(spark, second)  # would overwrite before
     got = first.toPandas().sort_values("token").reset_index(drop=True)
     import tests.oracle as oracle
 
