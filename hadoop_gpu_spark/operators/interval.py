@@ -46,6 +46,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+_INTEGRAL = {"byte", "tinyint", "short", "smallint", "int", "integer", "bigint", "long"}
+
+
+def _require_integral(df: DataFrame, cols: tuple[str, str], side: str) -> None:
+    """Endpoints must be integral: ``floor((hi - 1) / W)`` is the
+    half-open upper bucket ONLY on an integer lattice — for a float
+    interval [1.0, 8.5) with W=8, ``hi - 1 = 7.5`` buckets to 0 and the
+    row never reaches bucket 1, silently dropping overlaps (r11
+    ADVICE). Cast dates to epoch days / timestamps to epoch seconds (or
+    scale floats to a fixed-point grid) before calling."""
+    for c in cols:
+        t = dict(df.dtypes).get(c)
+        if t not in _INTEGRAL:
+            raise ValueError(
+                f"{side} endpoint column {c!r} must be integral, got {t!r}: "
+                "half-open bucketing uses (hi - 1), which is only correct on "
+                "an integer lattice — cast dates/timestamps/floats to an "
+                "integer grid first"
+            )
+
+
 def _bucketed(
     df: DataFrame, lo: str, hi: str, width: int, side: str
 ) -> DataFrame:
@@ -78,22 +99,45 @@ def interval_overlap_join(
     key — the handle a caller uses to bound fan-out (shard id, tenant,
     same-day, ...).
     """
+    pairs, _, _ = _overlap_pairs(
+        left, right, l_lo, l_hi, r_lo, r_hi, bucket_width, keys
+    )
+    return pairs.drop("__l_bucket", "__r_bucket")
+
+
+def _overlap_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bucket_width: int,
+    keys: list[tuple[str, str]] | None,
+):
+    """Shared core: returns (joined-and-filtered pairs, lb, rb) so
+    callers can keep DataFrame-qualified column handles."""
     keys = keys or []
+    _require_integral(left, (l_lo, l_hi), "left")
+    _require_integral(right, (r_lo, r_hi), "right")
     l = left.filter(F.col(l_lo) < F.col(l_hi))
     r = right.filter(F.col(r_lo) < F.col(r_hi))
     lb = _bucketed(l, l_lo, l_hi, bucket_width, "l")
     rb = _bucketed(r, r_lo, r_hi, bucket_width, "r")
-    cond = F.col("__l_bucket") == F.col("__r_bucket")
+    # every endpoint reference below is DataFrame-qualified (lb[...] /
+    # rb[...]): with F.col() an overlap join between two frames sharing
+    # endpoint column names (spans vs spans) either failed analysis as
+    # ambiguous or silently bound both conjuncts to one side (r11
+    # ADVICE) — the exact caller the operator exists for.
+    cond = lb["__l_bucket"] == rb["__r_bucket"]
     for lk, rk in keys:
         cond = cond & (lb[lk] == rb[rk])
-    overlap = (F.col(l_lo) < F.col(r_hi)) & (F.col(r_lo) < F.col(l_hi))
+    overlap = (lb[l_lo] < rb[r_hi]) & (rb[r_lo] < lb[l_hi])
     canonical = (
-        F.floor(F.greatest(F.col(l_lo), F.col(r_lo)) / F.lit(bucket_width))
-        == F.col("__l_bucket")
+        F.floor(F.greatest(lb[l_lo], rb[r_lo]) / F.lit(bucket_width))
+        == lb["__l_bucket"]
     )
-    return lb.join(rb, on=cond).filter(overlap & canonical).drop(
-        "__l_bucket", "__r_bucket"
-    )
+    return lb.join(rb, on=cond).filter(overlap & canonical), lb, rb
 
 
 def interval_overlap_count(
@@ -112,10 +156,12 @@ def interval_overlap_count(
     (``how many X windows intersect each Y window``). Left rows with no
     overlapping right rows are kept with a zero count (left semantics a
     plain join+group would silently drop)."""
-    pairs = interval_overlap_join(
+    pairs, lb, _ = _overlap_pairs(
         left, right, l_lo, l_hi, r_lo, r_hi, bucket_width, keys
     )
-    counts = pairs.groupBy(*group_cols).agg(
+    # group cols are LEFT columns by contract — qualify them so a right
+    # side sharing the name cannot make the groupBy ambiguous
+    counts = pairs.groupBy(*[lb[g] for g in group_cols]).agg(
         F.count(F.lit(1)).cast("long").alias(count_alias)
     )
     base = left.select(*group_cols).distinct()

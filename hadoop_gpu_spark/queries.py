@@ -4884,6 +4884,13 @@ STAGED_CANDIDATES = [
     # event_type — a different table than the batch gate). On
     # registration it must ALSO join STREAMING_SNAPSHOT.
     "q_stream_hll_distinct",
+    # r10-built operator, r12-staged (the r11 VERDICT's evidence-or-
+    # delete ultimatum resolved as evidence: tests/test_interval.py),
+    # r13/r14 registration behind the queue above: the bucketed
+    # interval overlap join counting same-user click windows per
+    # purchase hour-window. Oracle-pinned at both scales by
+    # tests/test_r13_candidates.py.
+    "q_interval_overlap",
 ]
 
 
@@ -5242,6 +5249,77 @@ def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["event_type"], p=_HLL_P,
     )
     return hll_estimate(snap, ["event_type"], p=_HLL_P)
+
+
+# ---------------------------------------------------------------------------
+# Interval overlap join (operator r10-built, r12 staged gate — staged
+# only AFTER its falsifier suite landed per the r11 VERDICT "evidence
+# or delete" ultimatum: tests/test_interval.py differential-fuzzes the
+# bucketed join vs this DuckDB IEJoin twin, pins the canonical-bucket
+# no-distinct dedup, qualified per-side column binding, integral-
+# endpoint validation, and the no-nested-loop plan). Subject: purchase
+# hour-windows vs click ten-minute-windows per user over events — the
+# "session windows vs incident windows" shape from the module
+# docstring. Timestamps land on the integer lattice as epoch seconds:
+# Spark CAST(ts AS LONG) truncates, so the twin spells
+# CAST(floor(epoch(ts)) AS BIGINT) — bare CAST(epoch(ts) AS BIGINT)
+# ROUNDS half the sub-second timestamps up one second.
+# ---------------------------------------------------------------------------
+_IOV_L_DUR, _IOV_R_DUR = 3600, 600
+_IOV_WIDTH = 4096
+
+
+def _interval_overlap_oracle() -> str:
+    from hadoop_gpu_spark.operators.interval import interval_overlap_count_sql
+
+    left_src = (
+        "(SELECT event_id AS l_id, user_id AS l_user, "
+        "CAST(floor(epoch(ts)) AS BIGINT) AS l_lo, "
+        f"CAST(floor(epoch(ts)) AS BIGINT) + {_IOV_L_DUR} AS l_hi "
+        "FROM events WHERE event_type = 'purchase')"
+    )
+    right_src = (
+        "(SELECT event_id AS r_id, user_id AS r_user, "
+        "CAST(floor(epoch(ts)) AS BIGINT) AS r_lo, "
+        f"CAST(floor(epoch(ts)) AS BIGINT) + {_IOV_R_DUR} AS r_hi "
+        "FROM events WHERE event_type = 'click')"
+    )
+    return interval_overlap_count_sql(
+        left_src, right_src, ["l_id"], "l_lo", "l_hi", "r_lo", "r_hi",
+        key_pairs=[("l_user", "r_user")],
+    )
+
+
+Q_INTERVAL_OVERLAP_ORACLE = _interval_overlap_oracle()
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-purchase count of same-user click windows intersecting the
+    purchase's one-hour window (r13 staged gate): the bucketed interval
+    overlap join — explode to width-4096 buckets, hash-join on
+    (user, bucket), exact-predicate recheck, canonical-bucket dedup
+    (no distinct), left-total zero-count semantics. The distributed
+    form of what DuckDB plans as an IEJoin."""
+    from hadoop_gpu_spark.operators.interval import interval_overlap_count
+
+    ev = T(spark, sf_dir, "events")
+    secs = F.col("ts").cast("long")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("l_id"),
+        F.col("user_id").alias("l_user"),
+        secs.alias("l_lo"),
+        (secs + _IOV_L_DUR).alias("l_hi"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("r_user"),
+        secs.alias("r_lo"),
+        (secs + _IOV_R_DUR).alias("r_hi"),
+    )
+    return interval_overlap_count(
+        purchases, clicks, ["l_id"], "l_lo", "l_hi", "r_lo", "r_hi",
+        bucket_width=_IOV_WIDTH, keys=[("l_user", "r_user")],
+    )
 
 
 # ===========================================================================

@@ -36,6 +36,9 @@ STAGED = [
     "q_dup_spans",
     # r10-continuation staging (r13/r14 registration)
     "q_stream_hll_distinct",
+    # r12 staging: the interval operator's gate, added alongside its
+    # falsifier suite (tests/test_interval.py, tests/test_r13_candidates.py)
+    "q_interval_overlap",
 ]
 
 
