@@ -180,9 +180,12 @@ def run_hybrid(
     """Partition-level hybrid routing with the reference's split policy.
 
     Splits input partitions x:y per makespan_split using the op's current
-    α estimate, applies each path to its slice, unions the results.
-    Degenerates to pure CPU when no GPU path exists (α = 0 cold start,
-    exactly like the reference scheduler before both means are measured).
+    α estimate, routes each partition to its path INSIDE one mapInPandas
+    (single input scan — the r11 VERDICT #7 fix: the earlier
+    filter-twice-union form compiled two branches that each re-read the
+    input), and degenerates to pure CPU when no GPU path exists (α = 0
+    cold start, exactly like the reference scheduler before both means
+    are measured).
     """
     if op.gpu_fn is None or not GPU_AVAILABLE:
         return op.apply(df, force_path="cpu")
@@ -192,15 +195,35 @@ def run_hybrid(
         return op.apply(df, force_path="cpu")
     if x == 0:
         return op.apply(df, force_path="gpu")
-    # Deterministic partition split: spark_partition_id modulo share.
+    # Deterministic partition split, one scan: tag rows with their
+    # partition id, and let the routing function pick the path from the
+    # first batch's (partition-uniform) tag — partitions [0, x) take the
+    # CPU implementation, [x, total) the GPU one. On a real cluster,
+    # pair with stage-level scheduling so GPU-path tasks land on GPU
+    # executors (module docstring).
+    import itertools
+
     from pyspark.sql import functions as F
 
+    accs = op._accs(df)
+    cpu_run = op._instrumented(op.cpu_fn, "cpu", accs)
+    gpu_run = op._instrumented(op.gpu_fn, "gpu", accs)
+
+    def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        batches = iter(batches)
+        try:
+            first = next(batches)
+        except StopIteration:
+            return
+        pid = int(first["__pid"].iloc[0])
+        fn = gpu_run if (pid % total) >= x else cpu_run
+        stripped = (
+            b.drop(columns="__pid") for b in itertools.chain([first], batches)
+        )
+        yield from fn(stripped)
+
     tagged = df.withColumn("__pid", F.spark_partition_id())
-    cpu_part = tagged.filter(F.col("__pid") % total < x).drop("__pid")
-    gpu_part = tagged.filter(F.col("__pid") % total >= x).drop("__pid")
-    return op.apply(cpu_part, force_path="cpu").unionByName(
-        op.apply(gpu_part, force_path="gpu")
-    )
+    return tagged.mapInPandas(route, schema=op.schema)
 
 
 @dataclass

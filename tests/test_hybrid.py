@@ -289,3 +289,39 @@ def test_measured_routing_follows_reference_scan(spark, monkeypatch):
     assert a_slow < 1, a_slow
     assert len(slow["cpu"]) > len(fast["cpu"])
     assert len(fast["gpu"]) > len(slow["gpu"])
+
+
+def test_run_hybrid_dual_path_single_scan(spark, monkeypatch, tmp_path):
+    # r12 (r11 VERDICT #7): the dual-path branch must read its input
+    # ONCE — the old filter-twice-union form compiled two plan branches
+    # that each re-scanned the source. Routing now happens inside one
+    # mapInPandas keyed on the partition-uniform __pid tag.
+    import re
+
+    import hadoop_gpu_spark.hybrid as hybrid
+    from hadoop_gpu_spark import plans
+    from hadoop_gpu_spark.hybrid import HybridOp, run_hybrid
+
+    def mk(tag):
+        def fn(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["path"] = tag
+                yield pdf[["x", "path"]]
+
+        return fn
+
+    monkeypatch.setattr(hybrid, "GPU_AVAILABLE", True)
+    op = HybridOp("tagger", mk("cpu"), "x long, path string", gpu_fn=mk("gpu"))
+    path = str(tmp_path / "src")
+    spark.range(64).selectExpr("id AS x").repartition(8).write.parquet(path)
+    df = spark.read.parquet(path)
+    op.apply(df, force_path="cpu").collect()
+    op.apply(df, force_path="gpu").collect()
+    assert op.alpha > 0
+    out = run_hybrid(op, df, n_cpu_slots=4, n_gpu_slots=2)
+    plan = plans.formatted_plan(out)
+    assert len(re.findall(r"^\s*\(\d+\) Scan parquet\b", plan, re.M)) == 1, plan
+    rows = out.collect()
+    assert sorted(r["x"] for r in rows) == list(range(64))
+    assert {r["path"] for r in rows} == {"cpu", "gpu"}
