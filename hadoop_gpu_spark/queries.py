@@ -5363,21 +5363,27 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   #3): NULL-keyed right rows filtered pre-union, NULL-`on` left rows
 #   fill-guarded, per the strict inequality semantics; fuzz now draws
 #   NULL on-keys on both sides. All three oracle-green at sf0.01
-#   through the entry surface before this window was cut.
-# - stale-evidence rotation: 22 of the 23-query r07-latest cohort
-#   (q_chunk_documents .. q_token_budget_sample below).
-#   q_uniq_value_count DEFERS to r13 (the only slot casualty of the
-#   lost round: 21+3+4+23 = 51; it is the single-operator
-#   UniqValueCount gate, unchanged since r07, lowest re-proof risk).
-# - 21 + 3 + 4 + 22 = exactly 50, zero overlap.
+#   through the entry surface before this window was cut. PLUS
+#   q_hybrid_token_stats — the run_hybrid single-scan routing rewrite
+#   (r11 VERDICT #7) sits in its closure (behavior-identical on the
+#   CPU-only path this container exercises, but the policy does not
+#   take the builder's word for that — the driver re-proves it).
+# - stale-evidence rotation: 21 of the 23-query r07-latest cohort
+#   (q_chunk_documents .. q_text_stats below). q_uniq_value_count and
+#   q_token_budget_sample DEFER to r13 (the slot casualties of the
+#   lost round + the hybrid rewrite: 21+4+4+23 = 52; both are
+#   single-operator gates unchanged since r07, lowest re-proof risk).
+# - 21 + 4 + 4 + 21 = exactly 50, zero overlap.
 #
 # r13 lookahead (enumerate against CORRECTNESS_r12 when it lands): the
-# deferred q_uniq_value_count + the 27-query r08-latest cohort
-# (q04..q_tfidf_topterms) + 21 HEADLINE = 49, 1 spare: register
-# q_hll_distinct there; q_stream_cms_freq / q_sparse_allpairs /
-# q_dup_spans / q_stream_hll_distinct queue for r14 (r09 cohort is only
-# 28, leaving ~1 spare beside it — tight; spill into r15 if changed
-# queries eat the spare).
+# deferred q_uniq_value_count + q_token_budget_sample + the 27-query
+# r08-latest cohort (q04..q_tfidf_topterms) + 21 HEADLINE = exactly 50:
+# ZERO spare, so q_hll_distinct and the rest of the staged queue
+# (q_stream_cms_freq / q_sparse_allpairs / q_dup_spans /
+# q_stream_hll_distinct / q_interval_overlap) register r14 beside the
+# 28-query r09 cohort (28 + 21 = 49 — ~1 spare; spill into r15 as
+# needed). Any r13 changed-query displaces an r08 rotation member to
+# r14 — budget edits accordingly.
 # ===========================================================================
 _DRIVER_WINDOW = [
     # NEW r12 gates (first driver rows)
@@ -5408,12 +5414,14 @@ _DRIVER_WINDOW = [
     "q_sequence_pack",
     "q_ann_lsh",
     "q_pretrain_pipeline",
-    # changed this round outside the rotation set (asof NULL-key fix)
+    # changed this round outside the rotation set (asof NULL-key fix;
+    # hybrid single-scan rewrite)
     "q_asof_join",
     "q_asof_event_state",
     "q_mapfile_get_closest",
+    "q_hybrid_token_stats",
     # stale rotation: the r07-latest cohort minus the deferred
-    # q_uniq_value_count (see slot accounting above)
+    # q_uniq_value_count + q_token_budget_sample (slot accounting above)
     "q_chunk_documents",
     "q_descriptor_agg",
     "q_domain_cap",
@@ -5435,7 +5443,6 @@ _DRIVER_WINDOW = [
     "q_terasort",
     "q_text_normalize",
     "q_text_stats",
-    "q_token_budget_sample",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
