@@ -239,6 +239,15 @@ def _collect(obj, seen: dict[str, str]) -> None:
             # hashed; anything else (objects with id()-bearing reprs)
             # falls back to nothing rather than a flaky fingerprint —
             # such constants should be lifted into functions.
+            # An ALL_CAPS EMPTY mutable container is an accumulator
+            # (bloom._BC_CACHE), not a constant — a genuinely constant
+            # empty container has nothing to protect. Hashing one made
+            # the fingerprint process-flaky: empty at import it hashed
+            # as "{}", populated with broadcast handles it fell out of
+            # _stable_repr entirely, so q_bloom_decontaminate's
+            # fingerprint flipped after any test warmed the cache.
+            if isinstance(tgt, (dict, list, set)) and not tgt:
+                continue
             rep = _stable_repr(tgt)
             if rep is not None:
                 owner = g.get("__name__", "?")

@@ -369,6 +369,35 @@ def test_fingerprint_sees_bare_name_constants(monkeypatch):
     assert not any(k.endswith(".$ORACLES") or k.endswith(".$QUERIES") for k in seen)
 
 
+def test_fingerprint_ignores_mutable_cache_constants():
+    # r12 follow-up falsifier: bloom._BC_CACHE is an ALL_CAPS name but
+    # MUTABLE broadcast-handle state. Hashing it made the fingerprint a
+    # function of process history — empty at import it hashed as "{}",
+    # populated it fell out of _stable_repr — so running any bloom test
+    # before test_changed_queries_are_windowed flipped
+    # q_bloom_decontaminate vs the manifest (observed full-suite-order
+    # failure). Empty mutable containers are now skipped; the
+    # fingerprint must be identical before and after cache warm-up.
+    from hadoop_gpu_spark import fingerprint as fp
+    from hadoop_gpu_spark.operators import bloom
+
+    fp0 = fp.query_fingerprint("q_bloom_decontaminate")
+    key = ("test-app", "test-key")
+    bloom._BC_CACHE[key] = object()  # unstable repr, like a Broadcast
+    try:
+        assert fp.query_fingerprint("q_bloom_decontaminate") == fp0, (
+            "cache warm-up changed a query fingerprint"
+        )
+    finally:
+        bloom._BC_CACHE.pop(key, None)
+
+    seen: dict[str, str] = {}
+    fp._collect(QUERIES["q_bloom_decontaminate"], seen)
+    assert not any(k.endswith("$_BC_CACHE") for k in seen), sorted(
+        k for k in seen if "$" in k
+    )
+
+
 def test_stable_repr_rejects_unstable_and_orders_sets():
     # The constant-hash must never inject process-flaky material: default
     # object reprs carry id(); set iteration order varies by hash seed.
