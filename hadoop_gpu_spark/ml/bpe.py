@@ -85,6 +85,19 @@ def _pair_explode(seq_col: str) -> Column:
     )
 
 
+def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, wc) — the ONE corpus scan every BPE entry point starts
+    from; Heaps' law keeps this table orders of magnitude smaller than
+    the token stream it summarizes."""
+    from hadoop_gpu_spark.operators.fields import tokenize
+
+    return (
+        docs.select(F.explode(tokenize(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.sum(F.lit(1)).cast("long").alias("wc"))
+    )
+
+
 def bpe_merges(
     docs: DataFrame,
     text_col: str = "text",
@@ -97,18 +110,22 @@ def bpe_merges(
 
     The returned frame is built from the driver-side merge list (one row
     per iteration crossed the driver — the pq_train book contract), so
-    the training checkpoints are fully consumed here and released in the
-    ``finally``.
+    the training checkpoints are fully consumed here and released before
+    returning.
     """
-    from hadoop_gpu_spark.operators.fields import tokenize
+    spark = docs.sparkSession
+    merges = _train_on_counts(_word_counts(docs, text_col), n_merges, checkpoint_every)
+    return spark.createDataFrame(merges, _MERGE_SCHEMA)
+
+
+def _train_on_counts(
+    wc: DataFrame, n_merges: int, checkpoint_every: int
+) -> list[tuple[int, str, str, int]]:
+    """The Sennrich training loop over a (word, wc) table. Returns the
+    driver-side merge list; every intermediate checkpoint is consumed
+    here and released in the ``finally``."""
     from hadoop_gpu_spark.utils import release_local_checkpoint
 
-    spark = docs.sparkSession
-    wc = (
-        docs.select(F.explode(tokenize(text_col)).alias("word"))
-        .groupBy("word")
-        .agg(F.sum(F.lit(1)).cast("long").alias("wc"))
-    )
     cur = wc.select(_word_seq("word").alias("seq"), "wc").localCheckpoint(eager=True)
     checkpoints = [cur]
     merges: list[tuple[int, str, str, int]] = []
@@ -139,7 +156,50 @@ def bpe_merges(
     finally:
         for df in checkpoints:
             release_local_checkpoint(df)
-    return spark.createDataFrame(merges, _MERGE_SCHEMA)
+    return merges
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    checkpoint_every: int = 16,
+) -> DataFrame:
+    """Corpus subword-frequency table under a freshly-trained BPE:
+    train ``n_merges`` merges, encode, count — (subword, n_tokens)
+    ordered by count desc, subword asc. The token-counting half of the
+    tokenizer lifecycle q_bpe_merges starts (train → APPLY → count);
+    the reference analog is the WordCount aggregation run over a
+    LEARNED sub-word alphabet instead of whitespace tokens.
+
+    100 TB shape: the corpus parquet is scanned EXACTLY ONCE — the
+    (word, wc) table is eager_persist'd, so the training iterations AND
+    the returned count plan all read the same materialized vocab frame
+    (Heaps-law sized), never the corpus again. Encoding happens per
+    DISTINCT WORD, weighted by wc at the count — a corpus-stream encode
+    would tokenize every duplicate occurrence (~1e13 at 100 TB) for
+    identical output. The merge list rides the returned plan as literal
+    replaces (model-as-literal, the k-means centroid contract), so the
+    count is pure JVM expressions: split → explode → weighted sum, with
+    only (subword, partial-count) rows — alphabet-sized after map-side
+    combine — ever crossing the shuffle. Output rows = distinct
+    alphabet symbols + ≤ n_merges merged symbols + the ``</w>`` marker.
+    Exact integers end to end; binary-collation ordering ties both
+    engines bit-for-bit.
+    """
+    from hadoop_gpu_spark.utils import eager_persist
+
+    wc = eager_persist(_word_counts(docs, text_col))
+    merges = _train_on_counts(wc, n_merges, checkpoint_every)
+    seq = _word_seq("word")
+    for _, lhs, rhs, _ in merges:
+        seq = F.replace(seq, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} "))
+    return (
+        wc.select(F.explode(F.split(F.trim(seq), "  ")).alias("subword"), "wc")
+        .groupBy("subword")
+        .agg(F.sum("wc").cast("long").alias("n_tokens"))
+        .orderBy(F.col("n_tokens").desc(), "subword")
+    )
 
 
 def bpe_segment(
@@ -228,3 +288,59 @@ def bpe_merges_sql(
             f"SELECT CAST({s} AS BIGINT) AS step, lhs, rhs, cnt AS pair_count FROM b{s}"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(sel) + " ORDER BY step"
+
+
+def bpe_token_counts_sql(
+    table: str = "documents", text_col: str = "text", n_merges: int = 8
+) -> str:
+    """DuckDB twin of ``bpe_token_counts``: the ``bpe_merges_sql``
+    iteration lattice, but every step ALSO materializes the merged
+    vocab (v1..vN — training SQL skips the last application because it
+    only ships the merge table), then explodes vN's symbols weighted by
+    word count. Two deliberate deviations from the training lattice:
+
+    - every v{s} exists, including v{n_merges};
+    - v{s} joins b{s} with ``LEFT JOIN ON TRUE`` + COALESCE instead of
+      CROSS JOIN: when the corpus exhausts its pairs early, b{s} is
+      EMPTY and a cross join would erase the vocab — the engine's early
+      ``break`` keeps the already-merged vocab, so the SQL must too
+      (NULL merge pattern → replace yields NULL → COALESCE keeps seq).
+    """
+    toks = f"list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x <> '')"
+    ctes = [
+        f"""w AS (
+      SELECT word, CAST(SUM(1) AS BIGINT) AS wc
+      FROM (SELECT unnest({toks}) AS word FROM {table})
+      GROUP BY word)""",
+        rf"""v0 AS (
+      SELECT regexp_replace(word, '(.)', ' \1 ', 'g') || ' {WORD_END} ' AS seq, wc
+      FROM w)""",
+    ]
+    for s in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{s} AS (
+      SELECT z[1] AS lhs, z[2] AS rhs, CAST(SUM(wc) AS BIGINT) AS cnt
+      FROM (SELECT unnest(list_zip(arr[:-2], arr[2:])) AS z, wc
+            FROM (SELECT string_split(trim(seq), '  ') AS arr, wc FROM v{s - 1}))
+      GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""b{s} AS (
+      SELECT lhs, rhs, cnt FROM p{s} ORDER BY cnt DESC, lhs, rhs LIMIT 1)"""
+        )
+        ctes.append(
+            f"""v{s} AS (
+      SELECT COALESCE(replace(seq, ' ' || lhs || '  ' || rhs || ' ',
+                              ' ' || lhs || rhs || ' '), seq) AS seq, wc
+      FROM v{s - 1} LEFT JOIN b{s} ON TRUE)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT subword, CAST(SUM(wc) AS BIGINT) AS n_tokens
+    FROM (SELECT unnest(string_split(trim(seq), '  ')) AS subword, wc
+          FROM v{n_merges})
+    GROUP BY subword
+    ORDER BY n_tokens DESC, subword"""
+    )

@@ -4891,6 +4891,14 @@ STAGED_CANDIDATES = [
     # purchase hour-window. Oracle-pinned at both scales by
     # tests/test_r13_candidates.py.
     "q_interval_overlap",
+    # r12-built, r14/r15 registration (queues behind the six above):
+    # BPE token counting — the trained-tokenizer APPLY+count half of
+    # the q_bpe_merges lifecycle. Oracle-pinned at both scales by
+    # tests/test_r14_candidates.py with a pure-python third
+    # implementation (min-rank iterative encoder, proving the
+    # apply-in-learning-order equivalence) and a single-corpus-scan
+    # plan pin.
+    "q_bpe_token_counts",
 ]
 
 
@@ -5207,6 +5215,40 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_gpu_spark.dedup.substr import dup_substring_spans
 
     return dup_substring_spans(T(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# BPE token counting (r12-built, r14/r15 staged gate): the APPLY half of
+# the tokenizer lifecycle — q_bpe_merges learns the merge table, this
+# trains the same 8 merges and counts the corpus as the learned sub-word
+# alphabet (q_token_count_bpe counts with a FIXED regex; this counts with
+# the TRAINED tokenizer). See ml/bpe.py bpe_token_counts for the 100 TB
+# shape: ONE corpus scan into an eager_persist'd (word, wc) vocab frame
+# shared by training and the returned count plan; encoding runs per
+# DISTINCT word (Heaps-law sized) weighted by wc — never per token
+# occurrence; merges ride the plan as literal replaces (model-as-literal,
+# the k-means centroid contract). Exact integers end to end; the oracle
+# replays the identical train+encode lattice in chained CTEs.
+# ---------------------------------------------------------------------------
+def _bpe_token_counts_oracle() -> str:
+    from hadoop_gpu_spark.ml.bpe import bpe_token_counts_sql
+
+    return bpe_token_counts_sql("documents", "text", _BPE_N_MERGES)
+
+
+Q_BPE_TOKEN_COUNTS_ORACLE = _bpe_token_counts_oracle()
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus sub-word frequency table under the 8-merge BPE tokenizer
+    trained on the same corpus (r14/r15 staged gate): (subword,
+    n_tokens) ordered by count desc — the vocabulary-usage artifact a
+    tokenizer-training pipeline ships next to its merge table."""
+    from hadoop_gpu_spark.ml.bpe import bpe_token_counts
+
+    return bpe_token_counts(
+        T(spark, sf_dir, "documents").select("text"), "text", _BPE_N_MERGES
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -39,6 +39,9 @@ STAGED = [
     # r12 staging: the interval operator's gate, added alongside its
     # falsifier suite (tests/test_interval.py, tests/test_r13_candidates.py)
     "q_interval_overlap",
+    # r12-continuation staging (r14/r15 registration): BPE apply+count
+    # under the trained tokenizer (tests/test_r14_candidates.py)
+    "q_bpe_token_counts",
 ]
 
 

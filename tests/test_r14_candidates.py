@@ -1,0 +1,205 @@
+"""r14/r15 candidate gate, oracle-pinned while STAGED: q_bpe_token_counts
+— BPE apply+count under the trained tokenizer (ml/bpe.py
+bpe_token_counts). Same staging pattern as the r09/r11/r12/r13 cohorts:
+the driver-identical oracle comparison runs here every session at BOTH
+scales, so registration is a one-line @query move with the evidence
+already standing. Beyond the oracle pin, this file carries the
+operator's falsifiers:
+
+- a pure-python THIRD implementation (train + encode + count) that also
+  proves the min-rank-iterative encoder equals apply-in-learning-order
+  replay — the property the replace-chain design rests on;
+- an early-pair-exhaustion edge vs the DuckDB twin on a crafted corpus
+  (the engine ``break``s and keeps the merged vocab; the SQL's
+  LEFT JOIN + COALESCE lattice must do the same, where a CROSS JOIN
+  would erase it);
+- a single-corpus-scan plan pin: the returned count plan reads the
+  eager_persist'd vocab frame, never the corpus parquet again;
+- partition invariance (exact integers, no accumulation-order leak).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+from tests.oracle import compare_frames, duckdb_con
+
+R14_CANDIDATES = ["q_bpe_token_counts"]
+
+_BOTH_SCALES = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+@pytest.mark.parametrize("name", R14_CANDIDATES)
+@pytest.mark.parametrize("scale_dir", _BOTH_SCALES)
+def test_r14_candidate_gate_oracle(spark, name, scale_dir):
+    from hadoop_gpu_spark import queries as q
+
+    fn = getattr(q, name)
+    oracle = getattr(q, f"Q_{name[2:].upper()}_ORACLE")
+    got = fn(spark, scale_dir).toPandas()
+    con = duckdb_con(scale_dir)
+    want = con.sql(oracle).df()
+    con.close()
+    errs = compare_frames(got, want)
+    assert not errs, f"{name}@{scale_dir}: " + "; ".join(errs[:3])
+    assert len(got) > 0, f"{name}@{scale_dir}: empty gate proves nothing"
+
+
+def test_r14_candidate_oracles_emit_driver_safe_types(sf_dir):
+    from hadoop_gpu_spark import queries as q
+
+    con = duckdb_con(sf_dir)
+    offenders = []
+    for name in R14_CANDIDATES:
+        rel = con.sql(getattr(q, f"Q_{name[2:].upper()}_ORACLE"))
+        for col, typ in zip(rel.columns, [str(t) for t in rel.types]):
+            if typ in ("HUGEINT", "UHUGEINT", "UBIGINT"):
+                offenders.append(f"{name}.{col}: {typ}")
+    con.close()
+    assert not offenders, offenders
+
+
+# ---------------------------------------------------------------------------
+# Pure-python third implementation (no Spark, no SQL, no md5): classic
+# Sennrich word-count BPE. Training merges ALL occurrences of the argmax
+# pair greedily left-to-right after each learned step, so the final vocab
+# IS the encoded corpus.
+# ---------------------------------------------------------------------------
+
+
+def _merge_all(syms: list[str], a: str, b: str) -> list[str]:
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_bpe(texts: list[str], n_merges: int):
+    """(merges, vocab, subword_counts) — the reference train+encode."""
+    wc: Counter = Counter()
+    for t in texts:
+        for w in t.split():
+            wc[w] += 1
+    vocab = {w: [*w, "</w>"] for w in wc}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] += wc[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        merges.append(best)
+        vocab = {w: _merge_all(syms, *best) for w, syms in vocab.items()}
+    counts: Counter = Counter()
+    for w, syms in vocab.items():
+        for s in syms:
+            counts[s] += wc[w]
+    return merges, vocab, counts
+
+
+def _encode_min_rank(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """The classic BPE ENCODER: repeatedly merge the lowest-rank pair
+    present (all its occurrences), until none of the learned pairs
+    remains — the GPT-2 encode loop."""
+    syms = [*word, "</w>"]
+    while True:
+        present = [(ranks[p], p) for p in zip(syms, syms[1:]) if p in ranks]
+        if not present:
+            return syms
+        _, (a, b) = min(present)
+        syms = _merge_all(syms, a, b)
+
+
+_CRAFTED = [
+    "aaaa aa a aaa",          # single-letter overlap runs: greedy pairing
+    "low lower lowest low",   # the Sennrich example shape
+    "aaaa",                   # repeated from doc 1: cross-doc weighting
+    "ab ab abab ba",          # merged symbol re-pairs with itself
+]
+
+
+def test_bpe_token_counts_matches_pure_python_reference(spark):
+    from hadoop_gpu_spark.ml.bpe import bpe_token_counts
+
+    docs = spark.createDataFrame([(t,) for t in _CRAFTED], "text string")
+    got = {
+        r["subword"]: r["n_tokens"]
+        for r in bpe_token_counts(docs, "text", n_merges=6).collect()
+    }
+    _, _, want = _ref_bpe(_CRAFTED, 6)
+    assert got == dict(want)
+
+
+def test_min_rank_encoder_equals_apply_in_order_replay(spark):
+    # The design's load-bearing property: applying merges once each IN
+    # LEARNING ORDER (the replace chain) equals the classic min-rank
+    # iterative encoder — true because a learned pair can only reference
+    # symbols that already existed when it was learned, so later merges
+    # never create an occurrence of an earlier pair. Proven here against
+    # the reference trainer's maintained vocab AND the iterative encoder.
+    merges, vocab, _ = _ref_bpe(_CRAFTED, 6)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w, syms in vocab.items():
+        replay = [*w, "</w>"]
+        for a, b in merges:
+            replay = _merge_all(replay, a, b)
+        assert replay == syms, w
+        assert _encode_min_rank(w, ranks) == syms, w
+
+
+def test_bpe_token_counts_early_exhaustion_matches_twin(spark):
+    # n_merges far beyond what the corpus supports: the engine breaks
+    # out and keeps the fully-merged vocab; the SQL lattice's LEFT JOIN
+    # + COALESCE must carry the vocab through the empty merge steps
+    # (a CROSS JOIN against an empty b{s} would erase every word).
+    import duckdb
+
+    from hadoop_gpu_spark.ml.bpe import bpe_token_counts, bpe_token_counts_sql
+
+    texts = ["ab ab", "ab"]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe_token_counts(docs, "text", n_merges=8).toPandas()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tiny(text VARCHAR)")
+    con.executemany("INSERT INTO tiny VALUES (?)", [(t,) for t in texts])
+    want = con.sql(bpe_token_counts_sql("tiny", "text", 8)).df()
+    con.close()
+    assert not compare_frames(got, want)
+    # and the corpus really did exhaust: 'ab</w>' fully fused in 2 merges
+    assert dict(zip(got["subword"], got["n_tokens"])) == {"ab</w>": 3}
+
+
+def test_bpe_token_counts_single_corpus_scan_plan(spark, sf_dir):
+    # 100 TB pin: training already paid the one corpus scan into the
+    # persisted (word, wc) frame; the RETURNED count plan must read that
+    # cached frame (InMemoryTableScan), never the corpus parquet again.
+    from hadoop_gpu_spark import queries as q
+    from hadoop_gpu_spark.plans import formatted_plan
+
+    plan = formatted_plan(q.q_bpe_token_counts(spark, sf_dir))
+    # the count plan reads the cached vocab frame…
+    assert "InMemoryTableScan" in plan, plan
+    # …and every parquet-scan mention sits BELOW the InMemoryRelation —
+    # i.e. inside its recorded build plan (the scan already paid), never
+    # as a live leaf of the returned count plan.
+    assert plan.index("InMemoryRelation") < plan.index("Scan parquet"), plan
+
+
+def test_bpe_token_counts_partition_invariant(spark):
+    from hadoop_gpu_spark.ml.bpe import bpe_token_counts
+
+    docs = spark.createDataFrame([(t,) for t in _CRAFTED * 7], "text string")
+    a = bpe_token_counts(docs.coalesce(1), "text", n_merges=5).collect()
+    b = bpe_token_counts(docs.repartition(13), "text", n_merges=5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
