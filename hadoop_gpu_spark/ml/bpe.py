@@ -159,11 +159,70 @@ def _train_on_counts(
     return merges
 
 
+def bpe_encode_words(word_col: str, merges: list[tuple[str, str]]) -> Column:
+    """Arrow-batched word encoder — the PRODUCTION apply path at real
+    vocab scale: ``array<string>`` of subword symbols per word, via the
+    classic min-rank iterative merge loop (repeatedly fuse the
+    lowest-rank learned pair present; all occurrences, greedy
+    left-to-right). The ranks dict ships once per executor inside the
+    serialized UDF (model-as-closure — the broadcast-dict side-input
+    idiom from kvjob).
+
+    Why it exists next to the replace-chain form: applying merges as
+    chained ``F.replace`` literals is the oracle-parity anchor, but the
+    chain is one nested expression PER MERGE — at production vocab
+    scale (30k-50k merges) that plan is unanalyzable, while this
+    encoder is O(passes over a ~10-symbol word) per distinct word
+    regardless of vocab size. Bit-identical to the chain by the
+    apply-in-learning-order == min-rank-iterative equivalence (a
+    learned pair only references symbols that existed when it was
+    learned, so later merges never create an occurrence of an earlier
+    pair) — pinned by tests/test_r14_candidates.py on crafted corpora
+    and the real documents table.
+    """
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def enc(words):  # pd.Series[str] -> pd.Series[list[str]]
+        def one(w: str) -> list[str]:
+            syms = [*w, WORD_END]
+            while True:
+                best = None
+                for p in zip(syms, syms[1:]):
+                    r = ranks.get(p)
+                    if r is not None and (best is None or r < best[0]):
+                        best = (r, p)
+                if best is None:
+                    return syms
+                a, b = best[1]
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+
+        return words.map(one)
+
+    return enc(word_col)
+
+
+# Above this many merges the replace-chain expression form stops being a
+# reasonable plan (one nested expression per merge) and bpe_token_counts
+# auto-switches to the Arrow encoder. Gate-scale runs (8 merges) stay on
+# the expression path — the oracle-parity anchor.
+EXPR_CHAIN_MAX_MERGES = 64
+
+
 def bpe_token_counts(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
     checkpoint_every: int = 16,
+    fast_path: bool | None = None,
 ) -> DataFrame:
     """Corpus subword-frequency table under a freshly-trained BPE:
     train ``n_merges`` merges, encode, count — (subword, n_tokens)
@@ -186,16 +245,29 @@ def bpe_token_counts(
     alphabet symbols + ≤ n_merges merged symbols + the ``</w>`` marker.
     Exact integers end to end; binary-collation ordering ties both
     engines bit-for-bit.
+
+    ``fast_path``: None (default) auto-selects — the replace-chain
+    expression form up to EXPR_CHAIN_MAX_MERGES learned merges (the
+    oracle-parity anchor), the Arrow min-rank encoder beyond (real
+    vocab scale, where a 50k-deep expression chain is unanalyzable).
+    True/False force either; both produce bit-identical output (pinned
+    by test).
     """
     from hadoop_gpu_spark.utils import eager_persist
 
     wc = eager_persist(_word_counts(docs, text_col))
     merges = _train_on_counts(wc, n_merges, checkpoint_every)
-    seq = _word_seq("word")
-    for _, lhs, rhs, _ in merges:
-        seq = F.replace(seq, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} "))
+    if fast_path is None:
+        fast_path = len(merges) > EXPR_CHAIN_MAX_MERGES
+    if fast_path:
+        sub = F.explode(bpe_encode_words("word", [(l, r) for _, l, r, _ in merges]))
+    else:
+        seq = _word_seq("word")
+        for _, lhs, rhs, _ in merges:
+            seq = F.replace(seq, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} "))
+        sub = F.explode(F.split(F.trim(seq), "  "))
     return (
-        wc.select(F.explode(F.split(F.trim(seq), "  ")).alias("subword"), "wc")
+        wc.select(sub.alias("subword"), "wc")
         .groupBy("subword")
         .agg(F.sum("wc").cast("long").alias("n_tokens"))
         .orderBy(F.col("n_tokens").desc(), "subword")

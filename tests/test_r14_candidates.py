@@ -196,6 +196,40 @@ def test_bpe_token_counts_single_corpus_scan_plan(spark, sf_dir):
     assert plan.index("InMemoryRelation") < plan.index("Scan parquet"), plan
 
 
+@pytest.mark.parametrize("corpus", ["crafted", "documents"])
+def test_bpe_fast_path_bit_identical_to_expression_chain(spark, sf_dir, corpus):
+    # The production Arrow encoder (min-rank iterative, O(1) plan size
+    # in vocab) must equal the replace-chain expression form (the
+    # oracle-parity anchor) bit-for-bit — on the crafted overlap corpus
+    # AND the real documents table.
+    from hadoop_gpu_spark.ml.bpe import bpe_token_counts
+
+    if corpus == "crafted":
+        docs = spark.createDataFrame([(t,) for t in _CRAFTED], "text string")
+    else:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    expr = bpe_token_counts(docs, "text", n_merges=6, fast_path=False).collect()
+    arrow = bpe_token_counts(docs, "text", n_merges=6, fast_path=True).collect()
+    assert [tuple(r) for r in expr] == [tuple(r) for r in arrow]
+
+
+def test_bpe_auto_fast_path_switches_on_merge_count(spark):
+    # the auto knob: ≤ EXPR_CHAIN_MAX_MERGES stays on expressions (no
+    # Arrow/python in the plan); beyond it the encoder UDF appears.
+    from hadoop_gpu_spark.ml import bpe
+    from hadoop_gpu_spark.plans import formatted_plan
+
+    docs = spark.createDataFrame([(t,) for t in _CRAFTED], "text string")
+    small = formatted_plan(bpe.bpe_token_counts(docs, "text", n_merges=3))
+    assert "ArrowEvalPython" not in small, small
+    try:
+        bpe.EXPR_CHAIN_MAX_MERGES = 2
+        big = formatted_plan(bpe.bpe_token_counts(docs, "text", n_merges=3))
+    finally:
+        bpe.EXPR_CHAIN_MAX_MERGES = 64
+    assert "ArrowEvalPython" in big, big
+
+
 def test_bpe_token_counts_partition_invariant(spark):
     from hadoop_gpu_spark.ml.bpe import bpe_token_counts
 
