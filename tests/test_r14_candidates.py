@@ -180,6 +180,41 @@ def test_bpe_token_counts_early_exhaustion_matches_twin(spark):
     assert dict(zip(got["subword"], got["n_tokens"])) == {"ab</w>": 3}
 
 
+def test_bpe_token_counts_sql_twin_matches_reference_fuzz():
+    """python <-> DuckDB differential fuzz of the ENCODE+COUNT lattice
+    (the train-side twin is fuzzed in test_r11_candidates.py): tiny
+    2-3 letter corpora force count ties, repeated-letter runs (greedy
+    non-overlap), single-char words, empty corpora, and pair exhaustion
+    (the LEFT JOIN + COALESCE vocab carry-through). No JVM per example —
+    the Spark side is pinned to this same twin by the oracle gate tests
+    above, closing the triangle."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hadoop_gpu_spark.ml.bpe import bpe_token_counts_sql
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+
+    @given(
+        words=st.lists(word, min_size=0, max_size=10),
+        n_merges=st.integers(min_value=1, max_value=8),
+    )
+    @settings(max_examples=60, deadline=None)
+    def run(words, n_merges):
+        texts = [" ".join(words)]
+        _, _, want = _ref_bpe(texts, n_merges)
+        con = duckdb.connect()
+        con.sql("CREATE TABLE t (text VARCHAR)")
+        con.execute("INSERT INTO t VALUES (?)", [texts[0]])
+        rows = con.sql(bpe_token_counts_sql("t", "text", n_merges)).fetchall()
+        con.close()
+        got = {s: int(n) for s, n in rows}
+        assert got == dict(want), (words, n_merges, got, want)
+
+    run()
+
+
 def test_bpe_token_counts_single_corpus_scan_plan(spark, sf_dir):
     # 100 TB pin: training already paid the one corpus scan into the
     # persisted (word, wc) frame; the RETURNED count plan must read that
