@@ -4899,6 +4899,12 @@ STAGED_CANDIDATES = [
     # apply-in-learning-order equivalence) and a single-corpus-scan
     # plan pin.
     "q_bpe_token_counts",
+    # r12-built, r14/r15 registration: multinomial NB language
+    # classifier confusion matrix — classifier-based filtering, the
+    # learned counterpart of q_lang_id_confusion's heuristic.
+    # Oracle-pinned at both scales by tests/test_r14_candidates.py with
+    # a pure-python third implementation.
+    "q_nb_lang_confusion",
 ]
 
 
@@ -5248,6 +5254,48 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bpe_token_counts(
         T(spark, sf_dir, "documents").select("text"), "text", _BPE_N_MERGES
+    )
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes language classifier (r12-built, r14/r15 staged gate): the
+# classifier-based filtering member of the pipeline family — production
+# corpora are gated by LEARNED linear text classifiers (fasttext-style
+# lang-id/quality models in the CCNet/GPT-3 recipes), where this repo's
+# lang_id / quality_score are hand-written heuristics. Multinomial NB is
+# the aggregation-native member of that family: training IS a token-count
+# groupBy (exact, partition-invariant, no SGD ordering), inference the
+# round(ln,9)-decimal token sum the unigram-LM scorer already pins across
+# engines. Subject: self-evaluation confusion matrix of the NB lang
+# classifier vs the stored lang labels — the learned counterpart of
+# q_lang_id_confusion's heuristic. See ml/nbayes.py for the 100 TB shape
+# (one train scan + one apply scan, vocab x classes model grid from an
+# eager_persist'd count aggregate, UNHINTED model join).
+# ---------------------------------------------------------------------------
+def _nb_lang_confusion_oracle() -> str:
+    from hadoop_gpu_spark.ml.nbayes import nb_confusion_sql
+
+    return nb_confusion_sql(
+        "documents", id_col="doc_id", text_col="text", label_col="lang"
+    )
+
+
+Q_NB_LANG_CONFUSION_ORACLE = _nb_lang_confusion_oracle()
+
+
+def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, pred, n_docs) — confusion matrix of a multinomial NB
+    language classifier trained on the document corpus's own labels
+    (r14/r15 staged gate): every count exact, every log-likelihood on
+    the round(ln, 9) decimal lattice, argmax ties to the smaller
+    class — the oracle compares the matrix bit-for-bit."""
+    from hadoop_gpu_spark.ml.nbayes import nb_confusion
+
+    return nb_confusion(
+        T(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        id_col="doc_id",
+        text_col="text",
+        label_col="lang",
     )
 
 

@@ -515,6 +515,12 @@ ALLOWED_MODULE_BROADCAST_HINTS = {
     ("operators/retrieval.py", "stats"):
         "bm25 corpus stats: a 1-row (n_docs, total_tokens) aggregate — "
         "the fold-in that replaced the construction-time collect (r12)",
+    ("ml/nbayes.py", "class_tok"):
+        "NB per-class token totals: |classes| rows — bounded by the "
+        "label set, never corpus- or vocab-sized",
+    ("ml/nbayes.py", "pri"):
+        "NB class priors: |classes| rows (the vocab-sized grid join "
+        "stays deliberately UNHINTED next to these)",
 }
 
 
@@ -571,6 +577,10 @@ ALLOWED_GLOBAL_WINDOWS = {
         "not the corpus (the r06 dual-branch fix)",
     ("queries.py", "q_pretrain_pipeline"):
         "|langs|-row mixture-stats aggregate — same bound (r06 fix)",
+    ("ml/nbayes.py", "nb_classify"):
+        "prior normalizer over the |classes|-row per-class doc-count "
+        "frame — bounded by the label set (the corpus-sized analogs in "
+        "this module use eager_persist + scalar re-aggregate instead)",
 }
 
 

@@ -40,8 +40,10 @@ STAGED = [
     # falsifier suite (tests/test_interval.py, tests/test_r13_candidates.py)
     "q_interval_overlap",
     # r12-continuation staging (r14/r15 registration): BPE apply+count
-    # under the trained tokenizer (tests/test_r14_candidates.py)
+    # under the trained tokenizer, and the NB language-classifier
+    # confusion matrix (tests/test_r14_candidates.py)
     "q_bpe_token_counts",
+    "q_nb_lang_confusion",
 ]
 
 

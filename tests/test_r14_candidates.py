@@ -24,10 +24,11 @@ import re
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.oracle import compare_frames, duckdb_con
 
-R14_CANDIDATES = ["q_bpe_token_counts"]
+R14_CANDIDATES = ["q_bpe_token_counts", "q_nb_lang_confusion"]
 
 _BOTH_SCALES = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
@@ -272,3 +273,178 @@ def test_bpe_token_counts_partition_invariant(spark):
     a = bpe_token_counts(docs.coalesce(1), "text", n_merges=5).collect()
     b = bpe_token_counts(docs.repartition(13), "text", n_merges=5).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes language classifier (ml/nbayes.py): pure-python third
+# implementation and falsifiers. The docstring at the top of this file
+# describes the staging pattern; the NB-specific risks are the Laplace
+# lattice (smoothing denominators), the zero-token prior-only path, and
+# argmax tie-breaks.
+# ---------------------------------------------------------------------------
+
+
+def _ref_nb_confusion(docs: list[tuple[str, str, str]]):
+    """(id, label, text) rows -> {(label, pred): n} — independent NB."""
+    import math
+
+    counts: Counter = Counter()
+    cls_tok: Counter = Counter()
+    pri_n: Counter = Counter()
+    for _, lab, text in docs:
+        pri_n[lab] += 1
+        for t in text.split():
+            counts[(t, lab)] += 1
+            cls_tok[lab] += 1
+    vocab = {t for t, _ in counts}
+    V = len(vocab)
+    N = sum(pri_n.values())
+    classes = sorted(pri_n)
+    conf: Counter = Counter()
+    for _, lab, text in docs:
+        best = None
+        for c in classes:
+            s = round(math.log(pri_n[c] / N), 9)
+            for t in text.split():
+                if t in vocab:
+                    s = round(
+                        s + round(math.log((counts[(t, c)] + 1) / (cls_tok[c] + V)), 9),
+                        9,
+                    )
+            if best is None or s > best[0] or (s == best[0] and c < best[1]):
+                best = (s, c)
+        conf[(lab, best[1])] += 1
+    return dict(conf)
+
+
+_NB_DOCS = [
+    ("d1", "en", "the cat sat on the mat"),
+    ("d2", "en", "the dog ate the bone"),
+    ("d3", "fr", "le chat le chien"),
+    ("d4", "fr", "le monde est grand"),
+    ("d5", "de", "der hund und die katze"),
+    ("d6", "en", ""),  # zero-token doc: scores on priors alone
+    ("d7", "de", "die welt ist gross"),
+    ("d8", "fr", "le chat dort"),
+    ("d9", "de", "der der der"),  # repeated-token weighting
+]
+
+
+def test_nb_confusion_matches_pure_python_reference(spark):
+    from hadoop_gpu_spark.ml.nbayes import nb_confusion
+
+    df = spark.createDataFrame(_NB_DOCS, "doc_id string, lang string, text string")
+    got = {
+        (r["lang"], r["pred"]): r["n_docs"]
+        for r in nb_confusion(df, id_col="doc_id", label_col="lang").collect()
+    }
+    assert got == _ref_nb_confusion(_NB_DOCS)
+
+
+def test_nb_zero_token_doc_takes_max_prior_class(spark):
+    # a textless doc must be classified by priors alone (ties to the
+    # smaller class name) — the LEFT-join + COALESCE path, not a
+    # dropped row.
+    from hadoop_gpu_spark.ml.nbayes import nb_classify
+
+    df = spark.createDataFrame(
+        [("a", "en", "x y z"), ("b", "en", "x q"), ("c", "fr", "u v"), ("z", "fr", "")],
+        "doc_id string, lang string, text string",
+    )
+    rows = {
+        r["doc_id"]: r["pred"]
+        for r in nb_classify(df, id_col="doc_id", label_col="lang").collect()
+    }
+    assert rows["z"] == "en"  # en prior 2/4 == fr prior 2/4 -> tie to 'en'
+    assert len(rows) == 4  # nobody dropped
+
+
+def test_nb_confusion_partition_invariant(spark):
+    from hadoop_gpu_spark.ml.nbayes import nb_confusion
+
+    df = spark.createDataFrame(_NB_DOCS * 5, "doc_id string, lang string, text string")
+    a = nb_confusion(df.coalesce(1), id_col="doc_id", label_col="lang").collect()
+    b = nb_confusion(df.repartition(13), id_col="doc_id", label_col="lang").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_nb_sql_twin_matches_reference_fuzz():
+    """python <-> DuckDB differential fuzz of the NB lattice over tiny
+    adversarial corpora: 2-letter words force count ties, duplicate
+    texts across classes force near-equal posteriors (tie-break), empty
+    texts exercise the prior-only path. No JVM per example — the Spark
+    side is pinned to the same twin by the oracle gate tests above."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hadoop_gpu_spark.ml.nbayes import nb_confusion_sql
+
+    text = st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=3), min_size=0, max_size=6
+    ).map(" ".join)
+
+    @given(
+        rows=st.lists(
+            st.tuples(st.sampled_from(["p", "q", "r"]), text), min_size=1, max_size=8
+        )
+    )
+    @settings(max_examples=50, deadline=None)
+    def run(rows):
+        docs = [(f"d{i}", lab, t) for i, (lab, t) in enumerate(rows)]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(doc_id VARCHAR, lang VARCHAR, text VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?,?,?)", docs)
+        sql = nb_confusion_sql("t", id_col="doc_id", text_col="text", label_col="lang")
+        got = {(r[0], r[1]): int(r[2]) for r in con.sql(sql).fetchall()}
+        con.close()
+        assert got == _ref_nb_confusion(docs), (docs, got)
+
+    run()
+
+
+def test_nb_gate_confusion_is_complete_and_conserves_docs(spark, sf_dir):
+    # Output-shape invariants on the real corpus. NOTE the testdata's
+    # text is the same token distribution for every lang (the lang
+    # column is uncorrelated metadata — the same reason the HEURISTIC
+    # gate is named q_lang_id_confusion), so diagonal dominance is NOT
+    # an invariant here; separable-corpus accuracy is pinned by
+    # test_nb_separable_corpus_is_diagonal below. What must hold: every
+    # document is classified exactly once (row sums == per-lang doc
+    # counts), every true label appears, and predictions come from the
+    # label set.
+    from hadoop_gpu_spark import queries as q
+    from hadoop_gpu_spark.tables import load_table
+
+    rows = q.q_nb_lang_confusion(spark, sf_dir).collect()
+    want = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, "documents", sf_dir)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got: dict[str, int] = {}
+    for r in rows:
+        got[r["lang"]] = got.get(r["lang"], 0) + r["n_docs"]
+        assert r["pred"] in want, r
+    assert got == want
+
+
+def test_nb_separable_corpus_is_diagonal(spark):
+    # on a corpus whose classes have disjoint vocabularies the
+    # classifier must recover every label exactly.
+    from hadoop_gpu_spark.ml.nbayes import nb_confusion
+
+    docs = [
+        (f"{lang}{i}", lang, " ".join(f"{lang}tok{j}" for j in range(5)))
+        for lang in ("aa", "bb", "cc")
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, lang string, text string")
+    rows = nb_confusion(df, id_col="doc_id", label_col="lang").collect()
+    assert {(r["lang"], r["pred"]): r["n_docs"] for r in rows} == {
+        ("aa", "aa"): 4,
+        ("bb", "bb"): 4,
+        ("cc", "cc"): 4,
+    }
