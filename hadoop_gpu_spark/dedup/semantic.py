@@ -46,6 +46,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     n_centroids: int = 8,
     tau: float = 0.30,
+    coarse_nlist: int | None = None,
+    coarse_nprobe: int = 1,
 ) -> DataFrame:
     """(id_col, cid) — the surviving vectors with their cluster id.
 
@@ -53,6 +55,25 @@ def semantic_dedup(
     cosine >= tau against it. Centroids are the vectors with
     id_col < n_centroids; every vector assigns to its max-cosine
     centroid (ties to the smaller centroid id).
+
+    ``coarse_nlist``: the production assignment knob for LARGE
+    n_centroids (the r12 sf1 scale check measured the honest
+    asymptotics: exact assignment costs k cosines per vector, the pair
+    stage N²/k, so the optimal fixed-depth k ~ sqrt(N) leaves N^1.5
+    total — flat assignment is the term to beat). With it set, the
+    first ``coarse_nlist`` centroids act as a coarse quantizer over the
+    centroid set (the IVF convention applied one level up): each fine
+    centroid lives in its max-cosine coarse cell, and each vector
+    probes only its ``coarse_nprobe`` nearest cells — per-vector cost
+    drops from k to ~ coarse_nlist + coarse_nprobe * k / coarse_nlist
+    (≈ 2·sqrt(k) at the sqrt sizing), making the assignment term
+    sublinear in k and the whole operator ~linear at k ~ sqrt(N).
+    APPROXIMATE for coarse_nprobe < coarse_nlist (a vector's true
+    max-cosine centroid may sit in an unprobed cell) — the oracle-gated
+    configuration keeps the exact path; probing every cell
+    (coarse_nprobe >= coarse_nlist) is proven bit-identical to it.
+    Every probe set is non-empty by construction: coarse centroids ARE
+    fine centroids, each resident in its own cell.
     """
     from hadoop_gpu_spark.functions.vectors import cosine
     from hadoop_gpu_spark.utils import eager_persist
@@ -62,9 +83,46 @@ def semantic_dedup(
     cen = emb.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
     )
-    scored = emb.select(id_col, vec_col).crossJoin(F.broadcast(cen)).withColumn(
-        "__cos", cosine(vec_col, "__cvec")
-    )
+    if coarse_nlist is not None:
+        if not (1 <= coarse_nlist <= n_centroids):
+            raise ValueError("coarse_nlist must be in [1, n_centroids]")
+        if coarse_nprobe < 1:
+            raise ValueError("coarse_nprobe must be >= 1")
+        coarse = cen.filter(F.col("__cid") < coarse_nlist).select(
+            F.col("__cid").alias("__gid"), F.col("__cvec").alias("__gvec")
+        )
+        # fine centroid -> its max-cosine coarse cell (k x m, centroid-
+        # set-sized; ties to the smaller cell id, the assignment rule)
+        cw = Window.partitionBy("__cid").orderBy(
+            F.col("__gcos").desc(), F.col("__gid")
+        )
+        cen_cell = (
+            cen.crossJoin(F.broadcast(coarse))
+            .withColumn("__gcos", cosine("__cvec", "__gvec"))
+            .withColumn("__crn", F.row_number().over(cw))
+            .filter(F.col("__crn") == 1)
+            .select("__gid", "__cid", "__cvec")
+        )
+        # vector -> nprobe nearest coarse cells, then fine candidates
+        # from those cells only
+        pw = Window.partitionBy(id_col).orderBy(
+            F.col("__gcos").desc(), F.col("__gid")
+        )
+        probes = (
+            emb.select(id_col, vec_col)
+            .crossJoin(F.broadcast(coarse))
+            .withColumn("__gcos", cosine(vec_col, "__gvec"))
+            .withColumn("__prn", F.row_number().over(pw))
+            .filter(F.col("__prn") <= coarse_nprobe)
+            .select(id_col, vec_col, "__gid")
+        )
+        scored = probes.join(F.broadcast(cen_cell), "__gid").withColumn(
+            "__cos", cosine(vec_col, "__cvec")
+        )
+    else:
+        scored = emb.select(id_col, vec_col).crossJoin(F.broadcast(cen)).withColumn(
+            "__cos", cosine(vec_col, "__cvec")
+        )
     w = Window.partitionBy(id_col).orderBy(F.col("__cos").desc(), F.col("__cid"))
     asg = eager_persist(
         scored.withColumn("__rn", F.row_number().over(w))

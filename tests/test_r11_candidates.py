@@ -265,6 +265,70 @@ def test_semantic_dedup_plan_shares_one_assignment_relation(spark, sf_dir):
     assert len(live) <= 2, plan
 
 
+def test_semantic_dedup_full_probe_equals_exact(spark, sf_dir):
+    # the r12 scale-check follow-through: the coarse-probed assignment
+    # (the sublinear-in-k production knob) degenerates to the EXACT
+    # gate path when every cell is probed — bit-for-bit.
+    from hadoop_gpu_spark.dedup.semantic import semantic_dedup
+    from hadoop_gpu_spark.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    exact = semantic_dedup(emb, n_centroids=8, tau=0.30).collect()
+    probed = semantic_dedup(
+        emb, n_centroids=8, tau=0.30, coarse_nlist=3, coarse_nprobe=3
+    ).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, probed))
+    assert len(exact) > 0
+
+
+def test_semantic_dedup_partial_probe_matches_two_level_reference(spark, sf_dir):
+    # with coarse_nprobe < coarse_nlist the assignment is approximate —
+    # but it must be EXACTLY the documented two-level rule: fine
+    # centroid -> max-cosine coarse cell, vector -> nprobe nearest
+    # cells, argmax over the probed candidates (ties to the smaller
+    # id at every level), then the unchanged keep-first pruning.
+    import numpy as np
+
+    from hadoop_gpu_spark.dedup.semantic import semantic_dedup
+    from hadoop_gpu_spark.tables import load_table
+
+    k, m, npb, tau = 8, 4, 1, 0.30
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    out = {
+        int(r["vec_id"]): int(r["cid"])
+        for r in semantic_dedup(
+            emb, n_centroids=k, tau=tau, coarse_nlist=m, coarse_nprobe=npb
+        ).collect()
+    }
+
+    pdf = emb.toPandas()
+    vecs = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in pdf.itertuples()
+    }
+
+    def cos(a, b):
+        return float(a @ b / np.sqrt((a @ a) * (b @ b)))
+
+    cell_of = {
+        c: max(range(m), key=lambda g: (cos(vecs[c], vecs[g]), -g)) for c in range(k)
+    }
+    assign = {}
+    for v, x in vecs.items():
+        cells = sorted(range(m), key=lambda g: (-cos(x, vecs[g]), g))[:npb]
+        cands = [c for c in range(k) if cell_of[c] in cells]
+        assign[v] = max(cands, key=lambda c: (cos(x, vecs[c]), -c))
+    survivors = {}
+    by_cluster: dict[int, list[int]] = {}
+    for v in sorted(assign):
+        by_cluster.setdefault(assign[v], []).append(v)
+    for cid, members in by_cluster.items():
+        for i, b in enumerate(members):
+            if not any(cos(vecs[a], vecs[b]) >= tau for a in members[:i]):
+                survivors[b] = cid
+    assert out == survivors
+
+
 @pytest.fixture(scope="module", autouse=True)
 def _release_persisted_after():
     yield
