@@ -180,34 +180,42 @@ def bpe_encode_words(word_col: str, merges: list[tuple[str, str]]) -> Column:
     pair) — pinned by tests/test_r14_candidates.py on crafted corpora
     and the real documents table.
     """
-    ranks = {pair: i for i, pair in enumerate(merges)}
+    encode = _word_encoder(merges)
 
     @F.pandas_udf("array<string>")
     def enc(words):  # pd.Series[str] -> pd.Series[list[str]]
-        def one(w: str) -> list[str]:
-            syms = [*w, WORD_END]
-            while True:
-                best = None
-                for p in zip(syms, syms[1:]):
-                    r = ranks.get(p)
-                    if r is not None and (best is None or r < best[0]):
-                        best = (r, p)
-                if best is None:
-                    return syms
-                a, b = best[1]
-                out, i = [], 0
-                while i < len(syms):
-                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                        out.append(a + b)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
-
-        return words.map(one)
+        return words.map(encode)
 
     return enc(word_col)
+
+
+def _word_encoder(merges: list[tuple[str, str]]):
+    """word -> subword list via min-rank iterative merging — the plain
+    closure both Arrow paths (word-level and document-level) share."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def one(w: str) -> list[str]:
+        syms = [*w, WORD_END]
+        while True:
+            best = None
+            for p in zip(syms, syms[1:]):
+                r = ranks.get(p)
+                if r is not None and (best is None or r < best[0]):
+                    best = (r, p)
+            if best is None:
+                return syms
+            a, b = best[1]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+
+    return one
 
 
 # Above this many merges the replace-chain expression form stops being a
@@ -279,6 +287,7 @@ def bpe_segment(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "subwords",
+    fast_path: bool | None = None,
 ) -> DataFrame:
     """Apply a learned merge list to raw text: adds ``out_col``, an
     array of subword symbols (``</w>`` marking word ends). Map-only —
@@ -293,10 +302,54 @@ def bpe_segment(
     to the marker through four merges. Production tokenizers escape or
     byte-map such input; callers with adversarial text should strip
     ``<`` or pick a marker outside the corpus alphabet.)
+
+    ``fast_path``: None auto-selects like bpe_token_counts — the
+    replace-chain expression form up to EXPR_CHAIN_MAX_MERGES, the
+    Arrow document encoder beyond (min-rank iterative per word, with a
+    within-batch word memo standing in for the distinct-word dedup the
+    count path gets from its vocab frame). Bit-identical outputs
+    (pinned by test, incl. the ASCII-``\\s`` tokenizer split — Python's
+    ``str.split`` would also split on Unicode spaces Java ``\\s`` does
+    not, so the encoder splits on the explicit Java class).
     """
-    # normalize whitespace runs, wrap every char, then widen the exact
-    # 3-space inter-token boundary into '  </w>  ' and terminate.
-    one_space = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    if fast_path is None:
+        fast_path = len(merges) > EXPR_CHAIN_MAX_MERGES
+    if fast_path:
+        import re as _re
+
+        encode = _word_encoder(merges)
+        # Java \s == [ \t\n\x0B\f\r] exactly — NOT python str.split(),
+        # which also splits on Unicode whitespace (NBSP etc.) that the
+        # expression path keeps inside a token.
+        split_ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+        @F.pandas_udf("array<string>")
+        def seg(texts):  # pd.Series[str] -> pd.Series[list[str]]
+            memo: dict[str, list[str]] = {}
+
+            def one(t: str) -> list[str]:
+                out: list[str] = []
+                for w in split_ws.split(t):
+                    if not w:
+                        continue
+                    enc = memo.get(w)
+                    if enc is None:
+                        enc = memo[w] = encode(w)
+                    out.extend(enc)
+                return out
+
+            return texts.map(one)
+
+        return docs.withColumn(out_col, seg(text_col))
+    # normalize whitespace runs, trim the collapsed single-space ends
+    # (collapse first makes every run an ASCII space, so the space-only
+    # trim suffices; trimming BEFORE collapse left a trailing "\n" as a
+    # trailing space, whose wrapped 2-space tail met the appended
+    # ' </w> ' as an UNWIDENED 3-space run and split into a corrupt
+    # ' </w>' symbol — the r12 falsifier), wrap every char, then widen
+    # the exact 3-space inter-token boundary into '  </w>  ' and
+    # terminate.
+    one_space = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
     wrapped = F.regexp_replace(one_space, r"(\S)", " $1 ")
     seq = F.concat(
         F.replace(wrapped, F.lit("   "), F.lit(f"  {WORD_END}  ")),
@@ -307,7 +360,7 @@ def bpe_segment(
     return docs.withColumn(
         out_col,
         F.when(
-            F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+            one_space == "", F.array().cast("array<string>")
         ).otherwise(F.split(F.trim(seq), "  ")),
     )
 

@@ -473,6 +473,51 @@ def test_bpe_segment_never_fuses_across_tokens(spark):
     assert rows2["ab ab"] == ["ab", "</w>", "ab", "</w>"]
 
 
+def test_bpe_segment_edge_whitespace_is_clean(spark):
+    # r12 falsifier: text with a TRAILING whitespace run used to leave
+    # an unwidened 3-space run at the appended terminator and split a
+    # corrupt ' </w>' symbol; whitespace-ONLY text segmented to a
+    # spurious ['</w>']. Both now normalize (collapse before trim).
+    from hadoop_gpu_spark.ml.bpe import bpe_segment
+
+    docs = spark.createDataFrame(
+        [("a b\n",), ("\ta b",), ("  \n ",), ("\n",), ("a b",)], "text string"
+    )
+    rows = {
+        r["text"]: list(r["subwords"])
+        for r in bpe_segment(docs, [("a", "b")], "text").collect()
+    }
+    assert rows["a b\n"] == ["a", "</w>", "b", "</w>"]
+    assert rows["\ta b"] == ["a", "</w>", "b", "</w>"]
+    assert rows["  \n "] == []
+    assert rows["\n"] == []
+    # NBSP is NOT Java \s: one 3-char token, not two words
+    assert rows["a b"] == ["a", " ", "b", "</w>"]
+
+
+def test_bpe_segment_fast_path_bit_identical(spark):
+    # the Arrow document encoder (min-rank per word + within-batch
+    # memo, ASCII-\s split) must equal the replace-chain expression
+    # form on every edge the previous test pins.
+    from hadoop_gpu_spark.ml.bpe import bpe_segment
+
+    texts = [
+        "ab ab abab ba", "a b\n", "\ta b", "  \n ", "", "a b",
+        "low lower lowest low", "aaaa aa a aaa",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges = [("a", "b"), ("l", "o"), ("a", "a"), ("ab", "ab")]
+    expr = {
+        r["text"]: list(r["subwords"])
+        for r in bpe_segment(docs, merges, "text", fast_path=False).collect()
+    }
+    arrow = {
+        r["text"]: list(r["subwords"])
+        for r in bpe_segment(docs, merges, "text", fast_path=True).collect()
+    }
+    assert expr == arrow
+
+
 def test_bpe_iterations_read_checkpoint_not_corpus(spark, sf_dir):
     # The 100 TB contract: the corpus is scanned exactly once (the
     # word-count pass inside the eager checkpoint); every iteration's
