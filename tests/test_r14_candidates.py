@@ -232,6 +232,25 @@ def test_bpe_token_counts_single_corpus_scan_plan(spark, sf_dir):
     assert plan.index("InMemoryRelation") < plan.index("Scan parquet"), plan
 
 
+def test_bpe_checkpoint_cadence_does_not_change_results(spark):
+    # the re-checkpoint branch (step % checkpoint_every == 0: new eager
+    # checkpoint, predecessor's blocks released) ran untested at the
+    # default cadence of 16 — every gate uses 8 merges. Train well past
+    # several re-checkpoints and pin bit-equality against the
+    # no-recheckpoint run and the pure-python reference.
+    from hadoop_gpu_spark.ml.bpe import bpe_merges, bpe_token_counts
+
+    docs = spark.createDataFrame([(t,) for t in _CRAFTED * 3], "text string")
+    m_every2 = [tuple(r) for r in bpe_merges(docs, "text", 7, checkpoint_every=2).collect()]
+    m_never = [tuple(r) for r in bpe_merges(docs, "text", 7, checkpoint_every=100).collect()]
+    assert m_every2 == m_never
+    want_merges, _, want_counts = _ref_bpe(_CRAFTED * 3, 7)
+    assert [(l, r) for _, l, r, _ in m_every2] == want_merges
+
+    c2 = bpe_token_counts(docs, "text", 7, checkpoint_every=2).collect()
+    assert {r["subword"]: r["n_tokens"] for r in c2} == dict(want_counts)
+
+
 @pytest.mark.parametrize("corpus", ["crafted", "documents"])
 def test_bpe_fast_path_bit_identical_to_expression_chain(spark, sf_dir, corpus):
     # The production Arrow encoder (min-rank iterative, O(1) plan size
