@@ -54,6 +54,45 @@ def test_kmeans_dataframe_matches_numpy(spark, sf_dir):
     assert np.allclose(got, cents, atol=1e-6)
 
 
+def test_kmeans_dataframe_eps_early_stop(spark, monkeypatch):
+    # the eps branch (max centroid movement <= eps^2 -> stop) ran
+    # untested: every gate uses the fixed-iteration shape. Two tight
+    # blobs converge in ~2 iterations; the loop must stop there, not
+    # run out max_iter, and the result must equal the fixed-iteration
+    # answer.
+    from hadoop_gpu_spark.ml import kmeans as km
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(40):
+        blob = i % 2
+        x, y = rng.normal(blob * 10.0, 0.05, 2)
+        rows.append((i, float(x), float(y)))
+    pts = spark.createDataFrame(rows, ["vec_id", "x", "y"])
+    init = pts.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").cast("long").alias("cluster_id"), "x", "y"
+    )
+
+    calls = {"n": 0}
+    real = km._with_nearest
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(km, "_with_nearest", counting)
+    out = km.kmeans_dataframe(
+        pts, init, ["x", "y"], k=2, max_iter=30, eps=1e-9
+    ).toPandas()
+    assert calls["n"] < 10, f"eps early stop did not fire: {calls['n']} iterations"
+
+    monkeypatch.setattr(km, "_with_nearest", real)
+    fixed = km.kmeans_dataframe(pts, init, ["x", "y"], k=2, max_iter=8).toPandas()
+    a = out.sort_values("cluster_id")[["c_x", "c_y", "n_points"]].to_numpy(dtype=float)
+    b = fixed.sort_values("cluster_id")[["c_x", "c_y", "n_points"]].to_numpy(dtype=float)
+    assert np.allclose(a, b, atol=1e-12)
+
+
 def test_kmeans_grouped_reference_semantics(spark):
     # Two datasets, each with 2 tight blobs; reference contract: one whole
     # dataset per group, Lloyd's until eps (cpu-kmeans2D.cc:163-170).
