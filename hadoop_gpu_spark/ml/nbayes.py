@@ -141,45 +141,67 @@ def nb_classify(
 ) -> DataFrame:
     """(id_col, label_col, pred, score) — each document's argmax NB
     class under the model trained on this same corpus's labels
-    (self-evaluation; split the frame for held-out use). ``score`` is
-    the winning class's exact decimal log-posterior (up to the shared
-    evidence term), rounded to 6 dp for output like avg_nll.
+    (self-evaluation). ``score`` is the winning class's exact decimal
+    log-posterior (up to the shared evidence term), rounded to 6 dp
+    for output like avg_nll. For the held-out / corpus-scoring shape
+    (train on a labeled seed set, score a different corpus) use
+    ``nb_score``.
+    """
+    preds = nb_score(
+        docs, docs, id_col=id_col, text_col=text_col, label_col=label_col
+    )
+    return docs.select(id_col, label_col).join(preds, id_col).select(
+        id_col, label_col, "pred", "score"
+    )
+
+
+def nb_score(
+    train: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    label_col: str = "label",
+) -> DataFrame:
+    """(id_col, pred, score) — classify ``docs`` under the NB model
+    trained on ``train``'s labels: the production quality-filter shape
+    (the CCNet recipe trains its fasttext model on a labeled seed set
+    — reference pages vs crawl — then scores the whole unlabeled
+    corpus; ``docs`` needs only ``id_col`` + ``text_col``). Tokens
+    outside the training vocabulary are skipped (the standard NB
+    convention — no likelihood evidence either way); documents with no
+    in-vocabulary tokens score on priors alone.
     """
     from hadoop_gpu_spark.operators.fields import tokenize
 
-    toks = docs.select(
-        id_col, F.explode(tokenize(text_col)).alias("term"), label_col
+    train_toks = train.select(
+        F.explode(tokenize(text_col)).alias("term"),
+        F.col(label_col).alias("cls"),
     )
     # priors from a column-pruned scan; N folded as a window over the
     # BOUNDED |classes|-row frame (never an unbounded single-partition
     # window — the r09 unigram lesson)
-    pri = docs.groupBy(F.col(label_col).alias("cls")).agg(
+    pri = train.groupBy(F.col(label_col).alias("cls")).agg(
         F.count(F.lit(1)).alias("n_c")
     )
-    # tokens carry the TRUE label for training; scoring runs against
-    # every class, so the grid's class column gets its own name. The
-    # class list comes from the LABELS, not the token stream (an
-    # all-empty-document class must still pay Laplace token costs).
-    grid, _ = nb_train(
-        toks.select("term", F.col(label_col).alias("cls")),
-        label_col="cls",
-        classes=pri.select("cls"),
-    )
+    # the class list comes from the LABELS, not the token stream (an
+    # all-empty-document class must still pay Laplace token costs)
+    grid, _ = nb_train(train_toks, label_col="cls", classes=pri.select("cls"))
     wall = Window.partitionBy(F.lit(1))
     pri = pri.select(
         "cls", _rln9(F.col("n_c") / F.sum("n_c").over(wall)).alias("prior")
     )
     # per-(doc, class) token log-likelihood sums: token stream x grid,
     # join UNHINTED on term (broadcast would die at open-vocab scale)
+    doc_toks = docs.select(id_col, F.explode(tokenize(text_col)).alias("term"))
     tok_scores = (
-        toks.join(grid, "term")
+        doc_toks.join(grid, "term")
         .groupBy(id_col, "cls")
         .agg(F.sum("llk").alias("tok_llk"))
     )
-    base = docs.select(id_col, label_col).crossJoin(F.broadcast(pri))
+    base = docs.select(id_col).crossJoin(F.broadcast(pri))
     scored = base.join(tok_scores, [id_col, "cls"], "left").select(
         id_col,
-        label_col,
         "cls",
         (F.col("prior") + F.coalesce(F.col("tok_llk"), F.lit(0).cast(_DEC))).alias(
             "posterior"
@@ -191,7 +213,6 @@ def nb_classify(
         .filter(F.col("__rn") == 1)
         .select(
             id_col,
-            label_col,
             F.col("cls").alias("pred"),
             F.round(F.col("posterior").cast("double"), 6).alias("score"),
         )

@@ -582,7 +582,7 @@ ALLOWED_GLOBAL_WINDOWS = {
         "not the corpus (the r06 dual-branch fix)",
     ("queries.py", "q_pretrain_pipeline"):
         "|langs|-row mixture-stats aggregate — same bound (r06 fix)",
-    ("ml/nbayes.py", "nb_classify"):
+    ("ml/nbayes.py", "nb_score"):
         "prior normalizer over the |classes|-row per-class doc-count "
         "frame — bounded by the label set (the corpus-sized analogs in "
         "this module use eager_persist + scalar re-aggregate instead)",

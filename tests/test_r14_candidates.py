@@ -378,6 +378,38 @@ def test_nb_zero_token_doc_takes_max_prior_class(spark):
     assert len(rows) == 4  # nobody dropped
 
 
+def test_nb_score_held_out_corpus(spark):
+    # the production quality-filter shape: train on a labeled seed set,
+    # score a DIFFERENT corpus that carries no labels. Disjoint seed
+    # vocabularies make the expected classes unambiguous; a doc with no
+    # in-vocabulary tokens must fall back to the max-prior class
+    # (ties to the smaller class name).
+    from hadoop_gpu_spark.ml.nbayes import nb_score
+
+    seed = spark.createDataFrame(
+        [
+            ("s1", "good", "alpha beta gamma"),
+            ("s2", "good", "alpha beta delta"),
+            ("s3", "spam", "zzz yyy xxx"),
+        ],
+        "doc_id string, label string, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            ("c1", "beta gamma gamma"),   # good vocabulary
+            ("c2", "xxx zzz"),            # spam vocabulary
+            ("c3", "unseen words only"),  # no evidence -> max prior = good (2/3)
+            ("c4", ""),                   # empty -> same prior fallback
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r["doc_id"]: r["pred"]
+        for r in nb_score(seed, corpus, id_col="doc_id").collect()
+    }
+    assert out == {"c1": "good", "c2": "spam", "c3": "good", "c4": "good"}
+
+
 def test_nb_confusion_partition_invariant(spark):
     from hadoop_gpu_spark.ml.nbayes import nb_confusion
 
