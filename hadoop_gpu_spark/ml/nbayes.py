@@ -147,12 +147,14 @@ def nb_classify(
     (train on a labeled seed set, score a different corpus) use
     ``nb_score``.
     """
-    preds = nb_score(
-        docs, docs, id_col=id_col, text_col=text_col, label_col=label_col
-    )
-    return docs.select(id_col, label_col).join(preds, id_col).select(
-        id_col, label_col, "pred", "score"
-    )
+    return nb_score(
+        docs,
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        label_col=label_col,
+        keep_cols=[label_col],
+    ).select(id_col, label_col, "pred", "score")
 
 
 def nb_score(
@@ -162,16 +164,21 @@ def nb_score(
     id_col: str,
     text_col: str = "text",
     label_col: str = "label",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id_col, pred, score) — classify ``docs`` under the NB model
-    trained on ``train``'s labels: the production quality-filter shape
-    (the CCNet recipe trains its fasttext model on a labeled seed set
-    — reference pages vs crawl — then scores the whole unlabeled
-    corpus; ``docs`` needs only ``id_col`` + ``text_col``). Tokens
-    outside the training vocabulary are skipped (the standard NB
-    convention — no likelihood evidence either way); documents with no
-    in-vocabulary tokens score on priors alone.
+    """(id_col, *keep_cols, pred, score) — classify ``docs`` under the
+    NB model trained on ``train``'s labels: the production
+    quality-filter shape (the CCNet recipe trains its fasttext model on
+    a labeled seed set — reference pages vs crawl — then scores the
+    whole unlabeled corpus; ``docs`` needs only ``id_col`` +
+    ``text_col``). Tokens outside the training vocabulary are skipped
+    (the standard NB convention — no likelihood evidence either way);
+    documents with no in-vocabulary tokens score on priors alone.
+    ``keep_cols`` ride the scoring base through to the output, saving
+    callers a join-back (and its extra pruned scan) — nb_classify
+    passes the true label this way.
     """
+    keep = list(keep_cols or [])
     from hadoop_gpu_spark.operators.fields import tokenize
 
     train_toks = train.select(
@@ -199,9 +206,10 @@ def nb_score(
         .groupBy(id_col, "cls")
         .agg(F.sum("llk").alias("tok_llk"))
     )
-    base = docs.select(id_col).crossJoin(F.broadcast(pri))
+    base = docs.select(id_col, *keep).crossJoin(F.broadcast(pri))
     scored = base.join(tok_scores, [id_col, "cls"], "left").select(
         id_col,
+        *keep,
         "cls",
         (F.col("prior") + F.coalesce(F.col("tok_llk"), F.lit(0).cast(_DEC))).alias(
             "posterior"
@@ -213,6 +221,7 @@ def nb_score(
         .filter(F.col("__rn") == 1)
         .select(
             id_col,
+            *keep,
             F.col("cls").alias("pred"),
             F.round(F.col("posterior").cast("double"), 6).alias("score"),
         )
