@@ -45,6 +45,13 @@ def percent_sample(df: DataFrame, key_col: str, frequency: int, seed: int = 1) -
 def interval_sample(df: DataFrame, order_col: str, interval: int) -> DataFrame:
     """IntervalSampler — every interval-th record in key order
     (M/lib/InputSampler.java:251). Deterministic via rank over the ordering.
+
+    Scale note: the global ORDER window funnels the input through one
+    task — acceptable here because the reference's InputSampler is a
+    SPLIT-POINT SAMPLING utility (its output feeds a TotalOrderPartitioner
+    build, its input is already a sample). For corpus-scale every-nth
+    selection use a keyed/deterministic sampler (md5_sample) or
+    total_order_sort's range machinery instead.
     """
     from pyspark.sql.window import Window
 

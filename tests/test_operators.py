@@ -181,6 +181,38 @@ def test_samplers_deterministic_and_partition(spark, sf_dir):
     assert p != s1 or p > 0
 
 
+def test_regex_filter_matches_python_re(spark):
+    # RegexFilter (M/SequenceFileInputFilter.java:103): rlike is an
+    # UNANCHORED search, like Java Matcher.find — pin against python
+    # re.search on the shared Java/RE2 subset.
+    import re
+
+    from hadoop_gpu_spark.operators.sampling import regex_filter
+
+    keys = ["alpha_1", "beta_22", "gamma", "ALPHA_3", "a1b2", ""]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    for pattern in [r"^alpha", r"[0-9]+", r"a.b", r"^$"]:
+        got = {r["k"] for r in regex_filter(df, "k", pattern).collect()}
+        want = {k for k in keys if re.search(pattern, k)}
+        assert got == want, (pattern, got, want)
+
+
+def test_interval_sample_every_nth_in_key_order(spark):
+    # IntervalSampler (M/lib/InputSampler.java:251): every interval-th
+    # record in ORDER-COLUMN order, starting from the first, no matter
+    # how the input rows arrive.
+    from hadoop_gpu_spark.operators.sampling import interval_sample
+
+    rows = [(k,) for k in [7, 3, 11, 1, 9, 5, 13, 15, 2, 8]]
+    df = spark.createDataFrame(rows, "k int").repartition(4)
+    got = sorted(r["k"] for r in interval_sample(df, "k", 3).collect())
+    want = sorted(sorted(k for (k,) in rows)[::3])
+    assert got == want
+    # interval=1 keeps everything; interval > n keeps only the first
+    assert interval_sample(df, "k", 1).count() == len(rows)
+    assert [r["k"] for r in interval_sample(df, "k", 100).collect()] == [1]
+
+
 def test_secondary_sort_stream_order(spark):
     # FIXTURES.md §4 kv_pairs contract: within each k1 group (one partition),
     # rows arrive ordered by k2.
