@@ -221,8 +221,11 @@ def _word_encoder(merges: list[tuple[str, str]]):
 # Above this many merges the replace-chain expression form stops being a
 # reasonable plan (one nested expression per merge) and bpe_token_counts
 # auto-switches to the Arrow encoder. Gate-scale runs (8 merges) stay on
-# the expression path — the oracle-parity anchor.
-EXPR_CHAIN_MAX_MERGES = 64
+# the expression path — the oracle-parity anchor. Empirically placed
+# (sf0.01 documents, min of 2, train+apply): expr wins at 16 merges
+# (16.6s vs 18.0s), Arrow wins at 48 (57.5s vs 68.3s) — the crossover
+# sits between, and at real vocab scale (30k+) only Arrow is viable.
+EXPR_CHAIN_MAX_MERGES = 32
 
 
 def bpe_token_counts(

@@ -277,11 +277,12 @@ def test_bpe_auto_fast_path_switches_on_merge_count(spark):
     docs = spark.createDataFrame([(t,) for t in _CRAFTED], "text string")
     small = formatted_plan(bpe.bpe_token_counts(docs, "text", n_merges=3))
     assert "ArrowEvalPython" not in small, small
+    saved = bpe.EXPR_CHAIN_MAX_MERGES
     try:
         bpe.EXPR_CHAIN_MAX_MERGES = 2
         big = formatted_plan(bpe.bpe_token_counts(docs, "text", n_merges=3))
     finally:
-        bpe.EXPR_CHAIN_MAX_MERGES = 64
+        bpe.EXPR_CHAIN_MAX_MERGES = saved
     assert "ArrowEvalPython" in big, big
 
 
