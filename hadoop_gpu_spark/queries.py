@@ -4847,35 +4847,38 @@ STAGED_CANDIDATES = [
     # round shipped zero commits, so the r11-planned registration
     # executed one round late; bm25's construction-time stats collect
     # was removed first, per its registration precondition.)
-    # r09-built (continuation), r13 registration (the r12 spare slots
-    # went to the four delayed r11 gates; r13's window has room beside
-    # the r08-latest rotation). Oracle-pinned at both scales by
+    # r09-built (continuation), r15 registration (the r12 spare slots
+    # went to the four delayed r11 gates; the r13 window was exactly
+    # full — over-stale r07 pair + r08 cohort + two changed-query
+    # slots — and the r14 window is exactly full with the displaced
+    # q_intersect/q_md5_sample pair + the r09 cohort; see the
+    # _DRIVER_WINDOW lookahead). Oracle-pinned at both scales by
     # tests/test_r12_candidates.py since staging, with a hashlib-md5
     # third-implementation cross-check and an EXHAUSTIVE (all 1024
     # v_zero inputs) linear-counting-branch engine-parity test.
     "q_hll_distinct",
-    # r09-built (continuation), r13 registration beside q_hll_distinct:
+    # r09-built (continuation), r15 registration beside q_hll_distinct:
     # the CMS as a Structured Streaming aggregate (fixed d*w state vs
     # an exact aggregate's Heaps-law state growth), snapshot == batch
     # sketch bit-for-bit so it shares q_cms_token_freq's oracle. On
     # registration it must ALSO join STREAMING_SNAPSHOT (see its
     # docstring).
     "q_stream_cms_freq",
-    # r09-built (continuation), r13 registration: exact all-pairs
+    # r09-built (continuation), r15 registration: exact all-pairs
     # hashed-TF-IDF cosine via inverted-index self-join with a df-cap
     # prefilter — the sparse complement of the dense similarity stack.
     # Oracle-pinned at both scales by tests/test_r12_candidates.py;
     # the posting frame is eager_persist'd (dual-branch class
     # pre-empted, plan-pinned).
     "q_sparse_allpairs",
-    # r09-built (continuation), r13 registration: span-level dedup —
+    # r09-built (continuation), r15 registration: span-level dedup —
     # maximal cross-document duplicated character ranges (Lee et al.
     # ExactSubstr as fixed-k position matching + interval-union merge).
     # Oracle-pinned at both scales by tests/test_r12_candidates.py
     # with a hashlib third implementation.
     "q_dup_spans",
-    # r10-built, r13/r14 registration (the r12 spare slots went to the
-    # four delayed r11 gates; it queues behind the four above): streaming
+    # r10-built, r15/r16 registration (it queues behind the four
+    # above): streaming
     # COUNT DISTINCT via the HLL register sketch — fixed |groups|*2^p
     # state where exact streaming COUNT(DISTINCT) grows with key
     # cardinality forever; MAX-merge idempotent across micro-batch
@@ -4886,12 +4889,12 @@ STAGED_CANDIDATES = [
     "q_stream_hll_distinct",
     # r10-built operator, r12-staged (the r11 VERDICT's evidence-or-
     # delete ultimatum resolved as evidence: tests/test_interval.py),
-    # r13/r14 registration behind the queue above: the bucketed
+    # r15/r16 registration behind the queue above: the bucketed
     # interval overlap join counting same-user click windows per
     # purchase hour-window. Oracle-pinned at both scales by
     # tests/test_r13_candidates.py.
     "q_interval_overlap",
-    # r12-built, r14/r15 registration (queues behind the six above):
+    # r12-built, r15/r16 registration (queues behind the six above):
     # BPE token counting — the trained-tokenizer APPLY+count half of
     # the q_bpe_merges lifecycle. Oracle-pinned at both scales by
     # tests/test_r14_candidates.py with a pure-python third
@@ -4899,7 +4902,7 @@ STAGED_CANDIDATES = [
     # apply-in-learning-order equivalence) and a single-corpus-scan
     # plan pin.
     "q_bpe_token_counts",
-    # r12-built, r14/r15 registration: multinomial NB language
+    # r12-built, r15/r16 registration: multinomial NB language
     # classifier confusion matrix — classifier-based filtering, the
     # learned counterpart of q_lang_id_confusion's heuristic.
     # Oracle-pinned at both scales by tests/test_r14_candidates.py with
@@ -5427,60 +5430,61 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the module so every @query registration (including same-round gate
 # registrations) precedes the reorder.
 #
-# Round 12 window. Slot accounting (hard 50; every set below MUST be
+# Round 13 window. Slot accounting (hard 50; every set below MUST be
 # inside it). Freshness policy: 4-round re-proof period (amended r07 —
 # after round N no query's latest driver row may be older than N-3;
 # pytest's oracle-parity suite still re-proves the ENTIRE surface every
-# session). Round 11 shipped zero commits (CORRECTNESS_r11 re-greened
-# the r10 window on the identical tree), so this cut executes the
-# r11-planned rotation one round late, against the merged r10+r11
-# freshness ledger: latest-green r07 = 23 queries, r08 = 27, r09 = 28,
-# r11 = 50.
+# session). Ledger after CORRECTNESS_r12 (50/50 green, enumerated
+# mechanically from the CORRECTNESS_r*.json files this round):
+# latest-green r07 = 2 queries, r08 = 27, r09 = 27, r11 = 26, r12 = 50.
 #
-# - NEW queries (first driver row; mechanically enforced by
-#   tests/test_plans.py::test_changed_queries_are_windowed): the four
-#   r09-built gates staged since r09 — q_bm25_topk (registered only
-#   after its construction-time stats collect was folded into the plan,
-#   per the r10/r11 VERDICT precondition), q_semantic_dedup (joins
-#   INTENTIONAL_NESTED_LOOP: bounded centroid cross join),
-#   q_bpe_merges, q_cms_token_freq. All oracle-pinned at both scales in
-#   tests/test_r11_candidates.py since r09; all take SCAN_BUDGET pins.
-# - bench HEADLINE (policy c): the full 21-query macro set, unchanged
-#   since r04.
+# - over-stale re-proofs (the r11 no-op round's slot casualties,
+#   deferred from r12 exactly as planned there): q_uniq_value_count +
+#   q_token_budget_sample (latest driver row r07 — 5 rounds stale,
+#   past the 4-round policy; both passed the local full-surface sweep
+#   every session since, both unchanged since r07).
 # - CHANGED this round outside the rotation set (must take slots;
-#   mechanically enforced): q_asof_join + q_asof_event_state +
-#   q_mapfile_get_closest — the asof_join NULL-key fix (r11 VERDICT
-#   #3): NULL-keyed right rows filtered pre-union, NULL-`on` left rows
-#   fill-guarded, per the strict inequality semantics; fuzz now draws
-#   NULL on-keys on both sides. All three oracle-green at sf0.01
-#   through the entry surface before this window was cut. PLUS
-#   q_hybrid_token_stats — the run_hybrid single-scan routing rewrite
-#   (r11 VERDICT #7) sits in its closure (behavior-identical on the
-#   CPU-only path this container exercises, but the policy does not
-#   take the builder's word for that — the driver re-proves it).
-# - stale-evidence rotation: 21 of the 23-query r07-latest cohort
-#   (q_chunk_documents .. q_text_stats below). q_uniq_value_count and
-#   q_token_budget_sample DEFER to r13 (the slot casualties of the
-#   lost round + the hybrid rewrite: 21+4+4+23 = 52; both are
-#   single-operator gates unchanged since r07, lowest re-proof risk).
-# - 21 + 4 + 4 + 21 = exactly 50, zero overlap.
+#   mechanically enforced by
+#   tests/test_plans.py::test_changed_queries_are_windowed):
+#   q_semantic_dedup — semantic_dedup now derives its probe depth from
+#   corpus size when the caller does not pick one (the r12 VERDICT
+#   scale-safety item; the gate pins n_centroids=8 explicitly, so its
+#   oracle behavior is config-identical, but the closure fingerprint
+#   changed and the policy does not take the builder's word for it).
+#   q_hybrid_token_stats — run_hybrid's route() now skips empty leading
+#   Arrow batches when reading the partition tag (ADVICE r12; CPU-path
+#   behavior identical on non-degenerate input, same rationale).
+# - bench HEADLINE (policy c): the full 21-query macro set, unchanged
+#   since r04. q_sequence_pack (in it) carries this round's
+#   hierarchical base-offset rewrite; HEADLINE membership is its slot.
+# - stale-evidence rotation: 25 of the 27-query r08-latest cohort.
+#   q_intersect and q_md5_sample DEFER to r14 (the two changed-query
+#   slots above displace exactly two members; these are the two
+#   lowest-re-proof-risk single-operator gates in the cohort,
+#   unchanged since r08 — same criterion r12 used for the r07 pair).
+# - 2 + 2 + 21 + 25 = exactly 50, zero overlap.
 #
-# r13 lookahead (enumerate against CORRECTNESS_r12 when it lands): the
-# deferred q_uniq_value_count + q_token_budget_sample + the 27-query
-# r08-latest cohort (q04..q_tfidf_topterms) + 21 HEADLINE = exactly 50:
-# ZERO spare, so q_hll_distinct and the rest of the staged queue
-# (q_stream_cms_freq / q_sparse_allpairs / q_dup_spans /
-# q_stream_hll_distinct / q_interval_overlap) register r14 beside the
-# 28-query r09 cohort (28 + 21 = 49 — ~1 spare; spill into r15 as
-# needed). Any r13 changed-query displaces an r08 rotation member to
-# r14 — budget edits accordingly.
+# r14 lookahead (enumerate against CORRECTNESS_r13 when it lands):
+# the displaced q_intersect + q_md5_sample + the 27-query r09-latest
+# cohort (q02_min_cost_supplier .. q_unigram_logprob) + 21 HEADLINE =
+# exactly 50: ZERO spare, so the staged queue (q_hll_distinct,
+# q_stream_cms_freq, q_sparse_allpairs, q_dup_spans,
+# q_stream_hll_distinct, q_interval_overlap, q_bpe_token_counts,
+# q_nb_lang_confusion) begins registering r15 beside the 26-query
+# r11-latest cohort (26 + 21 = 47 → 3 register r15, the rest r16
+# beside whatever r12-cohort slack exists). Any r14 changed-query
+# displaces an r09 rotation member accordingly — budget edits to
+# registered closures tightly in r14; the streaming staged gates must
+# join STREAMING_SNAPSHOT on registration.
 # ===========================================================================
 _DRIVER_WINDOW = [
-    # NEW r12 gates (first driver rows)
-    "q_bm25_topk",
+    # over-stale r07 re-proofs (5 rounds, past the 4-round policy)
+    "q_uniq_value_count",
+    "q_token_budget_sample",
+    # changed this round (semantic_dedup auto probe depth; hybrid
+    # route() empty-batch guard)
     "q_semantic_dedup",
-    "q_bpe_merges",
-    "q_cms_token_freq",
+    "q_hybrid_token_stats",
     # bench HEADLINE — full 21-query macro set (kept in sync with
     # bench.HEADLINE)
     "q01_pricing_summary",
@@ -5504,37 +5508,34 @@ _DRIVER_WINDOW = [
     "q_sequence_pack",
     "q_ann_lsh",
     "q_pretrain_pipeline",
-    # changed this round outside the rotation set (asof NULL-key fix;
-    # hybrid single-scan rewrite)
-    "q_asof_join",
-    "q_asof_event_state",
-    "q_mapfile_get_closest",
-    "q_hybrid_token_stats",
-    # stale rotation: the r07-latest cohort minus the deferred
-    # q_uniq_value_count + q_token_budget_sample (slot accounting above)
-    "q_chunk_documents",
-    "q_descriptor_agg",
-    "q_domain_cap",
-    "q_epoch_shuffle",
-    "q_field_selection",
-    "q_grep",
-    "q_grep_ranked",
-    "q_join_broadcast",
-    "q_join_outer_counts",
-    "q_lang_id_confusion",
-    "q_matmul_gram",
-    "q_quality_score",
-    "q_secondary_sort",
-    "q_sessionization",
-    "q_stream_hourly",
-    "q_stream_join",
-    "q_stream_sessionize",
-    "q_stream_sliding",
-    "q_terasort",
-    "q_text_normalize",
-    "q_text_stats",
+    # stale rotation: the r08-latest cohort minus the displaced
+    # q_intersect + q_md5_sample (slot accounting above)
+    "q04_order_priority",
+    "q06_forecast_revenue",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q22_global_sales",
+    "q_ann_ivf",
+    "q_bloom_decontaminate",
+    "q_boilerplate_ratio",
+    "q_dedup_edit_distance",
+    "q_dedup_ngram_jaccard",
+    "q_embedding_outliers",
+    "q_funnel",
+    "q_near_dedup_survivors",
+    "q_pq_train",
+    "q_tfidf_topterms",
 ]
-
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
