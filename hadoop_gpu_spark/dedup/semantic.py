@@ -13,7 +13,11 @@ representative it keeps.
 - centroids are the first n_centroids vectors by id (the repo's IVF
   convention — deterministic, no training pass); they broadcast
   (bounded: n_centroids rows) and assignment is one narrow map over
-  the corpus.
+  the corpus. The DEFAULT (n_centroids=None) derives k ~ sqrt(N) and
+  a sqrt(k)-cell coarse quantizer from a corpus count, which keeps the
+  whole operator ~linear in N (auto_centroid_config); a FIXED small k
+  is a caller opt-in whose pair stage grows N²/k (measured 25x wall at
+  10x data in the r12 sf1 check — the reason auto is the default).
 - the pairwise stage is CLUSTER-BUCKETED: vectors shuffle ONCE by
   cluster id, and both sides of the pair self-join read that same
   hash-partitioned assignment — pairs are bounded per cluster
@@ -34,9 +38,34 @@ comparisons.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# Auto-sizing (n_centroids=None): coarse probing only pays once the
+# centroid table outgrows a broadcast row-scan's trivial range — below
+# this k the exact flat assignment is both cheaper and oracle-exact.
+AUTO_COARSE_MIN_K = 16
+
+
+def auto_centroid_config(n_rows: int) -> tuple[int, int | None]:
+    """(n_centroids, coarse_nlist) for a corpus of ``n_rows`` vectors.
+
+    The sizing ARCHITECTURE.md derives from the r12 sf1 measurements:
+    exact assignment costs k cosines/vector and the within-cluster pair
+    stage ~N²/k pair cosines, so k ~ sqrt(N) balances them — but flat
+    assignment at that k is N^1.5 total, so large k switches on the
+    two-level coarse quantizer (coarse_nlist ~ sqrt(k)), dropping
+    per-vector assignment to ~2*sqrt(k) and the whole operator to
+    ~linear. Small corpora (k < AUTO_COARSE_MIN_K) keep the exact flat
+    path: the quantizer's constant factor outweighs it there.
+    """
+    k = max(1, math.isqrt(max(0, n_rows)))
+    if k < AUTO_COARSE_MIN_K:
+        return k, None
+    return k, max(1, math.isqrt(k))
 
 
 def semantic_dedup(
@@ -44,7 +73,7 @@ def semantic_dedup(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     tau: float = 0.30,
     coarse_nlist: int | None = None,
     coarse_nprobe: int = 1,
@@ -55,6 +84,18 @@ def semantic_dedup(
     cosine >= tau against it. Centroids are the vectors with
     id_col < n_centroids; every vector assigns to its max-cosine
     centroid (ties to the smaller centroid id).
+
+    ``n_centroids=None`` (the default since r13) sizes the operator
+    from the corpus: k = floor(sqrt(N)) via one columnless count scan,
+    and — unless the caller pinned ``coarse_nlist`` — switches on the
+    coarse quantizer at sqrt(k) cells once k >= AUTO_COARSE_MIN_K
+    (``auto_centroid_config``). That default is ~linear in N end to
+    end; the r12 scale check measured the alternative (a FIXED small k)
+    at 25x wall for 10x data — the within-cluster pair stage is N²/k —
+    so a fixed k is now an explicit caller opt-in, kept for
+    oracle-gated configs (which need exact, config-pinned assignment).
+    Auto mode with nprobe < nlist is approximate in the documented
+    two-level sense below.
 
     ``coarse_nlist``: the production assignment knob for LARGE
     n_centroids (the r12 sf1 scale check measured the honest
@@ -78,6 +119,14 @@ def semantic_dedup(
     from hadoop_gpu_spark.functions.vectors import cosine
     from hadoop_gpu_spark.utils import eager_persist
 
+    if n_centroids is None:
+        # One scalar count to the driver (columnless parquet scan) buys
+        # the scale-safe sizing; callers that already know N should
+        # pass n_centroids explicitly and skip the job.
+        auto_k, auto_nlist = auto_centroid_config(emb.count())
+        n_centroids = auto_k
+        if coarse_nlist is None:
+            coarse_nlist = auto_nlist
     if n_centroids < 1:
         raise ValueError("n_centroids must be >= 1")
     cen = emb.filter(F.col(id_col) < n_centroids).select(

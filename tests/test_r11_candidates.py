@@ -736,3 +736,43 @@ def test_cms_sql_twin_matches_reference_fuzz():
         assert {k: int(v) for k, v in got.items()} == want, (words, queries, d, w)
 
     run()
+
+
+def test_semantic_dedup_auto_config_sizing():
+    # the r13 scale-safety default: k ~ sqrt(N), coarse quantizer at
+    # sqrt(k) once k clears AUTO_COARSE_MIN_K — the ARCHITECTURE.md
+    # sizing that keeps the operator ~linear (a fixed small k measured
+    # 25x wall at 10x data in the r12 sf1 check).
+    from hadoop_gpu_spark.dedup.semantic import (
+        AUTO_COARSE_MIN_K,
+        auto_centroid_config,
+    )
+
+    assert auto_centroid_config(0) == (1, None)
+    assert auto_centroid_config(1) == (1, None)
+    assert auto_centroid_config(100) == (10, None)  # k=10 < MIN_K: flat
+    k, m = auto_centroid_config(500)  # the sf0.001 embeddings corpus
+    assert (k, m) == (22, 4)
+    k, m = auto_centroid_config(10**9)
+    assert k == 31622 and m == 177  # ~sqrt(N), ~sqrt(k)
+    assert AUTO_COARSE_MIN_K ** 2 > AUTO_COARSE_MIN_K  # sanity: engages
+
+
+def test_semantic_dedup_auto_equals_explicit_config(spark, sf_dir):
+    # n_centroids=None must be EXACTLY the explicit call at the derived
+    # sizing — auto mode is a sizing default, not a third semantics.
+    from hadoop_gpu_spark.dedup.semantic import (
+        auto_centroid_config,
+        semantic_dedup,
+    )
+    from hadoop_gpu_spark.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    k, m = auto_centroid_config(emb.count())
+    assert m is not None  # 500 rows -> k=22 engages coarse probing
+    auto = semantic_dedup(emb, tau=0.30).collect()
+    explicit = semantic_dedup(
+        emb, n_centroids=k, tau=0.30, coarse_nlist=m, coarse_nprobe=1
+    ).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit))
+    assert len(auto) > 0
