@@ -3367,34 +3367,56 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     L = 128
     # Fixed bucket width: bucket id is a pure function of doc_id, never of
-    # the physical partitioning. 256 docs/bucket → ~1 base-offset long per
-    # 256 docs driver-side (10^9 docs → ~3.9M buckets → ~31 MB of longs,
-    # r12 comment fix: the earlier "4 MB" understated 8×; hierarchical
-    # cumsum if that ever matters).
+    # the physical partitioning. 256 docs/bucket; 4096 buckets/superbucket.
     B = 256
+    S = 4096
     docs = T(spark, sf_dir, "documents").select(
         "doc_id",
         "text",
         (F.floor(F.col("doc_id") / B)).cast("long").alias("__bucket"),
     )
     d = docs.select("doc_id", tokenize("text").alias("t"), "__bucket")
-    # Pass 1: per-bucket totals → driver-side cumulative base offsets
-    # (metadata-sized, like k-means centroids). Token COUNT = number of
-    # \S+ runs, identical to size(tokenize(text)) (split on \s+ then
-    # drop empties ⇔ maximal non-whitespace runs) but without building
-    # the token arrays — pass 1 is a pure regex scan.
-    sizes = {
-        r["__bucket"]: r["n"]
-        for r in docs.groupBy("__bucket")
-        .agg(F.sum(F.regexp_count("text", F.lit(r"\S+"))).alias("n"))
-        .collect()
-    }
-    bases, acc = [], 0
-    for b in sorted(sizes):
-        bases.append((b, acc))
-        acc += sizes[b]
-    base_df = F.broadcast(
-        spark.createDataFrame(bases, schema="__bucket long, __base long")
+    # Pass 1: per-bucket token totals, then a HIERARCHICAL prefix sum —
+    # nothing corpus-growing ever reaches the driver (r13; this replaced
+    # the collect() of one long per bucket, the registered surface's
+    # last corpus-growing driver structure: ~31 MB at 1e9 docs, ~3 GB at
+    # 1e11). Token COUNT = number of \S+ runs, identical to
+    # size(tokenize(text)) (split on \s+ then drop empties ⇔ maximal
+    # non-whitespace runs) but without building the token arrays —
+    # pass 1 is a pure regex scan. The totals frame is eager_persist'd:
+    # its two consumers (within-super window, super totals) would
+    # otherwise each rerun the corpus regex scan (dual-branch class).
+    sizes = eager_persist(
+        docs.groupBy("__bucket")
+        .agg(F.sum(F.regexp_count("text", F.lit(r"\S+"))).alias("__n"))
+        .withColumn("__super", F.floor(F.col("__bucket") / S).cast("long"))
+    )
+    # Level 1: within-superbucket exclusive prefix sums — parallel
+    # across superbuckets, ≤ S rows per window partition.
+    sw = (
+        Window.partitionBy("__super")
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = sizes.withColumn("__wbase", F.coalesce(F.sum("__n").over(sw), F.lit(0)))
+    # Level 2: superbucket base offsets — a global ordered window, but
+    # over the |buckets|/S-row superbucket-total frame (1e11 docs →
+    # ~95k rows in the one task; bounded the way ALLOWED_GLOBAL_WINDOWS
+    # frames are, two aggregation levels below the corpus).
+    gw = Window.orderBy("__super").rowsBetween(Window.unboundedPreceding, -1)
+    super_base = (
+        sizes.groupBy("__super")
+        .agg(F.sum("__n").alias("__sn"))
+        .withColumn("__sbase", F.coalesce(F.sum("__sn").over(gw), F.lit(0)))
+        .select("__super", "__sbase")
+    )
+    # bucket base = superbucket base + within-superbucket base. The
+    # frame is |buckets|-row; no broadcast hint — AQE broadcasts it
+    # while it fits and falls back to a bounded shuffle join when a
+    # 100 TB corpus outgrows that.
+    base_df = (
+        within.join(super_base, "__super")
+        .select("__bucket", (F.col("__wbase") + F.col("__sbase")).alias("__base"))
     )
     # Pass 2: within-bucket prefix sums — parallel across buckets, and
     # deterministic: doc_id is unique, so the window order is total.

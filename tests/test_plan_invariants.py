@@ -93,7 +93,14 @@ HEADLINE_EXCHANGE_BUDGET = {
     "q13_customer_distribution": 2,
     "q21_waiting_orders": 3,
     "q_winnow_fingerprint": 1,
-    "q_sequence_pack": 2,
+    # r13: was 2 — the hierarchical-cumsum rewrite (driver collect of one
+    # long per bucket → two-level distributed prefix sum) adds 5 exchanges
+    # that ALL ride the |buckets|-row totals frame (cache build, two
+    # window partitions, one groupBy, one single-partition global window
+    # over the |superbuckets|-row level-2 frame). The CORPUS still crosses
+    # exactly 2 exchanges, same as before: the pass-2 window on __bucket
+    # (shared with the base join) and the final groupBy(seq_id).
+    "q_sequence_pack": 7,
     "q_ann_lsh": 2,
     # r06: was 7 — the mixture-stats scalars moved from a second plan
     # branch (which recomputed the whole upstream pipeline) onto a global
@@ -219,7 +226,12 @@ SCAN_BUDGET = {
     "q13_customer_distribution": 2,
     "q21_waiting_orders": 3,
     "q_winnow_fingerprint": 1,
-    "q_sequence_pack": 1,
+    # r13: was 1 — the hierarchical-cumsum rewrite made pass 1 an
+    # eager_persist'd aggregate, so its cache-build lineage (one corpus
+    # regex scan, the pass that previously ran invisibly at construction
+    # via collect) now counts per the eager_persist convention. Two
+    # semantically distinct passes: token-count scan + token-array scan.
+    "q_sequence_pack": 2,
     "q_ann_lsh": 2,
     "q_pretrain_pipeline": 1,
     "q_intersect": 2,
@@ -453,8 +465,10 @@ ALLOWED_BROADCAST_HINTS = {
     "stats": "1-row corpus moments (q_embedding_outliers)",
     # --- bounded model / config frames
     "buckets": "literal histogram bucket ranges (q_range_join)",
-    "spark.createDataFrame(bases, schema='__bucket long, __base long')":
-        "|buckets| prefix-sum bases (q_sequence_pack pass-1 output)",
+    # r13: q_sequence_pack's explicit hint on the driver-built bases frame
+    # is gone — the bases are now a distributed hierarchical prefix sum
+    # with no hint (static planner broadcasts it off InMemoryRelation
+    # stats while it fits; bounded shuffle join past that).
 }
 
 
