@@ -173,12 +173,17 @@ def bpe_encode_words(word_col: str, merges: list[tuple[str, str]]) -> Column:
     chain is one nested expression PER MERGE — at production vocab
     scale (30k-50k merges) that plan is unanalyzable, while this
     encoder is O(passes over a ~10-symbol word) per distinct word
-    regardless of vocab size. Bit-identical to the chain by the
-    apply-in-learning-order == min-rank-iterative equivalence (a
-    learned pair only references symbols that existed when it was
-    learned, so later merges never create an occurrence of an earlier
-    pair) — pinned by tests/test_r14_candidates.py on crafted corpora
-    and the real documents table.
+    regardless of vocab size. Bit-identical to the chain on
+    UNAMBIGUOUS merge lists (``ambiguous_merge_pairs`` == []): there,
+    a later merge can never create an occurrence of a pair an earlier
+    merge consumes, so learning-order application and min-rank
+    iteration commute — pinned by tests/test_r14_candidates.py on
+    crafted corpora and the real documents table. On AMBIGUOUS lists
+    (a later pair's concatenation equals a symbol an earlier pair
+    references — two decompositions of one string, the r12 ADVICE
+    falsifier) the two semantics genuinely diverge, so construction
+    raises rather than silently picking one; such callers take the
+    replace-chain path (fast_path=False).
     """
     encode = _word_encoder(merges)
 
@@ -189,9 +194,52 @@ def bpe_encode_words(word_col: str, merges: list[tuple[str, str]]) -> Column:
     return enc(word_col)
 
 
+def ambiguous_merge_pairs(
+    merges: list[tuple[str, str]],
+) -> list[tuple[int, int, str]]:
+    """(i, j, symbol) triples, i < j, where merge j's concatenation
+    equals a symbol REFERENCED by the earlier merge i — the one
+    precondition under which apply-in-learning-order (the replace
+    chain) and min-rank iterative encoding can diverge: the chain
+    never revisits merge i, while min-rank can fire it on the
+    occurrence merge j just created. Example (the r12 ADVICE
+    falsifier): [("ab","c"), ("a","b")] on "abc" — the chain yields
+    [ab, c, </w>] (merge 0 sees no "ab" symbol yet), min-rank yields
+    [abc, </w>]. Possible even in trained lists because two distinct
+    pairs can concatenate to one string ("ab"+"c" and "a"+"bc").
+    O(|merges|): one pass building symbol -> earliest referencing
+    index, one pass checking concatenations against it."""
+    first_ref: dict[str, int] = {}
+    for i, (l, r) in enumerate(merges):
+        first_ref.setdefault(l, i)
+        first_ref.setdefault(r, i)
+    out = []
+    for j, (l, r) in enumerate(merges):
+        i = first_ref.get(l + r)
+        if i is not None and i < j:
+            out.append((i, j, l + r))
+    return out
+
+
 def _word_encoder(merges: list[tuple[str, str]]):
     """word -> subword list via min-rank iterative merging — the plain
-    closure both Arrow paths (word-level and document-level) share."""
+    closure both Arrow paths (word-level and document-level) share.
+
+    Refuses ambiguous merge lists (``ambiguous_merge_pairs``): on
+    those, min-rank is NOT equivalent to applying the merges in
+    learning order, and this encoder exists precisely to reproduce the
+    learning-order chain cheaply. Callers holding such a list must
+    take the replace-chain path (``fast_path=False``)."""
+    amb = ambiguous_merge_pairs(merges)
+    if amb:
+        i, j, s = amb[0]
+        raise ValueError(
+            f"ambiguous merge list: merge {j} {merges[j]!r} concatenates "
+            f"to {s!r}, a symbol already referenced by merge {i} "
+            f"{merges[i]!r} — min-rank encoding would diverge from "
+            "learning-order application; use fast_path=False (the "
+            "replace-chain form) for this list"
+        )
     ranks = {pair: i for i, pair in enumerate(merges)}
 
     def one(w: str) -> list[str]:
@@ -260,16 +308,24 @@ def bpe_token_counts(
     ``fast_path``: None (default) auto-selects — the replace-chain
     expression form up to EXPR_CHAIN_MAX_MERGES learned merges (the
     oracle-parity anchor), the Arrow min-rank encoder beyond (real
-    vocab scale, where a 50k-deep expression chain is unanalyzable).
-    True/False force either; both produce bit-identical output (pinned
-    by test).
+    vocab scale, where a 50k-deep expression chain is unanalyzable);
+    if the trained list turns out AMBIGUOUS (``ambiguous_merge_pairs``
+    — where the two semantics diverge) auto mode stays on the chain at
+    any depth, so the switch can never change output. True/False force
+    either; on unambiguous lists both produce bit-identical output
+    (pinned by test), and forcing True on an ambiguous list raises.
     """
     from hadoop_gpu_spark.utils import eager_persist
 
     wc = eager_persist(_word_counts(docs, text_col))
     merges = _train_on_counts(wc, n_merges, checkpoint_every)
     if fast_path is None:
-        fast_path = len(merges) > EXPR_CHAIN_MAX_MERGES
+        # Auto mode never lets the Arrow switch change output: on an
+        # ambiguous list (where min-rank ≠ learning order) it stays on
+        # the always-correct chain regardless of depth.
+        fast_path = len(merges) > EXPR_CHAIN_MAX_MERGES and not ambiguous_merge_pairs(
+            [(l, r) for _, l, r, _ in merges]
+        )
     if fast_path:
         sub = F.explode(bpe_encode_words("word", [(l, r) for _, l, r, _ in merges]))
     else:
@@ -310,13 +366,21 @@ def bpe_segment(
     replace-chain expression form up to EXPR_CHAIN_MAX_MERGES, the
     Arrow document encoder beyond (min-rank iterative per word, with a
     within-batch word memo standing in for the distinct-word dedup the
-    count path gets from its vocab frame). Bit-identical outputs
-    (pinned by test, incl. the ASCII-``\\s`` tokenizer split — Python's
-    ``str.split`` would also split on Unicode spaces Java ``\\s`` does
-    not, so the encoder splits on the explicit Java class).
+    count path gets from its vocab frame); ambiguous merge lists
+    (``ambiguous_merge_pairs``) stay on the chain at any depth, since
+    there the two semantics diverge. Bit-identical outputs on
+    unambiguous lists (pinned by test, incl. the ASCII-``\\s``
+    tokenizer split — Python's ``str.split`` would also split on
+    Unicode spaces Java ``\\s`` does not, so the encoder splits on the
+    explicit Java class); forcing ``fast_path=True`` on an ambiguous
+    list raises.
     """
     if fast_path is None:
-        fast_path = len(merges) > EXPR_CHAIN_MAX_MERGES
+        # Same auto-mode contract as bpe_token_counts: the Arrow switch
+        # may never change output, so ambiguous lists stay on the chain.
+        fast_path = len(merges) > EXPR_CHAIN_MAX_MERGES and not ambiguous_merge_pairs(
+            merges
+        )
     if fast_path:
         import re as _re
 

@@ -286,6 +286,109 @@ def test_bpe_auto_fast_path_switches_on_merge_count(spark):
     assert "ArrowEvalPython" in big, big
 
 
+def _chain_apply(word, merges):
+    # Pure-python twin of the replace-chain semantics: apply merges IN
+    # LEARNING ORDER, each fusing all its occurrences greedily
+    # left-to-right (non-overlapping). The ground truth the Arrow
+    # min-rank encoder must reproduce.
+    syms = [*word, "</w>"]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+# The r12 ADVICE falsifier: merge 1's concatenation ("ab") is a symbol
+# merge 0 references — two decompositions of "abc", where learning-order
+# and min-rank genuinely diverge (chain: [ab, c, </w>]; min-rank would
+# fuse a+b first, then ab+c → [abc, </w>]).
+_AMBIGUOUS = [("ab", "c"), ("a", "b")]
+
+
+def test_bpe_ambiguous_merge_pairs_detector():
+    from hadoop_gpu_spark.ml.bpe import ambiguous_merge_pairs
+
+    assert ambiguous_merge_pairs(_AMBIGUOUS) == [(0, 1, "ab")]
+    # the divergence the detector predicts is real: the chain leaves
+    # merge 0 unfired (no "ab" symbol existed when it ran)
+    assert _chain_apply("abc", _AMBIGUOUS) == ["ab", "c", "</w>"]
+    # trainer-shaped (unambiguous) lists pass: every concatenation is
+    # only referenced by LATER merges
+    assert ambiguous_merge_pairs([("a", "b"), ("ab", "c")]) == []
+    assert ambiguous_merge_pairs([]) == []
+
+
+def test_bpe_word_encoder_refuses_ambiguous_list():
+    from hadoop_gpu_spark.ml.bpe import _word_encoder
+
+    with pytest.raises(ValueError, match="ambiguous merge list"):
+        _word_encoder(_AMBIGUOUS)
+    # unambiguous reordering of the same pairs constructs fine and
+    # matches the chain
+    ok = [("a", "b"), ("ab", "c")]
+    enc = _word_encoder(ok)
+    assert enc("abc") == _chain_apply("abc", ok) == ["abc", "</w>"]
+
+
+def test_bpe_segment_auto_stays_on_chain_for_ambiguous_list(spark):
+    # Auto mode may never let the depth switch change output: past the
+    # knob an AMBIGUOUS list must stay on the (always-correct) chain —
+    # no Arrow in the plan, output equal to the forced chain — while
+    # forcing the Arrow path raises.
+    from hadoop_gpu_spark.ml import bpe
+    from hadoop_gpu_spark.plans import formatted_plan
+
+    docs = spark.createDataFrame([("abc abd",)], "text string")
+    merges = _AMBIGUOUS + [("b", "d")]
+    saved = bpe.EXPR_CHAIN_MAX_MERGES
+    try:
+        bpe.EXPR_CHAIN_MAX_MERGES = 2
+        seg_auto = bpe.bpe_segment(docs, merges)
+        assert "ArrowEvalPython" not in formatted_plan(seg_auto)
+        got = seg_auto.collect()[0]["subwords"]
+        want = bpe.bpe_segment(docs, merges, fast_path=False).collect()[0]["subwords"]
+        assert got == want == ["ab", "c", "</w>", "ab", "d", "</w>"]
+        with pytest.raises(ValueError, match="ambiguous merge list"):
+            bpe.bpe_segment(docs, merges, fast_path=True)
+    finally:
+        bpe.EXPR_CHAIN_MAX_MERGES = saved
+
+
+def test_bpe_encoder_chain_equivalence_fuzz():
+    # Over a 2-letter alphabet, short random merge lists hit the
+    # ambiguous-decomposition class constantly ("a"+"ab" vs "aa"+"b" …).
+    # Contract: ambiguous lists are refused at construction; on every
+    # unambiguous list the min-rank encoder equals the learning-order
+    # chain exactly. Pure python — no JVM per example.
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hadoop_gpu_spark.ml.bpe import _word_encoder, ambiguous_merge_pairs
+
+    sym = st.text(alphabet="ab", min_size=1, max_size=2)
+
+    @given(
+        merges=st.lists(st.tuples(sym, sym), max_size=6),
+        word=st.text(alphabet="ab", min_size=1, max_size=8),
+    )
+    @settings(max_examples=150, deadline=None)
+    def run(merges, word):
+        if ambiguous_merge_pairs(merges):
+            with pytest.raises(ValueError, match="ambiguous merge list"):
+                _word_encoder(merges)
+        else:
+            assert _word_encoder(merges)(word) == _chain_apply(word, merges)
+
+    run()
+
+
 def test_bpe_token_counts_partition_invariant(spark):
     from hadoop_gpu_spark.ml.bpe import bpe_token_counts
 
