@@ -30,6 +30,7 @@ import-guarded; the routing logic itself is fully tested either way.
 
 from __future__ import annotations
 
+import itertools
 import math
 import time
 from collections.abc import Callable, Iterator
@@ -201,29 +202,47 @@ def run_hybrid(
     # CPU implementation, [x, total) the GPU one. On a real cluster,
     # pair with stage-level scheduling so GPU-path tasks land on GPU
     # executors (module docstring).
-    import itertools
-
     from pyspark.sql import functions as F
 
     accs = op._accs(df)
     cpu_run = op._instrumented(op.cpu_fn, "cpu", accs)
     gpu_run = op._instrumented(op.gpu_fn, "gpu", accs)
-
-    def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        batches = iter(batches)
-        try:
-            first = next(batches)
-        except StopIteration:
-            return
-        pid = int(first["__pid"].iloc[0])
-        fn = gpu_run if (pid % total) >= x else cpu_run
-        stripped = (
-            b.drop(columns="__pid") for b in itertools.chain([first], batches)
-        )
-        yield from fn(stripped)
+    route = _make_router(cpu_run, gpu_run, x, total)
 
     tagged = df.withColumn("__pid", F.spark_partition_id())
     return tagged.mapInPandas(route, schema=op.schema)
+
+
+def _make_router(cpu_run, gpu_run, x: int, total: int):
+    """The partition-tag router run_hybrid hands to mapInPandas,
+    module-level so the empty-batch contract is unit-testable: batches
+    carry a partition-uniform ``__pid`` column; partitions [0, x) take
+    cpu_run, [x, total) gpu_run; the tag column is stripped before the
+    leg sees the batches."""
+
+    def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Advance past empty batches when picking the partition tag —
+        # Arrow can deliver an empty leading batch after upstream
+        # filters, and .iloc[0] on one would raise inside the task
+        # (r12 ADVICE). An all-empty partition routes nowhere: yield
+        # nothing, matching both legs' output on zero rows.
+        batches = iter(batches)
+        head: list[pd.DataFrame] = []
+        pid = None
+        for b in batches:
+            head.append(b)
+            if len(b):
+                pid = int(b["__pid"].iloc[0])
+                break
+        if pid is None:
+            return
+        fn = gpu_run if (pid % total) >= x else cpu_run
+        stripped = (
+            b.drop(columns="__pid") for b in itertools.chain(head, batches)
+        )
+        yield from fn(stripped)
+
+    return route
 
 
 @dataclass

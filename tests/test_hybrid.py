@@ -325,3 +325,40 @@ def test_run_hybrid_dual_path_single_scan(spark, monkeypatch, tmp_path):
     rows = out.collect()
     assert sorted(r["x"] for r in rows) == list(range(64))
     assert {r["path"] for r in rows} == {"cpu", "gpu"}
+
+
+def test_router_skips_empty_leading_batches():
+    # r12 ADVICE: Arrow can deliver an EMPTY leading batch after upstream
+    # filters; the router must advance to the first non-empty batch to
+    # read the partition tag (not IndexError inside the task), keep the
+    # skipped empties in-stream, and yield nothing for all-empty
+    # partitions.
+    from hadoop_gpu_spark.hybrid import _make_router
+
+    def leg(tag):
+        def run(batches):
+            for b in batches:
+                assert "__pid" not in b.columns
+                out = b.copy()
+                out["path"] = tag
+                yield out
+
+        return run
+
+    route = _make_router(leg("cpu"), leg("gpu"), x=2, total=4)
+
+    empty = pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                          "__pid": pd.Series([], dtype="int64")})
+    full = pd.DataFrame({"x": [1, 2], "__pid": [3, 3]})
+    out = list(route(iter([empty, full])))
+    # the empty head batch is preserved in-stream (2 output batches) and
+    # pid 3 >= x routes to the gpu leg
+    assert len(out) == 2
+    assert list(out[1]["x"]) == [1, 2]
+    assert set(out[1]["path"]) == {"gpu"}
+
+    cpu_out = list(route(iter([pd.DataFrame({"x": [7], "__pid": [0]})])))
+    assert set(cpu_out[0]["path"]) == {"cpu"}
+
+    assert list(route(iter([empty, empty]))) == []
+    assert list(route(iter([]))) == []
