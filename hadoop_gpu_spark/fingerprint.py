@@ -105,7 +105,11 @@ def _stable_repr(v, depth: int = 0) -> str | None:
         ]
         if any(a is None or b is None for a, b in items):
             return None
-        return "{" + ", ".join(f"{a}: {b}" for a, b in items) + "}"
+        # Sorted by key repr, mirroring the set branch: a dict constant
+        # built with process-dependent insertion order (e.g. a
+        # comprehension over a set under hash randomization) must not
+        # make fingerprints process-flaky (r12 ADVICE).
+        return "{" + ", ".join(f"{a}: {b}" for a, b in sorted(items)) + "}"
     if isinstance(v, (set, frozenset)):
         parts = [_stable_repr(x, depth + 1) for x in v]
         if any(p is None for p in parts):
@@ -391,14 +395,144 @@ def refresh(correctness_json: str) -> None:
     print(f"manifest: {len(green & set(fps))} refreshed, {len(manifest)} total")
 
 
-def restamp(exclude: list[str] | None = None) -> None:
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _git_state() -> tuple[str, list[str]]:
+    """(HEAD sha, dirty tracked paths) — '' / [] when git is unavailable."""
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True, text=True, check=True, cwd=_repo_root(),
+        ).stdout.strip()
+        porcelain = subprocess.run(
+            ["git", "status", "--porcelain", "--untracked-files=no"],
+            capture_output=True, text=True, check=True, cwd=_repo_root(),
+        ).stdout
+    except Exception:
+        return "", []
+    dirty = [ln[3:].strip() for ln in porcelain.splitlines() if ln.strip()]
+    return head, dirty
+
+
+def _changed_top_defs(relpath: str) -> set[str] | None:
+    """Top-level def/class names in ``relpath`` whose source (incl.
+    decorators) differs from HEAD. None = treat the WHOLE file as
+    changed (new/unparseable file, or module-level code outside defs —
+    constants, registrations — differs)."""
+    import os
+    import subprocess
+
+    root = _repo_root()
+    try:
+        old = subprocess.run(
+            ["git", "show", f"HEAD:{relpath}"],
+            capture_output=True, text=True, check=True, cwd=root,
+        ).stdout
+        new = open(os.path.join(root, relpath)).read()
+        t_old, t_new = ast.parse(old), ast.parse(new)
+    except Exception:
+        return None
+
+    def tops(src: str, tree: ast.Module):
+        defs: dict[str, str] = {}
+        other: list[str] = []
+        for nd in tree.body:
+            seg = ast.get_source_segment(src, nd) or ""
+            if isinstance(nd, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                dec = "".join(
+                    ast.get_source_segment(src, d) or "" for d in nd.decorator_list
+                )
+                defs[nd.name] = dec + seg
+            else:
+                other.append(seg)
+        return defs, "\n".join(other)
+
+    d_old, o_old = tops(old, t_old)
+    d_new, o_new = tops(new, t_new)
+    if o_old != o_new:
+        return None
+    return {k for k in set(d_old) | set(d_new) if d_old.get(k) != d_new.get(k)}
+
+
+def _query_closure_deps(name: str) -> set[tuple[str, str]]:
+    """(repo-relative source path, top-level name) pairs for every
+    collected member of the query's closure; '*' as the name marks a
+    whole-module hash (any change to that file moves the fingerprint)."""
+    import os
+    import sys
+
+    from hadoop_gpu_spark.queries import QUERIES
+
+    seen: dict[str, str] = {}
+    _collect(QUERIES[name], seen)
+    root = _repo_root()
+    out: set[tuple[str, str]] = set()
+    for key in seen:
+        parts = key.split(".")
+        for i in range(len(parts), 0, -1):
+            mod = sys.modules.get(".".join(parts[:i]))
+            f = getattr(mod, "__file__", None)
+            if f:
+                rest = parts[i:]
+                out.add((os.path.relpath(f, root), rest[0] if rest else "*"))
+                break
+    return out
+
+
+def laundered_queries(dirty_pkg_files: list[str], candidates: list[str]) -> list[str]:
+    """The mechanical exclude-list derivation (r12 ADVICE): which of
+    ``candidates`` (fingerprint-drifted, not excluded) have a closure
+    member whose source actually DIFFERS FROM HEAD in one of the dirty
+    package files — i.e. whose drift is a behavior change a restamp
+    would launder, as opposed to drift from the hashing-algorithm edit
+    itself. Def-level precision: a dirty queries.py with one changed
+    function only implicates queries whose closures reach that
+    function (or the module-level code, if that changed)."""
+    changed: dict[str, set[str] | None] = {
+        p: _changed_top_defs(p) for p in dirty_pkg_files
+    }
+
+    def is_laundered(qname: str) -> bool:
+        for rel, top in _query_closure_deps(qname):
+            if rel not in changed:
+                continue
+            ch = changed[rel]
+            if ch is None:
+                return True  # whole file suspect
+            if top == "*":
+                if ch:
+                    return True  # whole-module hash + any changed def
+            elif top in ch:
+                return True
+        return False
+
+    return [n for n in candidates if is_laundered(n)]
+
+
+def restamp(exclude: list[str] | None = None, force: bool = False) -> None:
     """Recompute every EXISTING manifest entry under the current
     fingerprint ALGORITHM. Only valid when the working tree is
     behaviorally identical to the tree that earned those greens — i.e.
     immediately after a change to this module's hashing itself, in the
     same commit. Queries named in ``exclude`` (behaviorally changed in
     the same round) keep their stale entries, so the invariant test
-    still forces them into the driver window."""
+    still forces them into the driver window.
+
+    Mechanical guard (r12 ADVICE): a restamp with behavior changes
+    sitting dirty in the package would silently launder them past the
+    changed-queries-must-be-windowed invariant. So: refuse when any
+    tracked file under the package other than this module is dirty —
+    unless every query whose CURRENT fingerprint differs from its
+    manifest entry is named in ``exclude`` (then the stale entries keep
+    doing their job), or ``force=True``. Provenance (HEAD commit, dirty
+    list, excludes) is recorded under ``__restamp__`` either way, so a
+    bad restamp is at least auditable after the fact."""
     import json
 
     path = manifest_path()
@@ -406,12 +540,43 @@ def restamp(exclude: list[str] | None = None) -> None:
         manifest = json.load(f)
     fps = all_fingerprints()
     skip = set(exclude or [])
+
+    head, dirty = _git_state()
+    pkg = "hadoop_gpu_spark/"
+    me = f"{pkg}fingerprint.py"
+    suspect = [p for p in dirty if p.startswith(pkg) and p != me]
+    if suspect and not force:
+        drifted_unexcluded = sorted(
+            n for n in manifest
+            if not n.startswith("__") and n not in skip
+            and n in fps and manifest[n] != fps[n]
+        )
+        # Drift from the algorithm edit alone (this module is allowed
+        # dirty) restamps fine; drift whose closure actually reaches a
+        # def changed vs HEAD in another dirty package file would be
+        # LAUNDERED — refuse unless excluded.
+        bad = laundered_queries(suspect, drifted_unexcluded)
+        if bad:
+            raise RuntimeError(
+                f"restamp refused: dirty package files {suspect} moved "
+                f"fingerprints of non-excluded queries {bad} via defs "
+                "changed since HEAD — commit the behavior change and "
+                "re-window those queries, add them to exclude, or pass "
+                "force=True (audited via __restamp__)"
+            )
+
     n = 0
     for name in list(manifest):
         if name.startswith("__") or name in skip or name not in fps:
             continue
         manifest[name] = fps[name]
         n += 1
+    manifest["__restamp__"] = {
+        "commit": head,
+        "dirty": dirty,
+        "excluded": sorted(skip),
+        "forced": bool(force and suspect),
+    }
     with open(path, "w") as f:
         json.dump(dict(sorted(manifest.items())), f, indent=1)
         f.write("\n")
@@ -440,7 +605,11 @@ if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "refresh":
         refresh(sys.argv[2])
     elif len(sys.argv) >= 2 and sys.argv[1] == "restamp":
-        restamp(sys.argv[2].split(",") if len(sys.argv) >= 3 else None)
+        argv = [a for a in sys.argv[2:] if a != "--force"]
+        restamp(
+            argv[0].split(",") if argv else None,
+            force="--force" in sys.argv[2:],
+        )
     elif len(sys.argv) >= 2 and sys.argv[1] == "epoch":
         ack_epoch()
     elif len(sys.argv) >= 2 and sys.argv[1] == "dump":

@@ -410,6 +410,37 @@ def test_stable_repr_rejects_unstable_and_orders_sets():
     lst: list = [1]
     lst.append(lst)  # self-referencing constant must terminate
     assert _stable_repr(lst) is None
+    # dicts order by key repr like sets (r13): a dict constant built in
+    # process-dependent insertion order (comprehension over a set under
+    # hash randomization) must not make fingerprints process-flaky
+    assert _stable_repr({"b": 1, "a": 2}) == _stable_repr({"a": 2, "b": 1})
+    assert _stable_repr({"b": 1, "a": 2}) == "{'a': 2, 'b': 1}"
+
+
+def test_changed_top_defs_is_def_precise():
+    # The restamp laundering guard's git-diff primitive: only defs whose
+    # source (incl. decorators) differs from HEAD are named; module-level
+    # drift outside defs degrades to whole-file (None).
+    from hadoop_gpu_spark.fingerprint import _changed_top_defs, _git_state
+
+    _, dirty = _git_state()
+    clean = "hadoop_gpu_spark/utils.py"
+    if clean not in dirty:
+        # a committed file with no working-tree changes: no changed defs
+        assert _changed_top_defs(clean) == set()
+    # an untracked/nonexistent path degrades to whole-file suspicion
+    assert _changed_top_defs("hadoop_gpu_spark/__no_such_file__.py") is None
+
+
+def test_restamp_guard_mechanically_derives_laundered_set():
+    # laundered_queries maps dirty-file def changes onto query closures:
+    # a candidate is flagged iff its closure reaches a changed def. With
+    # an empty dirty list, nothing can be laundered.
+    from hadoop_gpu_spark.fingerprint import laundered_queries
+    from hadoop_gpu_spark.queries import QUERIES
+
+    some = list(QUERIES)[:5]
+    assert laundered_queries([], some) == []
 
 
 def test_pipe_pipeline_has_no_rdd_boundary(spark, sf_dir):
