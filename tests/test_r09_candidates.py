@@ -58,11 +58,19 @@ def test_candidate_list_matches_registry_constant():
     # bound (window membership is a per-round fact: the r09 trio and
     # q_stream_quantiles earned their first driver rows in their
     # registration rounds and have since rotated out; the four r12
-    # registrations must sit in the r12 window for THEIR first rows)
+    # registrations earned theirs in CORRECTNESS_r12 — assert the rows
+    # landed green rather than pinning the since-rotated window)
     graduated = [n for n in CANDIDATES if n not in STAGED]
     assert set(graduated) <= set(q.QUERIES) and set(graduated) <= set(q.ORACLES)
+    import json
+    import pathlib
+
+    r12 = json.loads(
+        (pathlib.Path(__file__).parent.parent / "CORRECTNESS_r12.json").read_text()
+    )
     for n in ("q_bm25_topk", "q_semantic_dedup", "q_bpe_merges", "q_cms_token_freq"):
-        assert n in q._DRIVER_WINDOW, n
+        row = r12[n]
+        assert row["rows_match"] and row["hash_match"] and not row["err"], (n, row)
 
 
 def test_readme_counts_match_registry():
