@@ -19,9 +19,50 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     spark = df.sparkSession
     if target is None:
         target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    # Split count >= target can still be FAKE parallelism: parquet
+    # byte-range splits never split a ROW GROUP, so a single-large-
+    # row-group file reports N splits while every row lands in the one
+    # split covering the group's offset (observed in the r13 sf10 soak:
+    # a 500k-row single-group documents.parquet scanned as 32 partitions
+    # with 31 empty — the minhash/simhash/winnow kernels ran serial at
+    # 60x instead of 10x). When the file list is small enough to inspect
+    # cheaply, count the actual splittable units (row groups) from the
+    # footers; at production scale (files >= target) the check is free
+    # and this remains a no-op.
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) >= target:
+        return df
+    try:
+        import pyarrow.parquet as pq
+
+        groups = 0
+        for f in files:
+            if not f.endswith(".parquet"):
+                return df
+            groups += pq.ParquetFile(_strip_file_scheme(f)).metadata.num_row_groups
+            if groups >= target:
+                return df
+    except Exception:
         return df
     return df.repartition(target)
+
+
+def _strip_file_scheme(uri: str) -> str:
+    """file:///p, file:/p, file://host/p -> /p (leave non-file URIs and
+    bare paths untouched; pyarrow opens local paths, not file: URIs)."""
+    if not uri.startswith("file:"):
+        return uri
+    rest = uri[len("file:"):]
+    if rest.startswith("//"):
+        rest = rest[2:]
+        slash = rest.find("/")
+        rest = rest[slash:] if slash >= 0 else rest
+    return rest
 
 
 def sweep_stale_scratch() -> int:

@@ -443,6 +443,51 @@ def test_restamp_guard_mechanically_derives_laundered_set():
     assert laundered_queries([], some) == []
 
 
+def test_ensure_min_partitions_sees_through_fake_splits(spark, tmp_path):
+    # A parquet file with ONE row group reports maxPartitionBytes-many
+    # byte-range splits, but every row lands in the single split covering
+    # the group's offset — partition COUNT is fake parallelism and the
+    # old count-only check skipped the repartition, serializing every
+    # downstream Arrow kernel (r13 sf10 soak: minhash/simhash/winnow ran
+    # ~60x instead of ~10x at 10x data). The helper must count the
+    # actual splittable units (row groups) and repartition.
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_gpu_spark.utils import ensure_min_partitions
+
+    rng = np.random.default_rng(7)
+    # incompressible hex so the on-disk size exceeds one 8 MB split
+    data = rng.integers(0, 256, size=(12000, 1024), dtype=np.uint8)
+    texts = [bytes(r).hex() for r in data]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    p = str(tmp_path / "onegroup.parquet")
+    pq.write_table(t, p, row_group_size=len(texts))
+    assert pq.ParquetFile(p).metadata.num_row_groups == 1
+
+    df = spark.read.parquet(p)
+    # precondition: the scan must REPORT >= 2 splits or we'd exercise
+    # the plain count branch instead of the row-group-aware one
+    assert df.rdd.getNumPartitions() >= 2
+
+    fixed = ensure_min_partitions(df, target=2)
+    nonempty = fixed.groupBy(F.spark_partition_id()).count().count()
+    assert nonempty >= 2
+
+
+def test_strip_file_scheme():
+    from hadoop_gpu_spark.utils import _strip_file_scheme
+
+    assert _strip_file_scheme("file:///a/b.parquet") == "/a/b.parquet"
+    assert _strip_file_scheme("file:/a/b.parquet") == "/a/b.parquet"
+    assert _strip_file_scheme("file://host/a/b.parquet") == "/a/b.parquet"
+    assert _strip_file_scheme("/a/b.parquet") == "/a/b.parquet"
+    assert _strip_file_scheme("s3://bkt/a.parquet") == "s3://bkt/a.parquet"
+
+
 def test_pipe_pipeline_has_no_rdd_boundary(spark, sf_dir):
     # The Streaming line-protocol legs (pipe_map/pipe_reduce) must stay
     # inside ONE DataFrame plan. The old rdd.pipe form compiled to a
