@@ -89,7 +89,17 @@ def scale(src: str, out: str, factor: int) -> None:
                 c = c.set_column(idx, c.schema.field(idx), marked)
             copies.append(c)
         big = pa.concat_tables(copies)
-        pq.write_table(big, os.path.join(out, f"{table}.parquet"))
+        # Realistic row-group layout (r13): pyarrow's 1M-row default left
+        # documents/events/embeddings as ONE row group, which scans as a
+        # single effective partition however many byte-range splits Spark
+        # reports (row groups are the splittable unit). Real corpora ship
+        # thousands of groups; 64k rows/group keeps the soak measuring
+        # scaling exponents, not a degenerate layout. The degenerate
+        # layout itself is pinned separately by
+        # tests/test_plans.py::test_ensure_min_partitions_sees_through_fake_splits.
+        pq.write_table(
+            big, os.path.join(out, f"{table}.parquet"), row_group_size=65536
+        )
         print(f"{table}: {t.num_rows} -> {big.num_rows} rows")
 
 
