@@ -526,11 +526,10 @@ ALLOWED_MODULE_BROADCAST_HINTS = {
     ("dedup/semantic.py", "cen"):
         "semantic-dedup centroid table: n_centroids rows (the IVF "
         "first-k convention), never corpus-sized",
-    ("dedup/semantic.py", "coarse"):
-        "semantic-dedup coarse quantizer: coarse_nlist <= n_centroids "
-        "rows — the two-level assignment's upper level",
-    ("dedup/semantic.py", "cen_cell"):
-        "semantic-dedup cell-assigned fine centroids: n_centroids rows",
+    # r13: the 'coarse' / 'cen_cell' hints retired with the expression
+    # coarse path — two-level assignment now runs as a map-only numpy
+    # kernel whose centroids ride the UDF closure (model-sized collect,
+    # the k-means contract), not as broadcast frames.
     ("operators/retrieval.py", "stats"):
         "bm25 corpus stats: a 1-row (n_docs, total_tokens) aggregate — "
         "the fold-in that replaced the construction-time collect (r12)",

@@ -329,6 +329,61 @@ def test_semantic_dedup_partial_probe_matches_two_level_reference(spark, sf_dir)
     assert out == survivors
 
 
+def test_semantic_fold_helpers_match_scalar_fold():
+    # The r13 kernel path's cosines must reproduce the F.aggregate left
+    # fold BIT-exactly (that equality is what lets the kernel share the
+    # expression path's oracle): accumulate in dimension order from 0.0.
+    import numpy as np
+
+    from hadoop_gpu_spark.dedup.semantic import (
+        _fold_cosine,
+        _fold_dot,
+        _fold_norm_sq,
+    )
+
+    rng = np.random.default_rng(42)
+    X = rng.standard_normal((7, 13)).astype(np.float32).astype(np.float64)
+    C = rng.standard_normal((5, 13)).astype(np.float32).astype(np.float64)
+
+    def scalar_dot(a, b):
+        acc = 0.0
+        for d in range(len(a)):
+            acc = acc + a[d] * b[d]
+        return acc
+
+    D = _fold_dot(X, C)
+    for i in range(len(X)):
+        for j in range(len(C)):
+            assert D[i, j] == scalar_dot(X[i], C[j])  # bitwise, no tol
+    for i in range(len(X)):
+        assert _fold_norm_sq(X)[i] == scalar_dot(X[i], X[i])
+    Cm = _fold_cosine(X, C)
+    for i in range(len(X)):
+        for j in range(len(C)):
+            want = scalar_dot(X[i], C[j]) / np.sqrt(
+                scalar_dot(X[i], X[i]) * scalar_dot(C[j], C[j])
+            )
+            assert Cm[i, j] == want
+
+
+def test_semantic_kernel_blockwise_pairs_invariant(spark, sf_dir, monkeypatch):
+    # The survivors kernel computes the pair matrix in PAIR_BLOCK_ROWS-
+    # high blocks to bound task memory at any cluster size; block height
+    # must never change output (every cluster here exceeds a 3-row block).
+    from hadoop_gpu_spark.dedup import semantic
+    from hadoop_gpu_spark.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    full = semantic.semantic_dedup(
+        emb, n_centroids=8, tau=0.30, coarse_nlist=4
+    ).collect()
+    monkeypatch.setattr(semantic, "PAIR_BLOCK_ROWS", 3)
+    blocked = semantic.semantic_dedup(
+        emb, n_centroids=8, tau=0.30, coarse_nlist=4
+    ).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, blocked))
+
+
 @pytest.fixture(scope="module", autouse=True)
 def _release_persisted_after():
     yield
