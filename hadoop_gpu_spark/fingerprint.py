@@ -364,17 +364,22 @@ def epoch_changed_queries(manifest: dict) -> list[str]:
 
 
 def refresh(correctness_json: str) -> None:
-    """Update the manifest for every query the given CORRECTNESS file
-    shows green (rows+schema+hash, or rows-only with no err)."""
+    """Update the manifest for every query the given results file shows
+    green. Accepts both shapes: the driver's CORRECTNESS_rNN.json
+    (top-level {name: {err, rows_match, schema_match, hash_match}}) and
+    the local sweep's LOCAL_SWEEP_rNN.json ({"results": {name: {ok}}})."""
     import json
 
     with open(correctness_json) as f:
         rows = json.load(f)
-    green = {
-        n for n, r in rows.items()
-        if not r.get("err") and r.get("rows_match") and r.get("schema_match", True)
-        and r.get("hash_match", True)
-    }
+    if "results" in rows and isinstance(rows["results"], dict):
+        green = {n for n, r in rows["results"].items() if r.get("ok")}
+    else:
+        green = {
+            n for n, r in rows.items()
+            if not r.get("err") and r.get("rows_match")
+            and r.get("schema_match", True) and r.get("hash_match", True)
+        }
     path = manifest_path()
     try:
         with open(path) as f:
