@@ -95,6 +95,72 @@ def position_hashes_pandas(text: Column | str, k: int = DUPSPAN_K) -> Column:
     return _udf(c)
 
 
+# Bounded output-chunk height for the row-emitting kernel: each yielded
+# frame is at most this many (id, pos, h) rows, so Arrow buffer growth
+# stays ~50 MB per yield instead of one giant array column per batch.
+POSITION_CHUNK_ROWS = 1 << 21
+
+
+def _position_rows(base: DataFrame, k: int) -> DataFrame:
+    """(__id, pos, h) rows straight from the Arrow kernel in bounded
+    chunks — the r13 replacement for the array<long>-column +
+    JVM-posexplode form, whose per-batch array buffers (10k docs x
+    ~300 positions x 8 B, power-of-two vector growth) triggered 128 MB
+    GCLocker allocation stalls in the sf10 soak. Same rows, same
+    hashes (winnow's cached md5 u32), positions 1..len-k+1."""
+    import numpy as np
+
+    from hadoop_gpu_spark.dedup.winnow import _hash_shingle
+
+    def gen(batches):
+        acc_ids: list[int] = []
+        acc_lens: list[int] = []
+        acc_h: list[np.ndarray] = []
+        n_buf = 0
+
+        def flush():
+            nonlocal acc_ids, acc_lens, acc_h, n_buf
+            if not n_buf:
+                return None
+            out = pd.DataFrame(
+                {
+                    "__id": np.repeat(
+                        np.asarray(acc_ids, dtype=np.int64), acc_lens
+                    ),
+                    "pos": np.concatenate(
+                        [np.arange(1, ln + 1, dtype=np.int64) for ln in acc_lens]
+                    ),
+                    "h": np.concatenate(acc_h),
+                }
+            )
+            acc_ids, acc_lens, acc_h, n_buf = [], [], [], 0
+            return out
+
+        for pdf in batches:
+            for i, t in zip(pdf["__id"], pdf["text"]):
+                t = t if t is not None else ""
+                n = len(t) - k + 1
+                if n <= 0:
+                    continue
+                acc_ids.append(int(i))
+                acc_lens.append(n)
+                acc_h.append(
+                    np.fromiter(
+                        (_hash_shingle(t[j : j + k]) for j in range(n)),
+                        dtype=np.int64,
+                        count=n,
+                    )
+                )
+                n_buf += n
+                if n_buf >= POSITION_CHUNK_ROWS:
+                    yield flush()
+        tail = flush()
+        if tail is not None:
+            yield tail
+
+    return base.mapInPandas(gen, schema="__id long, pos long, h long")
+
+
 def _check(k: int, min_docs: int) -> None:
     if k < 2:
         raise ValueError("k must be >= 2")
@@ -122,15 +188,13 @@ def dup_substring_spans(
         F.length("text") >= k
     )
     if use_pandas:
-        base = ensure_min_partitions(base)
-        hashes = position_hashes_pandas("text", k)
+        pos = eager_persist(_position_rows(ensure_min_partitions(base), k))
     else:
-        hashes = _shingle_hashes("text", k)
-    pos = eager_persist(
-        base.select("__id", F.posexplode(hashes).alias("pos0", "h")).select(
-            "__id", (F.col("pos0") + 1).cast("long").alias("pos"), "h"
+        pos = eager_persist(
+            base.select(
+                "__id", F.posexplode(_shingle_hashes("text", k)).alias("pos0", "h")
+            ).select("__id", (F.col("pos0") + 1).cast("long").alias("pos"), "h")
         )
-    )
     freq = (
         pos.select("__id", "h")
         .distinct()

@@ -882,6 +882,25 @@ def test_sparse_allpairs_sql_twin_matches_reference_fuzz():
     run()
 
 
+def test_dup_spans_position_chunking_invariant(spark, sf_dir, monkeypatch):
+    # The r13 row-emitting kernel yields (id, pos, h) frames of at most
+    # POSITION_CHUNK_ROWS rows (bounding Arrow buffer growth — the sf10
+    # GCLocker fix); chunk height must never change output. 100 rows
+    # forces many flushes mid-document-stream on the real corpus.
+    from hadoop_gpu_spark.dedup import substr
+    from hadoop_gpu_spark.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    full = sorted(
+        tuple(r) for r in substr.dup_substring_spans(docs, use_pandas=True).collect()
+    )
+    monkeypatch.setattr(substr, "POSITION_CHUNK_ROWS", 100)
+    tiny = sorted(
+        tuple(r) for r in substr.dup_substring_spans(docs, use_pandas=True).collect()
+    )
+    assert full == tiny
+
+
 def test_dup_spans_sql_twin_matches_reference_fuzz():
     """python <-> DuckDB differential fuzz with a small k (k=4 over a
     2-letter alphabet — duplicated substrings everywhere, heavy
