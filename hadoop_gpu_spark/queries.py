@@ -32,7 +32,7 @@ from hadoop_gpu_spark.operators import joins as join_ops
 from hadoop_gpu_spark.operators import sampling as sample_ops
 from hadoop_gpu_spark.operators import sort as sort_ops
 from hadoop_gpu_spark.functions.hashing import bucket, bucket_sql, md5_hex
-from hadoop_gpu_spark.utils import eager_persist
+from hadoop_gpu_spark.utils import eager_persist, hierarchical_prefix_sum
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -324,9 +324,47 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_total_order_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = T(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    return orders.select("o_orderkey", F.row_number().over(w).cast("long").alias("rn"))
+    """Global rank under (o_totalprice DESC, o_orderkey ASC) — the
+    total-order-sort gate, restructured r13 from a single global
+    row_number window (WindowExec funnels the WHOLE table through one
+    task — the plan was the worst soak member at 11.3x for 10x data)
+    to the deterministic two-pass rank the sequence-pack pattern uses:
+
+    - bucket = floor(o_totalprice / 64), a pure function of the SORT
+      KEY and monotone in it (higher bucket => strictly higher price
+      block), so both passes agree under ANY partitioning or caching —
+      no sampled range bounds (the r03 q_sequence_pack incident class);
+    - pass 1: per-bucket counts -> hierarchical_prefix_sum in bucket-
+      DESC order (the shared two-level cumsum; its one global window
+      runs over the |buckets|/4096-row superbucket totals);
+    - pass 2: within-bucket row_number, parallel across buckets;
+      rank = bucket base + within-bucket rank.
+
+    Bucket COUNT is bounded by the price domain (~600k/64 ≈ 9k at any
+    SF), so per-bucket rows grow linearly with data — size the width
+    literal down if a 100 TB price distribution concentrates further.
+    """
+    B = 64
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") / B).cast("long").alias("__bucket"),
+    )
+    sizes = eager_persist(
+        orders.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    )
+    base = hierarchical_prefix_sum(sizes, "__bucket", "__n", descending=True)
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    )
+    return (
+        orders.join(base, "__bucket")
+        .select(
+            "o_orderkey",
+            (F.col("__base") + F.row_number().over(w)).cast("long").alias("rn"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3384,40 +3422,16 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size(tokenize(text)) (split on \s+ then drop empties ⇔ maximal
     # non-whitespace runs) but without building the token arrays —
     # pass 1 is a pure regex scan. The totals frame is eager_persist'd:
-    # its two consumers (within-super window, super totals) would
-    # otherwise each rerun the corpus regex scan (dual-branch class).
+    # its two consumers (the helper's level-1 window and level-2 totals)
+    # would otherwise each rerun the corpus regex scan (dual-branch
+    # class). Cumsum shape: utils.hierarchical_prefix_sum (shared with
+    # q_total_order_sort — its docstring carries the scale argument).
     sizes = eager_persist(
-        docs.groupBy("__bucket")
-        .agg(F.sum(F.regexp_count("text", F.lit(r"\S+"))).alias("__n"))
-        .withColumn("__super", F.floor(F.col("__bucket") / S).cast("long"))
+        docs.groupBy("__bucket").agg(
+            F.sum(F.regexp_count("text", F.lit(r"\S+"))).alias("__n")
+        )
     )
-    # Level 1: within-superbucket exclusive prefix sums — parallel
-    # across superbuckets, ≤ S rows per window partition.
-    sw = (
-        Window.partitionBy("__super")
-        .orderBy("__bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    within = sizes.withColumn("__wbase", F.coalesce(F.sum("__n").over(sw), F.lit(0)))
-    # Level 2: superbucket base offsets — a global ordered window, but
-    # over the |buckets|/S-row superbucket-total frame (1e11 docs →
-    # ~95k rows in the one task; bounded the way ALLOWED_GLOBAL_WINDOWS
-    # frames are, two aggregation levels below the corpus).
-    gw = Window.orderBy("__super").rowsBetween(Window.unboundedPreceding, -1)
-    super_base = (
-        sizes.groupBy("__super")
-        .agg(F.sum("__n").alias("__sn"))
-        .withColumn("__sbase", F.coalesce(F.sum("__sn").over(gw), F.lit(0)))
-        .select("__super", "__sbase")
-    )
-    # bucket base = superbucket base + within-superbucket base. The
-    # frame is |buckets|-row; no broadcast hint — AQE broadcasts it
-    # while it fits and falls back to a bounded shuffle join when a
-    # 100 TB corpus outgrows that.
-    base_df = (
-        within.join(super_base, "__super")
-        .select("__bucket", (F.col("__wbase") + F.col("__sbase")).alias("__base"))
-    )
+    base_df = hierarchical_prefix_sum(sizes, "__bucket", "__n", superbucket_width=S)
     # Pass 2: within-bucket prefix sums — parallel across buckets, and
     # deterministic: doc_id is unique, so the window order is total.
     w = (

@@ -79,7 +79,13 @@ HEADLINE_EXCHANGE_BUDGET = {
     "q_wordcount": 1,
     "q_join_star": 1,
     "q_value_histogram": 1,
-    "q_total_order_sort": 1,
+    # r13: was 1 — but that single exchange fed a GLOBAL row_number
+    # window (whole table through ONE task, the worst sf10 soak member
+    # at 11.3x). Now the deterministic two-pass bucketed rank: the
+    # corpus crosses 2 exchanges (pass-1 count aggregate in the cache
+    # lineage + the pass-2 join/window on __bucket); the other 4 ride
+    # the |price-buckets|-row totals frame (~9k rows at any SF).
+    "q_total_order_sort": 6,
     "q_topk": 0,               # TakeOrderedAndProject — no full sort exchange
     "q_events_hourly": 1,
     "q_dedup_exact": 1,
@@ -212,7 +218,11 @@ SCAN_BUDGET = {
     "q_wordcount": 1,
     "q_join_star": 4,
     "q_value_histogram": 1,
-    "q_total_order_sort": 1,
+    # r13: was 1 — the two-pass bucketed rank's pass-1 count aggregate
+    # is an eager_persist'd cache build whose lineage counts per the
+    # convention; two semantically distinct passes (count scan + rank
+    # scan), same as q_sequence_pack's decomposition.
+    "q_total_order_sort": 2,
     "q_topk": 1,
     "q_events_hourly": 1,
     "q_dedup_exact": 1,
@@ -599,6 +609,30 @@ ALLOWED_GLOBAL_WINDOWS = {
         "prior normalizer over the |classes|-row per-class doc-count "
         "frame — bounded by the label set (the corpus-sized analogs in "
         "this module use eager_persist + scalar re-aggregate instead)",
+    # --- r13: sites surfaced by extending the detector to bare
+    # Window.orderBy (global ordered window, same single-task funnel)
+    ("utils.py", "hierarchical_prefix_sum"):
+        "level-2 cumsum over the |buckets|/superbucket_width-row "
+        "superbucket totals — two aggregation levels below the corpus "
+        "(1e11 rows at 256/bucket -> ~95k rows in the one task); the "
+        "shared shape q_sequence_pack and q_total_order_sort funnel "
+        "their ONLY global window through",
+    ("operators/sampling.py", "interval_sample"):
+        "InputSampler contract: the input IS a sample (split-point "
+        "sampling utility) — docstring directs corpus-scale callers "
+        "to md5_sample / total_order_sort instead",
+    ("operators/sort.py", "sort_validator"):
+        "TeraValidate-style VALIDATION utility (boolean, test-scale "
+        "by contract per docstring) — not a registered query path",
+    ("queries.py", "q_terasort"):
+        "rank over gen_tera_records(_TERA_N) — bounded by the gate's "
+        "literal row count, not by any input table",
+    ("queries.py", "q_grep_ranked"):
+        "rank over the distinct-regex-match counts frame — "
+        "vocabulary-sized (Heaps-law), NOT corpus-bounded: restructure "
+        "to TakeOrdered+limit queued for r14 with its window slot "
+        "(r14 queue item; the query is outside the exactly-full r13 "
+        "window, so the plan change must wait for a slot)",
 }
 
 
@@ -629,6 +663,17 @@ def test_global_windows_are_bounded_cardinality():
 
             def visit_Call(self, n):
                 f = n.func
+                # r13 gap fix: Window.orderBy(...) with NO partitionBy is
+                # ALSO a global single-task window (the q_sequence_pack
+                # level-2 superbucket window is one) — the original
+                # detector only saw explicit partitionBy() calls.
+                if (
+                    isinstance(f, ast.Attribute)
+                    and f.attr == "orderBy"
+                    and isinstance(f.value, ast.Name)
+                    and f.value.id in ("Window", "W")
+                ):
+                    found.add((rel, self.stack[-1] if self.stack else "<module>"))
                 if (
                     isinstance(f, ast.Attribute)
                     and f.attr == "partitionBy"
