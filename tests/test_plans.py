@@ -601,3 +601,28 @@ def test_docstring_test_references_exist():
             elif m.group(2) and m.group(2) not in path.read_text():
                 missing.append(f"{py.relative_to(root)}: {m.group(0)} (no such test)")
     assert not missing, "\n".join(missing)
+
+
+def test_hierarchical_prefix_sum_matches_reference(spark):
+    # The shared two-level cumsum (q_sequence_pack offsets,
+    # q_total_order_sort rank bases): exclusive prefix sums in bucket
+    # order, both directions, across superbucket boundaries (width 4 on
+    # 11 buckets forces several), with gaps in the bucket ids.
+    from hadoop_gpu_spark.utils import hierarchical_prefix_sum
+
+    rows = [(b, (b * 7) % 5 + 1) for b in [0, 1, 2, 5, 6, 7, 9, 12, 13, 17, 20]]
+    sizes = spark.createDataFrame(rows, "b long, n long")
+
+    for descending in (False, True):
+        got = {
+            r["b"]: r["__base"]
+            for r in hierarchical_prefix_sum(
+                sizes, "b", "n", superbucket_width=4, descending=descending
+            ).collect()
+        }
+        order = sorted(dict(rows), reverse=descending)
+        acc, want = 0, {}
+        for b in order:
+            want[b] = acc
+            acc += dict(rows)[b]
+        assert got == want, (descending, got, want)
