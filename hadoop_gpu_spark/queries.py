@@ -57,6 +57,11 @@ STREAMING_SNAPSHOT: set[str] = {
     "q_stream_dedup",
     "q_stream_topk",
     "q_stream_quantiles",
+    # r14 registrations (their docstrings required joining this set on
+    # registration): the CMS and HLL sketches as Structured Streaming
+    # complete-mode aggregates
+    "q_stream_cms_freq",
+    "q_stream_hll_distinct",
 }
 
 
@@ -1013,9 +1018,39 @@ def q_inverse_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_grep_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 regex matches ranked by count desc (r14 restructure).
+
+    The r04..r13 shape ranked via ``row_number().over(Window.orderBy(...))``
+    — a bare global window that funnels the ENTIRE distinct-match counts
+    frame (vocabulary-sized: Heaps-law growth, NOT corpus-bounded) through
+    one task before the ``rank <= 20`` filter discards all but 20 rows.
+    Now: ``orderBy(...).limit(20)`` plans as TakeOrderedAndProject (per-
+    partition top-20 heaps, driver-side merge of 20-row candidates — the
+    distributed idiom X/Grep.java:71-82's single DecreasingComparator
+    reducer exists to approximate), then the rank is attached WITHOUT any
+    window: pack the 20 survivors into one ``sort_array(collect_list(...))``
+    row (the tie-broken (cnt desc, match asc) total order becomes struct
+    order via a negated count) and ``posexplode`` back out, rank = pos + 1.
+    Every post-TakeOrdered operator touches exactly 20 rows.
+    """
     counts = field_ops.regex_extract_counts(T(spark, sf_dir, "documents"), "text", "s[a-z]+")
-    w = Window.orderBy(F.col("cnt").desc(), F.col("match").asc())
-    return counts.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= 20)
+    top = counts.orderBy(F.col("cnt").desc(), F.col("match").asc()).limit(20)
+    packed = top.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("cnt")).alias("neg_cnt"),
+                    F.col("match").alias("match"),
+                    F.col("cnt").alias("cnt"),
+                )
+            )
+        ).alias("rows")
+    )
+    return packed.select(F.posexplode("rows").alias("pos", "row")).select(
+        F.col("row.match").alias("match"),
+        F.col("row.cnt").alias("cnt"),
+        (F.col("pos") + 1).cast("long").alias("rank"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4875,76 +4910,17 @@ def q_bucketed_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Still-staged gates awaiting window slots (for tests to iterate; the
-# r09 trio above graduated out of this list on registration).
-STAGED_CANDIDATES = [
-    # (q_bm25_topk / q_semantic_dedup / q_bpe_merges / q_cms_token_freq
-    # graduated out of this list on their r12 registration — the r11
-    # round shipped zero commits, so the r11-planned registration
-    # executed one round late; bm25's construction-time stats collect
-    # was removed first, per its registration precondition.)
-    # r09-built (continuation), r15 registration (the r12 spare slots
-    # went to the four delayed r11 gates; the r13 window was exactly
-    # full — over-stale r07 pair + r08 cohort + two changed-query
-    # slots — and the r14 window is exactly full with the displaced
-    # q_intersect/q_md5_sample pair + the r09 cohort; see the
-    # _DRIVER_WINDOW lookahead). Oracle-pinned at both scales by
-    # tests/test_r12_candidates.py since staging, with a hashlib-md5
-    # third-implementation cross-check and an EXHAUSTIVE (all 1024
-    # v_zero inputs) linear-counting-branch engine-parity test.
-    "q_hll_distinct",
-    # r09-built (continuation), r15 registration beside q_hll_distinct:
-    # the CMS as a Structured Streaming aggregate (fixed d*w state vs
-    # an exact aggregate's Heaps-law state growth), snapshot == batch
-    # sketch bit-for-bit so it shares q_cms_token_freq's oracle. On
-    # registration it must ALSO join STREAMING_SNAPSHOT (see its
-    # docstring).
-    "q_stream_cms_freq",
-    # r09-built (continuation), r15 registration: exact all-pairs
-    # hashed-TF-IDF cosine via inverted-index self-join with a df-cap
-    # prefilter — the sparse complement of the dense similarity stack.
-    # Oracle-pinned at both scales by tests/test_r12_candidates.py;
-    # the posting frame is eager_persist'd (dual-branch class
-    # pre-empted, plan-pinned).
-    "q_sparse_allpairs",
-    # r09-built (continuation), r15 registration: span-level dedup —
-    # maximal cross-document duplicated character ranges (Lee et al.
-    # ExactSubstr as fixed-k position matching + interval-union merge).
-    # Oracle-pinned at both scales by tests/test_r12_candidates.py
-    # with a hashlib third implementation.
-    "q_dup_spans",
-    # r10-built, r15/r16 registration (it queues behind the four
-    # above): streaming
-    # COUNT DISTINCT via the HLL register sketch — fixed |groups|*2^p
-    # state where exact streaming COUNT(DISTINCT) grows with key
-    # cardinality forever; MAX-merge idempotent across micro-batch
-    # replays. Snapshot == batch registers bit-for-bit, so it shares
-    # hll_distinct_sql as its oracle (subject: events.user_id per
-    # event_type — a different table than the batch gate). On
-    # registration it must ALSO join STREAMING_SNAPSHOT.
-    "q_stream_hll_distinct",
-    # r10-built operator, r12-staged (the r11 VERDICT's evidence-or-
-    # delete ultimatum resolved as evidence: tests/test_interval.py),
-    # r15/r16 registration behind the queue above: the bucketed
-    # interval overlap join counting same-user click windows per
-    # purchase hour-window. Oracle-pinned at both scales by
-    # tests/test_r13_candidates.py.
-    "q_interval_overlap",
-    # r12-built, r15/r16 registration (queues behind the six above):
-    # BPE token counting — the trained-tokenizer APPLY+count half of
-    # the q_bpe_merges lifecycle. Oracle-pinned at both scales by
-    # tests/test_r14_candidates.py with a pure-python third
-    # implementation (min-rank iterative encoder, proving the
-    # apply-in-learning-order equivalence) and a single-corpus-scan
-    # plan pin.
-    "q_bpe_token_counts",
-    # r12-built, r15/r16 registration: multinomial NB language
-    # classifier confusion matrix — classifier-based filtering, the
-    # learned counterpart of q_lang_id_confusion's heuristic.
-    # Oracle-pinned at both scales by tests/test_r14_candidates.py with
-    # a pure-python third implementation.
-    "q_nb_lang_confusion",
-]
+# Still-staged gates awaiting window slots (for tests to iterate; empty
+# since r14: the full 8-gate queue — q_hll_distinct, q_stream_cms_freq,
+# q_sparse_allpairs, q_dup_spans, q_stream_hll_distinct,
+# q_interval_overlap, q_bpe_token_counts, q_nb_lang_confusion —
+# registered in round 14 when retiring the HEADLINE-every-round window
+# policy freed the slots (r13 VERDICT #1; see the _DRIVER_WINDOW note).
+# Each had been oracle-pinned at both scales since staging
+# (tests/test_r12_candidates.py, tests/test_r13_candidates.py,
+# tests/test_r14_candidates.py) and 10x-scale-checked in the r13 sf10
+# soak (ARCHITECTURE.md soak tables).
+STAGED_CANDIDATES: list[str] = []
 
 
 _STREAM_Q_ARGS = dict(lo=0.0, hi=1000.0, n_buckets=512, scale=100)
@@ -5142,9 +5118,10 @@ def _hll_oracle() -> str:
 Q_HLL_DISTINCT_ORACLE = _hll_oracle()
 
 
+@query("q_hll_distinct", oracle=Q_HLL_DISTINCT_ORACLE)
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-returnflag distinct-order estimates via the HyperLogLog
-    register sketch (r12 staged gate): one lineitem pass into 1024
+    register sketch (r12-staged, REGISTERED r14): one lineitem pass into 1024
     max-rank registers per flag (fixed state no matter how many
     distinct keys flow through — the scale path where exact
     COUNT(DISTINCT)'s shuffle grows with cardinality), estimates
@@ -5173,9 +5150,10 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_STREAM_CMS_FREQ_ORACLE = Q_CMS_TOKEN_FREQ_ORACLE
 
 
+@query("q_stream_cms_freq", oracle=Q_STREAM_CMS_FREQ_ORACLE)
 def q_stream_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming token-frequency estimates via the count-min sketch
-    (r12 staged gate): stream the document corpus, maintain the d*w
+    (r12-staged, REGISTERED r14): stream the document corpus, maintain the d*w
     counter grid as complete-mode state (FIXED size regardless of
     volume or vocabulary), drain with availableNow, resolve the same
     literal query set as q_cms_token_freq off the snapshot. On
@@ -5219,9 +5197,10 @@ def _sparse_allpairs_oracle() -> str:
 Q_SPARSE_ALLPAIRS_ORACLE = _sparse_allpairs_oracle()
 
 
+@query("q_sparse_allpairs", oracle=Q_SPARSE_ALLPAIRS_ORACLE)
 def q_sparse_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All document pairs with hashed-TF-IDF word-3-gram cosine ≥ 0.5
-    (r12 staged gate): the scored near-dup/template-detection pass —
+    (r12-staged, REGISTERED r14): the scored near-dup/template-detection pass —
     MinHash/SimHash give booleans, Jaccard needs candidates first;
     this gives exact scores with join fan-out capped at max_df^2 per
     feature by construction."""
@@ -5252,9 +5231,10 @@ def _dup_spans_oracle() -> str:
 Q_DUP_SPANS_ORACLE = _dup_spans_oracle()
 
 
+@query("q_dup_spans", oracle=Q_DUP_SPANS_ORACLE)
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal cross-document duplicated character spans per document
-    (r12 staged gate): the cut-list a substring-level dedup pass feeds
+    (r12-staged, REGISTERED r14): the cut-list a substring-level dedup pass feeds
     to a span remover — (doc_id, span_start, span_end, span_len),
     disjoint and non-adjacent per document by construction."""
     from hadoop_gpu_spark.dedup.substr import dup_substring_spans
@@ -5284,9 +5264,10 @@ def _bpe_token_counts_oracle() -> str:
 Q_BPE_TOKEN_COUNTS_ORACLE = _bpe_token_counts_oracle()
 
 
+@query("q_bpe_token_counts", oracle=Q_BPE_TOKEN_COUNTS_ORACLE)
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus sub-word frequency table under the 8-merge BPE tokenizer
-    trained on the same corpus (r14/r15 staged gate): (subword,
+    trained on the same corpus (r12-built, REGISTERED r14): (subword,
     n_tokens) ordered by count desc — the vocabulary-usage artifact a
     tokenizer-training pipeline ships next to its merge table."""
     from hadoop_gpu_spark.ml.bpe import bpe_token_counts
@@ -5322,10 +5303,11 @@ def _nb_lang_confusion_oracle() -> str:
 Q_NB_LANG_CONFUSION_ORACLE = _nb_lang_confusion_oracle()
 
 
+@query("q_nb_lang_confusion", oracle=Q_NB_LANG_CONFUSION_ORACLE)
 def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(lang, pred, n_docs) — confusion matrix of a multinomial NB
     language classifier trained on the document corpus's own labels
-    (r14/r15 staged gate): every count exact, every log-likelihood on
+    (r12-built, REGISTERED r14): every count exact, every log-likelihood on
     the round(ln, 9) decimal lattice, argmax ties to the smaller
     class — the oracle compares the matrix bit-for-bit."""
     from hadoop_gpu_spark.ml.nbayes import nb_confusion
@@ -5359,9 +5341,10 @@ def _stream_hll_oracle() -> str:
 Q_STREAM_HLL_DISTINCT_ORACLE = _stream_hll_oracle()
 
 
+@query("q_stream_hll_distinct", oracle=Q_STREAM_HLL_DISTINCT_ORACLE)
 def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming distinct-user estimates per event type via the HLL
-    register sketch (r13 staged gate): stream the events table, maintain
+    register sketch (r13-staged, REGISTERED r14): stream the events table, maintain
     |types|*1024 max-rank registers as complete-mode state (fixed no
     matter how many distinct users flow through — the state story exact
     streaming COUNT DISTINCT cannot have), drain with availableNow,
@@ -5422,9 +5405,10 @@ def _interval_overlap_oracle() -> str:
 Q_INTERVAL_OVERLAP_ORACLE = _interval_overlap_oracle()
 
 
+@query("q_interval_overlap", oracle=Q_INTERVAL_OVERLAP_ORACLE)
 def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-purchase count of same-user click windows intersecting the
-    purchase's one-hour window (r13 staged gate): the bucketed interval
+    purchase's one-hour window (r13-staged, REGISTERED r14): the bucketed interval
     overlap join — explode to width-4096 buckets, hash-join on
     (user, bucket), exact-predicate recheck, canonical-bucket dedup
     (no distinct), left-total zero-count semantics. The distributed
@@ -5459,93 +5443,129 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Full driver coverage is achieved by rotating the window: each round the
 # first 50 slots hold (a) every query with no green CORRECTNESS row yet,
 # (b) every query whose implementation changed since its last green row,
-# (c) every bench.py HEADLINE query (a benched time without a same-round
-# correctness row is not a result). Queries outside the window were all
-# green in a previous round and are unchanged since. New queries land
-# AFTER the window and rotate in next round. This block sits at the END
-# of the module so every @query registration (including same-round gate
-# registrations) precedes the reorder.
+# (c) every query whose latest green row is at the 4-round freshness
+# boundary, then (d) spare slots pre-rotate members of the LARGEST
+# upcoming cohort so no future window is forced past 50. Queries outside
+# the window were all green in a previous round and are unchanged since.
+# New queries land AFTER the window and rotate in next round. This block
+# sits at the END of the module so every @query registration (including
+# same-round gate registrations) precedes the reorder.
 #
-# Round 13 window. Slot accounting (hard 50; every set below MUST be
+# POLICY CHANGE (r14, per the r13 VERDICT "Next round" #1): the old
+# policy (c) — every bench HEADLINE query in every window — is RETIRED.
+# It burned 21 of 50 slots each round re-proving the freshest queries in
+# the repo (their evidence was at most one round old by construction)
+# and starved gate registrations for five straight rounds: the 8-deep
+# staged queue had members built in r09 still waiting at r13. HEADLINE
+# queries now rotate on the same 4-round cadence as everything else;
+# the changed-queries-must-be-windowed rule (mechanically enforced by
+# tests/test_plans.py::test_changed_queries_are_windowed) already
+# guarantees any HEADLINE member whose plan changes re-enters the window
+# the same round, so a benched time can never drift more than 3 rounds
+# from its latest correctness row, and never at all when the code moved.
+# The driver imposes no HEADLINE-in-window requirement (verified against
+# every CORRECTNESS_r*.json: the driver checks the first 50 insertions,
+# nothing else).
+#
+# Round 14 window. Slot accounting (hard 50; every set below MUST be
 # inside it). Freshness policy: 4-round re-proof period (amended r07 —
 # after round N no query's latest driver row may be older than N-3;
 # pytest's oracle-parity suite still re-proves the ENTIRE surface every
-# session). Ledger after CORRECTNESS_r12 (50/50 green, enumerated
+# session). Ledger after CORRECTNESS_r13 (50/50 green, enumerated
 # mechanically from the CORRECTNESS_r*.json files this round):
-# latest-green r07 = 2 queries, r08 = 27, r09 = 27, r11 = 26, r12 = 50.
+# latest-green r08 = 2 queries, r09 = 27, r11 = 26, r12 = 27, r13 = 50.
 #
-# - over-stale re-proofs (the r11 no-op round's slot casualties,
-#   deferred from r12 exactly as planned there): q_uniq_value_count +
-#   q_token_budget_sample (latest driver row r07 — 5 rounds stale,
-#   past the 4-round policy; both passed the local full-surface sweep
-#   every session since, both unchanged since r07).
-# - CHANGED this round outside the rotation set (must take slots;
-#   mechanically enforced by
-#   tests/test_plans.py::test_changed_queries_are_windowed):
-#   q_semantic_dedup — semantic_dedup now derives its probe depth from
-#   corpus size when the caller does not pick one (the r12 VERDICT
-#   scale-safety item; the gate pins n_centroids=8 explicitly, so its
-#   oracle behavior is config-identical, but the closure fingerprint
-#   changed and the policy does not take the builder's word for it).
-#   q_hybrid_token_stats — run_hybrid's route() now skips empty leading
-#   Arrow batches when reading the partition tag (ADVICE r12; CPU-path
-#   behavior identical on non-degenerate input, same rationale).
-# - bench HEADLINE (policy c): the full 21-query macro set, unchanged
-#   since r04. q_sequence_pack (in it) carries this round's
-#   hierarchical base-offset rewrite; HEADLINE membership is its slot.
-# - stale-evidence rotation: 25 of the 27-query r08-latest cohort.
-#   q_intersect and q_md5_sample DEFER to r14 (the two changed-query
-#   slots above displace exactly two members; these are the two
-#   lowest-re-proof-risk single-operator gates in the cohort,
-#   unchanged since r08 — same criterion r12 used for the r07 pair).
-# - 2 + 2 + 21 + 25 = exactly 50, zero overlap.
+# - over-stale re-proofs: q_intersect + q_md5_sample (latest driver row
+#   r08 — 6 rounds, displaced from the exactly-full r13 window exactly
+#   as planned there; both swept green locally every session since,
+#   both unchanged since r08). [2]
+# - stale-evidence rotation: the full 27-query r09-latest cohort
+#   (q02_min_cost_supplier .. q_unigram_logprob), at the policy
+#   boundary. [27]
+# - first-row registrations (category a): the entire 8-gate staged
+#   queue — q_hll_distinct, q_stream_cms_freq, q_sparse_allpairs,
+#   q_dup_spans, q_stream_hll_distinct, q_interval_overlap,
+#   q_bpe_token_counts, q_nb_lang_confusion — registered this round
+#   when retiring old-policy (c) freed the slots. The two streaming
+#   gates joined STREAMING_SNAPSHOT at registration per their
+#   docstrings. [8]
+# - CHANGED this round (category b): q_grep_ranked — the rank now comes
+#   from TakeOrderedAndProject + a 20-row sort_array/posexplode instead
+#   of a vocabulary-sized global window (the r13 VERDICT's one
+#   perf-weak mark); q_semantic_dedup — semantic_dedup now warns once
+#   when auto sizing engages approximate coarse probing (r13 ADVICE;
+#   gate behavior config-identical — it pins n_centroids=8 — but the
+#   closure fingerprint changed and the policy does not take the
+#   builder's word for it). [2]
+# - load-leveling pre-rotation (category d): 11 members of the 50-query
+#   r13-latest cohort, without which the r17 window would be due
+#   exactly 50 with zero changed-query slack. The 11 are the
+#   lowest-re-proof-risk members (single-scan TPC-H aggregation/join
+#   gates, unchanged since r04): q04_order_priority,
+#   q06_forecast_revenue, q07_volume_shipping, q08_market_share,
+#   q10_returned_items, q11_important_stock, q12_priority_shipping,
+#   q14_promo_effect, q15_top_supplier, q16_parts_supplier_counts,
+#   q17_small_quantity_revenue. [11]
+# - 2 + 27 + 8 + 2 + 11 = exactly 50, zero overlap.
 #
-# r14 lookahead (enumerate against CORRECTNESS_r13 when it lands):
-# the displaced q_intersect + q_md5_sample + the 27-query r09-latest
-# cohort (q02_min_cost_supplier .. q_unigram_logprob) + 21 HEADLINE =
-# exactly 50: ZERO spare, so the staged queue (q_hll_distinct,
-# q_stream_cms_freq, q_sparse_allpairs, q_dup_spans,
-# q_stream_hll_distinct, q_interval_overlap, q_bpe_token_counts,
-# q_nb_lang_confusion) begins registering r15 beside the 26-query
-# r11-latest cohort (26 + 21 = 47 → 3 register r15, the rest r16
-# beside whatever r12-cohort slack exists). Any r14 changed-query
-# displaces an r09 rotation member accordingly — budget edits to
-# registered closures tightly in r14; the streaming staged gates must
-# join STREAMING_SNAPSHOT on registration.
+# r15 lookahead (enumerate against CORRECTNESS_r14 when it lands):
+# due = the 26-query r11-latest cohort (q_ann_pq .. q_union_distinct)
+# — 26 of 50, so ~24 spare after changed-query slots. Spend the spare
+# on pre-rotating the REMAINING 39 members of the r13-latest cohort
+# (prefer the heavy ones: q_kmeans, q_sequence_pack, q05, q03, q21, the
+# dedup/ANN macros) so the r17 window lands near 15 due. After r15 the
+# steady state is ~27 due per round with >20 slots of slack — gate
+# registrations never queue again.
 # ===========================================================================
 _DRIVER_WINDOW = [
-    # over-stale r07 re-proofs (5 rounds, past the 4-round policy)
-    "q_uniq_value_count",
-    "q_token_budget_sample",
-    # changed this round (semantic_dedup auto probe depth; hybrid
-    # route() empty-batch guard)
+    # over-stale r08 re-proofs (6 rounds, displaced from the full r13
+    # window as planned)
+    "q_intersect",
+    "q_md5_sample",
+    # stale rotation: the full r09-latest cohort (policy boundary)
+    "q02_min_cost_supplier",
+    "q_approx_stats",
+    "q_bucketed_ctas",
+    "q_cogroup_join",
+    "q_connected_components",
+    "q_cube",
+    "q_dedup_embedding",
+    "q_dedup_minhash_pairs",
+    "q_dedup_simhash_pairs",
+    "q_except",
+    "q_frame_sample",
+    "q_inverse_map",
+    "q_join_anti",
+    "q_json_extract",
+    "q_kmeans_grouped",
+    "q_matmul_blocked",
+    "q_moving_window",
+    "q_multimodal_decode",
+    "q_pi_estimator",
+    "q_pipe_lang_counts",
+    "q_pipes_native_wordcount",
+    "q_ppl_buckets",
+    "q_quantile_sketch",
+    "q_salted_agg",
+    "q_scalar_funcs",
+    "q_stream_dedup",
+    "q_unigram_logprob",
+    # first driver rows: the 8 r14 registrations (the drained staged
+    # queue, in staging order)
+    "q_hll_distinct",
+    "q_stream_cms_freq",
+    "q_sparse_allpairs",
+    "q_dup_spans",
+    "q_stream_hll_distinct",
+    "q_interval_overlap",
+    "q_bpe_token_counts",
+    "q_nb_lang_confusion",
+    # changed this round (TakeOrdered rank restructure; semantic auto-
+    # probe warning)
+    "q_grep_ranked",
     "q_semantic_dedup",
-    "q_hybrid_token_stats",
-    # bench HEADLINE — full 21-query macro set (kept in sync with
-    # bench.HEADLINE)
-    "q01_pricing_summary",
-    "q_wordcount",
-    "q_join_star",
-    "q_value_histogram",
-    "q_total_order_sort",
-    "q_topk",
-    "q_events_hourly",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_ann_topk",
-    "q_kmeans",
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    "q_dedup_simhash",
-    "q09_product_type_profit",
-    "q13_customer_distribution",
-    "q21_waiting_orders",
-    "q_winnow_fingerprint",
-    "q_sequence_pack",
-    "q_ann_lsh",
-    "q_pretrain_pipeline",
-    # stale rotation: the r08-latest cohort minus the displaced
-    # q_intersect + q_md5_sample (slot accounting above)
+    # load-leveling pre-rotation from the r13-latest cohort (see the
+    # slot accounting above)
     "q04_order_priority",
     "q06_forecast_revenue",
     "q07_volume_shipping",
@@ -5557,20 +5577,6 @@ _DRIVER_WINDOW = [
     "q15_top_supplier",
     "q16_parts_supplier_counts",
     "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
-    "q22_global_sales",
-    "q_ann_ivf",
-    "q_bloom_decontaminate",
-    "q_boilerplate_ratio",
-    "q_dedup_edit_distance",
-    "q_dedup_ngram_jaccard",
-    "q_embedding_outliers",
-    "q_funnel",
-    "q_near_dedup_survivors",
-    "q_pq_train",
-    "q_tfidf_topterms",
 ]
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50

@@ -63,6 +63,14 @@ INTENTIONAL_NESTED_LOOP = {
     "q_semantic_dedup",        # broadcast 8-row centroid table cross join
                                # (bounded BY DESIGN: k centroids, never
                                # corpus x corpus)
+    # r14 registration:
+    "q_nb_lang_confusion",     # doc x class scoring base: broadcast
+                               # |classes|-row prior table cross-joined
+                               # onto the doc frame, and the vocab grid's
+                               # term x class expansion (bounded by the
+                               # LABEL SET, never corpus x corpus — the
+                               # zero-token-doc LEFT-join base from the
+                               # module docstring)
 }
 
 # Exchange-count budget per bench HEADLINE query (hash/range/broadcast
@@ -168,6 +176,21 @@ EXTRA_EXCHANGE_BUDGET = {
     "q_boilerplate_ratio": 2,
     "q_funnel": 1,
     "q_pq_train": 0,
+    # r14 registrations (measured at registration): hll = token-grid
+    # groupBy + register groupBy; sparse_allpairs = the inverted-index
+    # self-join lattice off the eager_persist'd posting frame;
+    # dup_spans = position groupBy + the per-doc interval-merge chain;
+    # interval = the (user, bucket) hash-join pair; bpe counts = vocab
+    # groupBy + encoded-subword re-aggregate off the persisted vocab;
+    # nb = the train-count / prior / apply / doc-base aggregates over
+    # the doc x class LEFT-join lattice. Every exchange moves counts,
+    # buckets, or the model grid — never document text.
+    "q_hll_distinct": 2,
+    "q_sparse_allpairs": 6,
+    "q_dup_spans": 5,
+    "q_interval_overlap": 2,
+    "q_bpe_token_counts": 4,
+    "q_nb_lang_confusion": 12,
     # candidates-only verify rewrites (r08 adjudication): the counts
     # include the cached LSH-pair and candidate-fetch relations' lineage
     # (initial+final AQE pairs inside each InMemoryRelation display, per
@@ -293,6 +316,10 @@ SCAN_BUDGET = {
     "q_sessionization": 1,
     "q_range_join": 1,
     "q_inverse_map": 1,
+    # r14 restructure kept the budget at 1: TakeOrderedAndProject already
+    # emits a single partition, so the 20-row collect_list/posexplode rank
+    # attachment that replaced the vocabulary-sized global rank window
+    # plans with NO new exchange
     "q_grep_ranked": 1,
     "q_pi_estimator": 0,
     "q_terasort": 0,
@@ -360,6 +387,20 @@ SCAN_BUDGET = {
     "q_semantic_dedup": 2,
     "q_bpe_merges": 0,
     "q_cms_token_freq": 1,
+    # r14 registrations (measured at registration; the streaming pair is
+    # exempt from the batch audit like the rest of STREAMING_SNAPSHOT):
+    # the three single-scan gates honor their modules' one-corpus-pass
+    # claims; interval = 3 filter-pushed event passes (purchase probe +
+    # click state + the canonical-bucket recheck's reread); nb = 5
+    # projected document passes feeding the train-count / prior / apply
+    # / doc-base aggregate lattice (token counts and the
+    # |vocab| x |classes| model grid shuffle — document text never does).
+    "q_hll_distinct": 1,
+    "q_sparse_allpairs": 1,
+    "q_dup_spans": 1,
+    "q_interval_overlap": 3,
+    "q_bpe_token_counts": 1,
+    "q_nb_lang_confusion": 5,
 }
 
 
@@ -627,20 +668,94 @@ ALLOWED_GLOBAL_WINDOWS = {
     ("queries.py", "q_terasort"):
         "rank over gen_tera_records(_TERA_N) — bounded by the gate's "
         "literal row count, not by any input table",
-    ("queries.py", "q_grep_ranked"):
-        "rank over the distinct-regex-match counts frame — "
-        "vocabulary-sized (Heaps-law), NOT corpus-bounded: restructure "
-        "to TakeOrdered+limit queued for r14 with its window slot "
-        "(r14 queue item; the query is outside the exactly-full r13 "
-        "window, so the plan change must wait for a slot)",
+    # (q_grep_ranked's vocabulary-sized rank window — the one corpus-
+    # unbounded entry this allowlist ever carried — was restructured to
+    # TakeOrderedAndProject + sort_array/posexplode in r14 and no longer
+    # contains any Window call; entry removed per the r13 VERDICT.)
 }
+
+
+def _global_window_sites(src: str, rel: str) -> set[tuple[str, str]]:
+    """(file, enclosing-function) for every global single-task window in
+    one python source: bare ``Window.orderBy(...)`` (no partitionBy) and
+    ``Window.partitionBy()`` with no (or literal-only) keys. The Window
+    receiver is recognized by per-file alias resolution (r14, r13 ADVICE:
+    ``from pyspark.sql.window import Window as Win`` and module-qualified
+    ``window.Window.orderBy(...)`` escaped the original bare-Name check)
+    plus the historical bare-name floor ("Window", "W")."""
+    import ast
+
+    tree = ast.parse(src)
+    found: set[tuple[str, str]] = set()
+
+    # every name this file binds to pyspark's Window class — direct or
+    # aliased; module-qualified receivers are matched structurally below
+    window_names = {"Window", "W"}
+    for nd in ast.walk(tree):
+        if isinstance(nd, ast.ImportFrom) and nd.module and (
+            nd.module.endswith(".window") or nd.module == "pyspark.sql"
+        ):
+            for a in nd.names:
+                if a.name == "Window":
+                    window_names.add(a.asname or a.name)
+
+    def _is_window_receiver(v):
+        if isinstance(v, ast.Name):
+            return v.id in window_names
+        # attribute chain ending in .Window — 'window.Window',
+        # 'pyspark.sql.window.Window' through any module alias
+        return isinstance(v, ast.Attribute) and v.attr == "Window"
+
+    class V(ast.NodeVisitor):
+        def __init__(self):
+            self.stack = []
+
+        def visit_FunctionDef(self, n):
+            self.stack.append(n.name)
+            self.generic_visit(n)
+            self.stack.pop()
+
+        visit_AsyncFunctionDef = visit_FunctionDef
+
+        def visit_Call(self, n):
+            f = n.func
+            # r13 gap fix: Window.orderBy(...) with NO partitionBy is
+            # ALSO a global single-task window (the q_sequence_pack
+            # level-2 superbucket window is one) — the original
+            # detector only saw explicit partitionBy() calls.
+            if (
+                isinstance(f, ast.Attribute)
+                and f.attr == "orderBy"
+                and _is_window_receiver(f.value)
+            ):
+                found.add((rel, self.stack[-1] if self.stack else "<module>"))
+            if (
+                isinstance(f, ast.Attribute)
+                and f.attr == "partitionBy"
+                and _is_window_receiver(f.value)
+            ):
+                args = n.args
+                is_global = (not args and not n.keywords) or (
+                    args
+                    and all(
+                        isinstance(a, ast.Call)
+                        and isinstance(a.func, ast.Attribute)
+                        and a.func.attr == "lit"
+                        for a in args
+                    )
+                )
+                if is_global:
+                    found.add((rel, self.stack[-1] if self.stack else "<module>"))
+            self.generic_visit(n)
+
+    V().visit(tree)
+    return found
 
 
 def test_global_windows_are_bounded_cardinality():
     """No single-task global window over a corpus-cardinality frame —
     package-wide, mechanized (the r09 audit, completing the
     unbounded-cardinality detector family beside the hint audits)."""
-    import ast
     import pathlib
 
     import hadoop_gpu_spark as pkg
@@ -649,52 +764,7 @@ def test_global_windows_are_bounded_cardinality():
     found = set()
     for py in sorted(root.rglob("*.py")):
         rel = str(py.relative_to(root))
-
-        class V(ast.NodeVisitor):
-            def __init__(self):
-                self.stack = []
-
-            def visit_FunctionDef(self, n):
-                self.stack.append(n.name)
-                self.generic_visit(n)
-                self.stack.pop()
-
-            visit_AsyncFunctionDef = visit_FunctionDef
-
-            def visit_Call(self, n):
-                f = n.func
-                # r13 gap fix: Window.orderBy(...) with NO partitionBy is
-                # ALSO a global single-task window (the q_sequence_pack
-                # level-2 superbucket window is one) — the original
-                # detector only saw explicit partitionBy() calls.
-                if (
-                    isinstance(f, ast.Attribute)
-                    and f.attr == "orderBy"
-                    and isinstance(f.value, ast.Name)
-                    and f.value.id in ("Window", "W")
-                ):
-                    found.add((rel, self.stack[-1] if self.stack else "<module>"))
-                if (
-                    isinstance(f, ast.Attribute)
-                    and f.attr == "partitionBy"
-                    and isinstance(f.value, ast.Name)
-                    and f.value.id in ("Window", "W")
-                ):
-                    args = n.args
-                    is_global = (not args and not n.keywords) or (
-                        args
-                        and all(
-                            isinstance(a, ast.Call)
-                            and isinstance(a.func, ast.Attribute)
-                            and a.func.attr == "lit"
-                            for a in args
-                        )
-                    )
-                    if is_global:
-                        found.add((rel, self.stack[-1] if self.stack else "<module>"))
-                self.generic_visit(n)
-
-        V().visit(ast.parse(py.read_text()))
+        found |= _global_window_sites(py.read_text(), rel)
     unknown = sorted(found - set(ALLOWED_GLOBAL_WINDOWS))
     stale = sorted(set(ALLOWED_GLOBAL_WINDOWS) - found)
     assert not unknown, (
@@ -705,6 +775,33 @@ def test_global_windows_are_bounded_cardinality():
         "scalar re-aggregate — the _unigram_nll r09 fix)"
     )
     assert not stale, f"stale global-window allowlist entries: {stale}"
+
+
+def test_global_window_detector_sees_aliased_receivers():
+    # Detector self-test (r14, r13 ADVICE): every spelling of the Window
+    # class must be caught — the aliased-import and module-qualified forms
+    # escaped the original bare-Name check.
+    flagged = _global_window_sites(
+        "from pyspark.sql.window import Window as Win\n"
+        "import pyspark.sql.window as win_mod\n"
+        "def a(df, F):\n"
+        "    return df.withColumn('r', F.row_number().over(Win.orderBy('x')))\n"
+        "def b(df, F):\n"
+        "    w = win_mod.Window.orderBy('x')\n"
+        "    return df.withColumn('r', F.row_number().over(w))\n"
+        "def c(df, F):\n"
+        "    w = win_mod.Window.partitionBy().orderBy('x')\n"
+        "    return df.withColumn('r', F.row_number().over(w))\n"
+        "def fine(df, F):\n"
+        "    w = win_mod.Window.partitionBy('k').orderBy('x')\n"
+        "    return df.withColumn('r', F.row_number().over(w))\n",
+        "synthetic.py",
+    )
+    assert flagged == {
+        ("synthetic.py", "a"),
+        ("synthetic.py", "b"),
+        ("synthetic.py", "c"),
+    }, flagged
 
 
 def test_streaming_snapshot_set_matches_streaming_callers():

@@ -96,6 +96,16 @@ def test_q06_filters_pushed_to_scan(spark, sf_dir):
         assert col in pf, f"{col} not pushed: {pf}"
 
 
+def test_grep_ranked_plans_take_ordered_no_window(spark, sf_dir):
+    # r14 restructure pin (r13 VERDICT's one perf-weak mark): the top-20
+    # rank must come from TakeOrderedAndProject (per-partition heaps) —
+    # never from a global WindowExec over the vocabulary-sized
+    # (Heaps-law, corpus-unbounded) distinct-match counts frame.
+    plan = plans.formatted_plan(QUERIES["q_grep_ranked"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_dedup_pipeline_never_shuffles_text(spark, sf_dir):
     # The ARCHITECTURE.md claim, pinned: in every dedup gate the document
     # text is consumed at the scan (hashing/shingling) and only ids,
@@ -159,8 +169,13 @@ def test_driver_window_invariants():
     assert len(_DRIVER_WINDOW) == 50
     window = list(QUERIES)[:50]
     assert window == _DRIVER_WINDOW
-    missing = [q for q in HEADLINE if q not in window]
-    assert not missing, f"HEADLINE outside driver window: {missing}"
+    # r14 policy change (r13 VERDICT #1): HEADLINE queries are no longer
+    # auto-windowed every round — they rotate on the standard 4-round
+    # freshness cadence, and test_changed_queries_are_windowed already
+    # forces any changed member back in the same round. HEADLINE must
+    # still be registered queries (benched ≠ unproven):
+    missing = [q for q in HEADLINE if q not in QUERIES]
+    assert not missing, f"HEADLINE not registered: {missing}"
     assert set(ORACLES) == set(QUERIES)
 
 
@@ -201,6 +216,46 @@ def test_changed_queries_are_windowed():
         f"if the cause is a test-data regeneration (epoch-changed: "
         f"{sorted(epoch_changed)[:8]}…), re-verify locally, re-window, then "
         f"`python -m hadoop_gpu_spark.fingerprint epoch`"
+    )
+
+
+def test_stale_evidence_is_windowed():
+    # r14 mechanization of the 4-round freshness policy (it lived only in
+    # comments through r13, and the r13 VERDICT's registration-logjam
+    # finding was exactly a failure of hand-run window math): with the
+    # upcoming round N = latest CORRECTNESS file + 1, every registered
+    # query whose latest driver-green row is older than N-3 — or that has
+    # never earned one — must sit inside _DRIVER_WINDOW.
+    import json
+    import pathlib
+    import re
+
+    from hadoop_gpu_spark.queries import QUERIES, _DRIVER_WINDOW
+
+    root = pathlib.Path(__file__).parent.parent
+    latest: dict[str, int] = {}
+    rounds = []
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        rno = int(re.search(r"r(\d+)", f.name).group(1))
+        rounds.append(rno)
+        for n, row in json.loads(f.read_text()).items():
+            if (
+                not row.get("err")
+                and row.get("rows_match")
+                and row.get("schema_match", True)
+                and row.get("hash_match", True)
+            ):
+                latest[n] = max(latest.get(n, 0), rno)
+    assert rounds, "no CORRECTNESS files — nothing to check"
+    upcoming = max(rounds) + 1
+    stale = [
+        n for n in QUERIES
+        if latest.get(n, -1) < upcoming - 3 and n not in _DRIVER_WINDOW
+    ]
+    assert not stale, (
+        f"stale-evidence queries outside the driver window (latest green "
+        f"older than round {upcoming - 3}, upcoming round {upcoming}): "
+        f"{[(n, latest.get(n)) for n in stale]} — rotate them in"
     )
 
 

@@ -24,24 +24,23 @@ CANDIDATES = [
     "q_bucketed_ctas",
     "q_stream_quantiles",
 ]
-STAGED = [
-    # q_stream_quantiles graduated on its r10 registration; q_bm25_topk,
-    # q_semantic_dedup, q_bpe_merges and q_cms_token_freq on their r12
-    # registration (one round after plan — r11 shipped zero commits)
-    # r09-continuation staging (r13 registration) — kept in sync with
-    # queries.STAGED_CANDIDATES
+STAGED: list[str] = [
+    # Empty since r14: the final 8-gate queue (q_hll_distinct,
+    # q_stream_cms_freq, q_sparse_allpairs, q_dup_spans,
+    # q_stream_hll_distinct, q_interval_overlap, q_bpe_token_counts,
+    # q_nb_lang_confusion) graduated together when the r14 window
+    # rotation freed the slots — kept in sync with
+    # queries.STAGED_CANDIDATES. (Earlier graduations: q_stream_quantiles
+    # r10; q_bm25_topk, q_semantic_dedup, q_bpe_merges, q_cms_token_freq
+    # r12 — one round after plan, r11 shipped zero commits.)
+]
+R14_GRADUATES = [
     "q_hll_distinct",
     "q_stream_cms_freq",
     "q_sparse_allpairs",
     "q_dup_spans",
-    # r10-continuation staging (r13/r14 registration)
     "q_stream_hll_distinct",
-    # r12 staging: the interval operator's gate, added alongside its
-    # falsifier suite (tests/test_interval.py, tests/test_r13_candidates.py)
     "q_interval_overlap",
-    # r12-continuation staging (r14/r15 registration): BPE apply+count
-    # under the trained tokenizer, and the NB language-classifier
-    # confusion matrix (tests/test_r14_candidates.py)
     "q_bpe_token_counts",
     "q_nb_lang_confusion",
 ]
@@ -60,8 +59,11 @@ def test_candidate_list_matches_registry_constant():
     # registration rounds and have since rotated out; the four r12
     # registrations earned theirs in CORRECTNESS_r12 — assert the rows
     # landed green rather than pinning the since-rotated window)
-    graduated = [n for n in CANDIDATES if n not in STAGED]
+    graduated = [n for n in CANDIDATES if n not in STAGED] + R14_GRADUATES
     assert set(graduated) <= set(q.QUERIES) and set(graduated) <= set(q.ORACLES)
+    # the two streaming r14 graduates joined the declared streaming set,
+    # as their docstrings required
+    assert {"q_stream_cms_freq", "q_stream_hll_distinct"} <= q.STREAMING_SNAPSHOT
     import json
     import pathlib
 
