@@ -55,6 +55,7 @@ comparisons.
 from __future__ import annotations
 
 import math
+import warnings
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -185,6 +186,21 @@ def semantic_dedup(
         n_centroids = auto_k
         if coarse_nlist is None:
             coarse_nlist = auto_nlist
+            if coarse_nlist is not None and coarse_nprobe < coarse_nlist:
+                # r13 ADVICE: auto sizing silently switched default-config
+                # callers from exact flat assignment to approximate
+                # two-level probing once sqrt(N) >= AUTO_COARSE_MIN_K —
+                # say so once, loudly, so approximation is never a
+                # surprise. Exactness remains one kwarg away.
+                warnings.warn(
+                    f"semantic_dedup auto sizing chose k={n_centroids} with a "
+                    f"coarse quantizer (nlist={coarse_nlist}, nprobe="
+                    f"{coarse_nprobe}): assignment is APPROXIMATE (a vector's "
+                    "true max-cosine centroid may sit in an unprobed cell). "
+                    "Pass coarse_nprobe >= coarse_nlist or an explicit "
+                    "n_centroids for exact assignment.",
+                    stacklevel=2,
+                )
     if n_centroids < 1:
         raise ValueError("n_centroids must be >= 1")
     if coarse_nlist is not None:

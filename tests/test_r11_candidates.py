@@ -825,9 +825,25 @@ def test_semantic_dedup_auto_equals_explicit_config(spark, sf_dir):
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     k, m = auto_centroid_config(emb.count())
     assert m is not None  # 500 rows -> k=22 engages coarse probing
-    auto = semantic_dedup(emb, tau=0.30).collect()
-    explicit = semantic_dedup(
-        emb, n_centroids=k, tau=0.30, coarse_nlist=m, coarse_nprobe=1
-    ).collect()
+    # r14 (r13 ADVICE): auto mode engaging APPROXIMATE coarse probing
+    # must announce itself — silently changing default-config callers
+    # from exact to approximate assignment was the flagged hazard.
+    import warnings as _warnings
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        auto_df = semantic_dedup(emb, tau=0.30)
+    assert any("APPROXIMATE" in str(w.message) for w in caught), (
+        [str(w.message) for w in caught]
+    )
+    auto = auto_df.collect()
+    # an explicit (exact-kwarg-free) config stays silent
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        explicit_df = semantic_dedup(
+            emb, n_centroids=k, tau=0.30, coarse_nlist=m, coarse_nprobe=1
+        )
+    assert not [w for w in caught if "APPROXIMATE" in str(w.message)]
+    explicit = explicit_df.collect()
     assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit))
     assert len(auto) > 0
