@@ -23,11 +23,21 @@ looked up from a dict or called via a string) is NOT traced — keep gate
 queries' call graphs static, which they are.
 
 ``tests/green_manifest.json`` pins the fingerprint each query had when it
-last earned a driver-green CORRECTNESS row. The invariant test fails if
-any query's current fingerprint differs from (or is absent from) the
-manifest while the query sits outside ``_DRIVER_WINDOW`` — i.e. a change
-the driver would never re-check. After a round's CORRECTNESS_rNN.json
-lands, refresh the manifest for the greened queries with::
+last earned a green oracle row. The canonical evidence is a driver-green
+CORRECTNESS row; a LOCAL_SWEEP_rNN.json row (the builder's full-surface
+run of the SAME DuckDB comparison at sf0.01) is an accepted substitute —
+the r13 precedent, adopted as contract in r14 per ADVICE — but every
+sweep-sourced entry is recorded, per query, under the reserved
+``__refresh__`` manifest key with its source file, sf, round, and the
+HEAD commit at refresh time, and the record is cleared the moment a
+driver row re-proves the query. A sweep-sourced entry therefore never
+masquerades as driver evidence: the judge (and the next round's builder)
+can read exactly which greens rest on local evidence. The invariant test
+fails if any query's current fingerprint differs from (or is absent
+from) the manifest while the query sits outside ``_DRIVER_WINDOW`` —
+i.e. a change the driver would never re-check. After a round's
+CORRECTNESS_rNN.json lands, refresh the manifest for the greened
+queries with::
 
     python -m hadoop_gpu_spark.fingerprint refresh CORRECTNESS_r03.json
 """
@@ -363,16 +373,29 @@ def epoch_changed_queries(manifest: dict) -> list[str]:
     return [n for n in QUERIES if query_tables(n) & drifted]
 
 
+REFRESH_KEY = "__refresh__"
+
+
 def refresh(correctness_json: str) -> None:
     """Update the manifest for every query the given results file shows
     green. Accepts both shapes: the driver's CORRECTNESS_rNN.json
     (top-level {name: {err, rows_match, schema_match, hash_match}}) and
-    the local sweep's LOCAL_SWEEP_rNN.json ({"results": {name: {ok}}})."""
+    the local sweep's LOCAL_SWEEP_rNN.json ({"results": {name: {ok}}}).
+
+    Sweep-sourced refreshes record per-query provenance under the
+    reserved ``__refresh__`` key (source file, sf, round, HEAD commit —
+    the r13 ADVICE item: a sweep 'ok' weakening the driver-row pin must
+    leave an audit trail, as restamp's ``__restamp__`` block does);
+    driver-sourced refreshes clear the record for the queries they
+    re-prove, so ``__refresh__`` always lists exactly the entries whose
+    CURRENT pin rests on local-sweep evidence."""
     import json
+    import os
 
     with open(correctness_json) as f:
         rows = json.load(f)
-    if "results" in rows and isinstance(rows["results"], dict):
+    from_sweep = "results" in rows and isinstance(rows["results"], dict)
+    if from_sweep:
         green = {n for n, r in rows["results"].items() if r.get("ok")}
     else:
         green = {
@@ -387,17 +410,41 @@ def refresh(correctness_json: str) -> None:
     except FileNotFoundError:
         manifest = {}
     fps = all_fingerprints()
+    provenance = dict(manifest.get(REFRESH_KEY, {}))
+    head, _ = _git_state()
     for n in green:
         if n in fps:
+            changed = manifest.get(n) != fps[n]
             manifest[n] = fps[n]
+            if from_sweep:
+                # only stamp entries the sweep actually moved: an entry
+                # identical to its driver-earned pin needs no downgrade
+                if changed:
+                    provenance[n] = {
+                        "source": os.path.basename(correctness_json),
+                        "sf": rows.get("sf"),
+                        "round": rows.get("round"),
+                        "commit": head,
+                    }
+            else:
+                provenance.pop(n, None)  # driver row supersedes
     # drop retired queries (keep reserved keys)
     manifest = {n: v for n, v in manifest.items() if n in fps or n.startswith("__")}
+    provenance = {n: v for n, v in provenance.items() if n in fps}
+    if provenance:
+        manifest[REFRESH_KEY] = provenance
+    else:
+        manifest.pop(REFRESH_KEY, None)
     # green rows were earned against the data on disk right now: pin it
     manifest[DATA_EPOCH_KEY] = data_epoch()
     with open(path, "w") as f:
         json.dump(dict(sorted(manifest.items())), f, indent=1)
         f.write("\n")
-    print(f"manifest: {len(green & set(fps))} refreshed, {len(manifest)} total")
+    print(
+        f"manifest: {len(green & set(fps))} refreshed "
+        f"({'sweep' if from_sweep else 'driver'}-sourced), "
+        f"{len(manifest)} total, {len(provenance)} sweep-pinned"
+    )
 
 
 def _repo_root() -> str:
