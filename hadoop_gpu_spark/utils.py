@@ -38,18 +38,44 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     if not files or len(files) >= target:
         return df
     try:
-        import pyarrow.parquet as pq
-
         groups = 0
         for f in files:
             if not f.endswith(".parquet"):
                 return df
-            groups += pq.ParquetFile(_strip_file_scheme(f)).metadata.num_row_groups
+            groups += _row_group_count(_strip_file_scheme(f))
             if groups >= target:
                 return df
     except Exception:
         return df
     return df.repartition(target)
+
+
+# (path -> (mtime_ns, size, n_row_groups)) — r13 ADVICE: the footer
+# inspection above runs on the driver per invocation; hot paths that call
+# ensure_min_partitions repeatedly on the same small file list (the bench
+# loop, the test suite) were re-opening every footer each time. mtime+size
+# keying keeps a rewritten file from serving a stale count. Unbounded on
+# purpose: one entry per distinct small-file path seen by THIS driver —
+# the check only runs when len(files) < target, so the key space is tiny.
+_ROW_GROUP_CACHE: dict[str, tuple[int, int, int]] = {}
+
+
+def _row_group_count(path: str) -> int:
+    """num_row_groups from the parquet footer, memoized per (path, mtime,
+    size). Raises on unreadable/remote paths — the caller treats any
+    failure as "cannot prove fake parallelism" and leaves df alone."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    st = os.stat(path)
+    key = (st.st_mtime_ns, st.st_size)
+    hit = _ROW_GROUP_CACHE.get(path)
+    if hit is not None and hit[:2] == key:
+        return hit[2]
+    n = pq.ParquetFile(path).metadata.num_row_groups
+    _ROW_GROUP_CACHE[path] = (*key, n)
+    return n
 
 
 def _strip_file_scheme(uri: str) -> str:
