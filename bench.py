@@ -19,11 +19,14 @@ from hadoop_gpu_spark.operators.bloom import release_bloom_broadcasts
 from hadoop_gpu_spark.queries import QUERIES
 from hadoop_gpu_spark.utils import release_persisted_frames
 
-# Invariant (kept in sync with queries._DRIVER_WINDOW): every HEADLINE
-# query is inside the driver's 50-query correctness window the same round
-# it is benched — a time for an unverified answer is not a result.
-# q_join_broadcast was retired from HEADLINE for that budget (its timing
-# was redundant with q_join_star; the query itself remains registered).
+# Correctness linkage (amended r14, per the r13 VERDICT): HEADLINE
+# queries rotate through queries._DRIVER_WINDOW on the standard 4-round
+# freshness cadence instead of occupying 21 window slots every round —
+# a benched time is backed by a driver row at most 3 rounds old, or a
+# same-round one whenever the query's implementation changed (the
+# changed-queries rule re-windows it mechanically). q_join_broadcast
+# was retired from HEADLINE earlier for the slot budget (its timing was
+# redundant with q_join_star; the query itself remains registered).
 #
 # Round 6 restores the full r04 21-query macro set (the r05 trim was the
 # documented one-round cost of the full stale-evidence rotation; see the
