@@ -199,8 +199,22 @@ def nb_score(
         "cls", _rln9(F.col("n_c") / F.sum("n_c").over(wall)).alias("prior")
     )
     # per-(doc, class) token log-likelihood sums: token stream x grid,
-    # join UNHINTED on term (broadcast would die at open-vocab scale)
-    doc_toks = docs.select(id_col, F.explode(tokenize(text_col)).alias("term"))
+    # join UNHINTED on term (broadcast would die at open-vocab scale).
+    # The join-input exchange is pinned at the session's configured
+    # shuffle width (an explicit user repartition, which AQE never
+    # coalesces): exploded tokens compress to a few MB per million
+    # rows, so AQE's BYTE-sized coalescing collapses the reduce side
+    # to a handful of tasks while the stage's cost is CPU (every
+    # surviving row fans out x|classes| and pays a DECIMAL(28,9) sum)
+    # — measured on the r14 sf30 rung: sf10 nb_confusion 152.7s
+    # coalesced vs 32.7s at full width, with sf30 FASTER than sf10
+    # because 3x the bytes happened to defeat the coalescer. At real
+    # scale the exchange is byte-heavy and the pin is what AQE would
+    # choose anyway.
+    p = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    doc_toks = docs.select(
+        id_col, F.explode(tokenize(text_col)).alias("term")
+    ).repartition(p, "term")
     tok_scores = (
         doc_toks.join(grid, "term")
         .groupBy(id_col, "cls")

@@ -190,7 +190,11 @@ EXTRA_EXCHANGE_BUDGET = {
     "q_dup_spans": 5,
     "q_interval_overlap": 2,
     "q_bpe_token_counts": 4,
-    "q_nb_lang_confusion": 12,
+    # 13 = 12 at registration + the explicit width-pinned term
+    # repartition added after the r14 sf30 rung caught AQE's byte-sized
+    # coalescing serializing the CPU-dense scoring join (sf10
+    # nb_confusion 152.7s -> 16.6s; decomposition at the nbayes.py pin)
+    "q_nb_lang_confusion": 13,
     # candidates-only verify rewrites (r08 adjudication): the counts
     # include the cached LSH-pair and candidate-fetch relations' lineage
     # (initial+final AQE pairs inside each InMemoryRelation display, per
