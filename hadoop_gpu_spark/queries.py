@@ -3448,7 +3448,21 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         (F.floor(F.col("doc_id") / B)).cast("long").alias("__bucket"),
     )
-    d = docs.select("doc_id", tokenize("text").alias("t"), "__bucket")
+    # The token-array frame is repartitioned by __bucket at the session's
+    # configured shuffle width BEFORE the base-offset join (r14, found by
+    # the sf30 rung): the within-bucket window needs hashpartitioning on
+    # __bucket anyway, and letting Catalyst place that exchange AFTER the
+    # broadcast join put a BroadcastQueryStage inside the shuffle map
+    # stage — a shape AQE degenerated into a SINGLE map task at sf10
+    # (213 MB of token arrays through one core + a 2 s driver gap;
+    # reproducible, gone with either AQE or broadcasts disabled). The
+    # explicit user repartition is immune to AQE re-planning, its map
+    # side is the plain tokenize scan, and the join + window reuse its
+    # distribution, so the plan has the SAME exchange count as before —
+    # measured sf10 7.0s -> 1.7s, sf30 3.2s -> 1.9s.
+    d = docs.select("doc_id", tokenize("text").alias("t"), "__bucket").repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "__bucket"
+    )
     # Pass 1: per-bucket token totals, then a HIERARCHICAL prefix sum —
     # nothing corpus-growing ever reaches the driver (r13; this replaced
     # the collect() of one long per bucket, the registered surface's
@@ -5496,17 +5510,22 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   when auto sizing engages approximate coarse probing (r13 ADVICE;
 #   gate behavior config-identical — it pins n_centroids=8 — but the
 #   closure fingerprint changed and the policy does not take the
-#   builder's word for it). [2]
-# - load-leveling pre-rotation (category d): 11 members of the 50-query
+#   builder's word for it); q_sequence_pack — the token-array frame is
+#   now bucket-repartitioned BEFORE the base-offset join (the r14 sf30
+#   rung caught AQE degenerating the post-join window exchange into a
+#   single map task; fix decomposition at the query). [3]
+# - load-leveling pre-rotation (category d): 10 members of the 50-query
 #   r13-latest cohort, without which the r17 window would be due
-#   exactly 50 with zero changed-query slack. The 11 are the
+#   nearly full with no changed-query slack. The 10 are the
 #   lowest-re-proof-risk members (single-scan TPC-H aggregation/join
 #   gates, unchanged since r04): q04_order_priority,
 #   q06_forecast_revenue, q07_volume_shipping, q08_market_share,
 #   q10_returned_items, q11_important_stock, q12_priority_shipping,
-#   q14_promo_effect, q15_top_supplier, q16_parts_supplier_counts,
-#   q17_small_quantity_revenue. [11]
-# - 2 + 27 + 8 + 2 + 11 = exactly 50, zero overlap.
+#   q14_promo_effect, q15_top_supplier, q16_parts_supplier_counts.
+#   (q17_small_quantity_revenue ceded its pre-rotation slot to the
+#   q_sequence_pack change mid-round — both are r13-cohort members, so
+#   the leveling math is unchanged: r17 lands at 40 due.) [10]
+# - 2 + 27 + 8 + 3 + 10 = exactly 50, zero overlap.
 #
 # r15 lookahead (enumerate against CORRECTNESS_r14 when it lands):
 # due = the 26-query r11-latest cohort (q_ann_pq .. q_union_distinct)
@@ -5561,9 +5580,11 @@ _DRIVER_WINDOW = [
     "q_bpe_token_counts",
     "q_nb_lang_confusion",
     # changed this round (TakeOrdered rank restructure; semantic auto-
-    # probe warning)
+    # probe warning; sequence_pack's pre-join bucket repartition — the
+    # sf30 rung's AQE-degenerate-map-stage fix)
     "q_grep_ranked",
     "q_semantic_dedup",
+    "q_sequence_pack",
     # load-leveling pre-rotation from the r13-latest cohort (see the
     # slot accounting above)
     "q04_order_priority",
@@ -5576,7 +5597,6 @@ _DRIVER_WINDOW = [
     "q14_promo_effect",
     "q15_top_supplier",
     "q16_parts_supplier_counts",
-    "q17_small_quantity_revenue",
 ]
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
