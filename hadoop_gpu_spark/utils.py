@@ -57,7 +57,11 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
 # keying keeps a rewritten file from serving a stale count. Unbounded on
 # purpose: one entry per distinct small-file path seen by THIS driver —
 # the check only runs when len(files) < target, so the key space is tiny.
-_ROW_GROUP_CACHE: dict[str, tuple[int, int, int]] = {}
+# lowercase NAME on purpose: fingerprint.py hashes ALL_CAPS module
+# constants by value, and hashing mutable cache CONTENTS makes every
+# consumer's fingerprint process-flaky (the r12 incident class — this
+# exact dict reintroduced it for one session when first named in caps).
+_row_group_cache: dict[str, tuple[int, int, int]] = {}
 
 
 def _row_group_count(path: str) -> int:
@@ -70,11 +74,11 @@ def _row_group_count(path: str) -> int:
 
     st = os.stat(path)
     key = (st.st_mtime_ns, st.st_size)
-    hit = _ROW_GROUP_CACHE.get(path)
+    hit = _row_group_cache.get(path)
     if hit is not None and hit[:2] == key:
         return hit[2]
     n = pq.ParquetFile(path).metadata.num_row_groups
-    _ROW_GROUP_CACHE[path] = (*key, n)
+    _row_group_cache[path] = (*key, n)
     return n
 
 
