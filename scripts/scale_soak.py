@@ -57,6 +57,8 @@ def main(sf_dirs: list[str], json_out: str | None) -> int:
 
     spark = get_spark(app_name="scale-soak")
     names = [*HEADLINE, *GATES]
+    load0 = os.getloadavg()
+    print(f"loadavg at start: {load0}", flush=True)
     results: dict[str, dict[str, float]] = {d: {} for d in sf_dirs}
     for sf_dir in sf_dirs:
         for name in names:  # untimed warm pass (whole set, JIT + codegen)
@@ -75,9 +77,15 @@ def main(sf_dirs: list[str], json_out: str | None) -> int:
     totals = {d: round(sum(results[d].values()), 2) for d in sf_dirs}
     print(f"| TOTAL | {' | '.join(str(totals[d]) for d in sf_dirs)} | "
           f"{totals[sf_dirs[-1]] / totals[sf_dirs[0]]:.2f}x |")
+    load1 = os.getloadavg()
+    print(f"loadavg at end: {load1}", flush=True)
     if json_out:
         with open(json_out, "w") as f:
-            json.dump({"results": results, "totals": totals}, f, indent=1)
+            json.dump(
+                {"results": results, "totals": totals,
+                 "loadavg_start": load0, "loadavg_end": load1},
+                f, indent=1,
+            )
             f.write("\n")
     return 0
 
