@@ -179,7 +179,10 @@ EXTRA_EXCHANGE_BUDGET = {
     # r14 registrations (measured at registration): hll = token-grid
     # groupBy + register groupBy; sparse_allpairs = the inverted-index
     # self-join lattice off the eager_persist'd posting frame;
-    # dup_spans = position groupBy + the per-doc interval-merge chain;
+    # dup_spans (recomposed r15, same total): freq-pass combined-count
+    # groupBy + the semi-join pair + the width-k bucket groupBy + the
+    # per-doc bucket window — positions collapse ~k-fold map-side
+    # before any exchange, and nothing corpus-persisted remains;
     # interval = the (user, bucket) hash-join pair; bpe counts = vocab
     # groupBy + encoded-subword re-aggregate off the persisted vocab;
     # nb = the train-count / prior / apply / doc-base aggregates over
@@ -401,7 +404,16 @@ SCAN_BUDGET = {
     # |vocab| x |classes| model grid shuffle — document text never does).
     "q_hll_distinct": 1,
     "q_sparse_allpairs": 1,
-    "q_dup_spans": 1,
+    # dup_spans 1 -> 2 at r15: the freq branch and the span branch
+    # became two INDEPENDENT kernel passes over the document scan —
+    # semantically distinct passes (per-doc-distinct combined gram
+    # counts vs per-position rows), deliberately UN-sharing the old
+    # eager-persisted position frame (24 B/char, ~24x the text at
+    # corpus scale; re-hashing at ~1 µs/position is strictly cheaper
+    # than materializing). Not the dual-branch-recompute accident this
+    # pin exists to catch: the recomputed relation is the cheap scan,
+    # not an expensive subtree. sf10: 87s (persisted, one scan) -> ~27s.
+    "q_dup_spans": 2,
     "q_interval_overlap": 3,
     "q_bpe_token_counts": 1,
     "q_nb_lang_confusion": 5,

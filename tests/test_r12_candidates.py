@@ -802,10 +802,14 @@ def test_dup_spans_output_disjoint_nonadjacent_on_corpus(spark, sf_dir):
             assert s2 > e1 + 1, (i, ss)
 
 
-def test_dup_spans_plan_shares_one_position_relation(spark, sf_dir):
-    # The position frame feeds the frequency branch AND the span branch
-    # — must be ONE cached relation (eager_persist), with document text
-    # never shuffling (hashes are computed at the scan).
+def test_dup_spans_plan_two_pass_no_corpus_persist(spark, sf_dir):
+    # The r15 shape: the freq branch and the span branch are two
+    # INDEPENDENT kernel passes over the parquet scan — exactly two
+    # scans, NO InMemoryRelation anywhere (the old eager_persist of the
+    # 24-bytes-per-character position frame was the scale bug: at
+    # corpus scale it is ~24x the text itself; re-hashing is strictly
+    # cheaper) — with document text never shuffling (hashes are
+    # computed at the scan).
     import re
 
     from hadoop_gpu_spark import plans
@@ -813,9 +817,9 @@ def test_dup_spans_plan_shares_one_position_relation(spark, sf_dir):
 
     df = q.q_dup_spans(spark, sf_dir)
     plan = plans.formatted_plan(df)
-    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "InMemoryTableScan" not in plan, plan
     live = re.findall(r"^\s*\(\d+\) Scan parquet\b", plan, re.M)
-    assert len(live) <= 1, plan
+    assert len(live) == 2, plan
     assert "text" not in plans.shuffled_columns(df)
 
 
@@ -895,6 +899,8 @@ def test_dup_spans_position_chunking_invariant(spark, sf_dir, monkeypatch):
         tuple(r) for r in substr.dup_substring_spans(docs, use_pandas=True).collect()
     )
     monkeypatch.setattr(substr, "POSITION_CHUNK_ROWS", 100)
+    monkeypatch.setattr(substr, "HASH_SUB_ROWS", 128)
+    monkeypatch.setattr(substr, "COMBINE_ROWS", 64)
     tiny = sorted(
         tuple(r) for r in substr.dup_substring_spans(docs, use_pandas=True).collect()
     )
