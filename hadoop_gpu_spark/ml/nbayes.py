@@ -211,7 +211,9 @@ def nb_score(
     # because 3x the bytes happened to defeat the coalescer. At real
     # scale the exchange is byte-heavy and the pin is what AQE would
     # choose anyway.
-    p = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    from hadoop_gpu_spark.utils import shuffle_width
+
+    p = shuffle_width(docs.sparkSession)
     doc_toks = docs.select(
         id_col, F.explode(tokenize(text_col)).alias("term")
     ).repartition(p, "term")

@@ -3437,6 +3437,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_gpu_spark.operators.fields import tokenize
+    from hadoop_gpu_spark.utils import shuffle_width
 
     L = 128
     # Fixed bucket width: bucket id is a pure function of doc_id, never of
@@ -3461,7 +3462,7 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distribution, so the plan has the SAME exchange count as before —
     # measured sf10 7.0s -> 1.7s, sf30 3.2s -> 1.9s.
     d = docs.select("doc_id", tokenize("text").alias("t"), "__bucket").repartition(
-        int(spark.conf.get("spark.sql.shuffle.partitions")), "__bucket"
+        shuffle_width(spark), "__bucket"
     )
     # Pass 1: per-bucket token totals, then a HIERARCHICAL prefix sum —
     # nothing corpus-growing ever reaches the driver (r13; this replaced
@@ -4936,6 +4937,21 @@ def q_bucketed_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # soak (ARCHITECTURE.md soak tables).
 STAGED_CANDIDATES: list[str] = []
 
+# The macro-scale soak's extra members beyond bench.HEADLINE (the r14
+# gate graduates — scale-sensitive kernels whose exponents the soak
+# tracks; scripts/scale_soak.py imports this so the soak set cannot
+# drift from the registry when gates are added or retired).
+SCALE_SOAK_GATES: list[str] = [
+    "q_hll_distinct",
+    "q_sparse_allpairs",
+    "q_dup_spans",
+    "q_bpe_token_counts",
+    "q_nb_lang_confusion",
+    "q_interval_overlap",
+    "q_stream_cms_freq",
+    "q_stream_hll_distinct",
+]
+
 
 _STREAM_Q_ARGS = dict(lo=0.0, hi=1000.0, n_buckets=512, scale=100)
 _STREAM_Q_QS = [0.25, 0.5, 0.9, 0.99]
@@ -5481,122 +5497,120 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every CORRECTNESS_r*.json: the driver checks the first 50 insertions,
 # nothing else).
 #
-# Round 14 window. Slot accounting (hard 50; every set below MUST be
+# Round 15 window. Slot accounting (hard 50; every set below MUST be
 # inside it). Freshness policy: 4-round re-proof period (amended r07 —
 # after round N no query's latest driver row may be older than N-3;
 # pytest's oracle-parity suite still re-proves the ENTIRE surface every
-# session). Ledger after CORRECTNESS_r13 (50/50 green, enumerated
-# mechanically from the CORRECTNESS_r*.json files this round):
-# latest-green r08 = 2 queries, r09 = 27, r11 = 26, r12 = 27, r13 = 50.
+# session; the floor is mechanized in
+# tests/test_plans.py::test_stale_evidence_is_windowed). Ledger after
+# CORRECTNESS_r14 (50/50 green, enumerated mechanically from the
+# CORRECTNESS_r*.json files this round):
+# latest-green r11 = 26 queries, r12 = 26, r13 = 38, r14 = 50.
 #
-# - over-stale re-proofs: q_intersect + q_md5_sample (latest driver row
-#   r08 — 6 rounds, displaced from the exactly-full r13 window exactly
-#   as planned there; both swept green locally every session since,
-#   both unchanged since r08). [2]
-# - stale-evidence rotation: the full 27-query r09-latest cohort
-#   (q02_min_cost_supplier .. q_unigram_logprob), at the policy
-#   boundary. [27]
-# - first-row registrations (category a): the entire 8-gate staged
-#   queue — q_hll_distinct, q_stream_cms_freq, q_sparse_allpairs,
-#   q_dup_spans, q_stream_hll_distinct, q_interval_overlap,
-#   q_bpe_token_counts, q_nb_lang_confusion — registered this round
-#   when retiring old-policy (c) freed the slots. The two streaming
-#   gates joined STREAMING_SNAPSHOT at registration per their
-#   docstrings. [8]
-# - CHANGED this round (category b): q_grep_ranked — the rank now comes
-#   from TakeOrderedAndProject + a 20-row sort_array/posexplode instead
-#   of a vocabulary-sized global window (the r13 VERDICT's one
-#   perf-weak mark); q_semantic_dedup — semantic_dedup now warns once
-#   when auto sizing engages approximate coarse probing (r13 ADVICE;
-#   gate behavior config-identical — it pins n_centroids=8 — but the
-#   closure fingerprint changed and the policy does not take the
-#   builder's word for it); q_sequence_pack — the token-array frame is
-#   now bucket-repartitioned BEFORE the base-offset join (the r14 sf30
-#   rung caught AQE degenerating the post-join window exchange into a
-#   single map task; fix decomposition at the query). [3]
-# - load-leveling pre-rotation (category d): 10 members of the 50-query
-#   r13-latest cohort, without which the r17 window would be due
-#   nearly full with no changed-query slack. The 10 are the
-#   lowest-re-proof-risk members (single-scan TPC-H aggregation/join
-#   gates, unchanged since r04): q04_order_priority,
-#   q06_forecast_revenue, q07_volume_shipping, q08_market_share,
-#   q10_returned_items, q11_important_stock, q12_priority_shipping,
-#   q14_promo_effect, q15_top_supplier, q16_parts_supplier_counts.
-#   (q17_small_quantity_revenue ceded its pre-rotation slot to the
-#   q_sequence_pack change mid-round — both are r13-cohort members, so
-#   the leveling math is unchanged: r17 lands at 40 due.) [10]
-# - 2 + 27 + 8 + 3 + 10 = exactly 50, zero overlap.
+# - stale-evidence rotation (due at the policy boundary): the full
+#   26-query r11-latest cohort (q_ann_pq .. q_union_distinct). [26]
+# - CHANGED this round (category b): q_dup_spans — the r14 VERDICT's
+#   one perf-weak mark, restructured end to end (md5bulk vectorized
+#   single-block MD5 kernel; two-pass no-persist plan; width-k bucket
+#   collapse before the per-doc window — sf10 soak 47.5s -> ~16s, sf30
+#   161s -> ~88s, same oracle); q_nb_lang_confusion and
+#   q_sequence_pack — their explicit repartition-width parses now go
+#   through utils.shuffle_width (the r14 ADVICE robustness fix:
+#   non-numeric spark.sql.shuffle.partitions values no longer raise),
+#   behavior-identical at default config but the closure fingerprints
+#   changed and the policy does not take the builder's word for it. [3]
+# - load-leveling pre-rotation (category d): 21 members of the
+#   38-query r13-latest cohort, preferring (i) the heavy macros whose
+#   re-proof is most valuable (q_kmeans, the dedup/ANN set, pq_train,
+#   bloom_decontaminate, total_order_sort) and (ii) the six members of
+#   the r14 soak's superlinear-ratio question (q01, q03, q05, q21,
+#   q_value_histogram — q_dup_spans is already in (b)) so the re-proof
+#   and the re-measurement land in the same round: q01_pricing_summary,
+#   q03_shipping_priority, q05_local_supplier_volume,
+#   q21_waiting_orders, q_value_histogram, q_kmeans, q_ann_topk,
+#   q_ann_lsh, q_ann_ivf, q_dedup_exact, q_dedup_minhash,
+#   q_dedup_simhash, q_dedup_ngram_jaccard, q_dedup_edit_distance,
+#   q_near_dedup_survivors, q_winnow_fingerprint, q_pq_train,
+#   q_bloom_decontaminate, q_total_order_sort, q_topk — plus
+#   q_matmul_gram (r12-latest, due r16), the one r14 sweep-pinned
+#   (__refresh__) entry not already in the sets above: sweep pins are
+#   one-round bridges (r14 ADVICE; mechanized in
+#   test_sweep_pins_are_one_round_bridges), so all 14 r14 re-pins
+#   convert to driver rows this round. [21]
+# - 26 + 3 + 21 = exactly 50, zero overlap.
 #
-# r15 lookahead (enumerate against CORRECTNESS_r14 when it lands):
-# due = the 26-query r11-latest cohort (q_ann_pq .. q_union_distinct)
-# — 26 of 50, so ~24 spare after changed-query slots. Spend the spare
-# on pre-rotating the REMAINING 39 members of the r13-latest cohort
-# (prefer the heavy ones: q_kmeans, q_sequence_pack, q05, q03, q21, the
-# dedup/ANN macros) so the r17 window lands near 15 due. After r15 the
-# steady state is ~27 due per round with >20 slots of slack — gate
-# registrations never queue again.
+# r16 lookahead (enumerate against CORRECTNESS_r15 when it lands):
+# due = the 25 remaining r12-latest queries (q_asof_event_state ..
+# q_text_stats; q_matmul_gram is pre-rotated here) — ~25 spare slots
+# after changed-query needs. The remaining 18 r13-latest members (q09,
+# q13, q17, q18, q19, q20, q22, q_boilerplate_ratio,
+# q_embedding_outliers, q_events_hourly, q_funnel,
+# q_hybrid_token_stats, q_join_star, q_pretrain_pipeline,
+# q_tfidf_topterms, q_token_budget_sample, q_uniq_value_count,
+# q_wordcount) fit in r16's spare OR r17's (due 18) — steady state
+# holds: ~26 due per round, >20 slots of slack, gate registrations
+# never queue.
 # ===========================================================================
 _DRIVER_WINDOW = [
-    # over-stale r08 re-proofs (6 rounds, displaced from the full r13
-    # window as planned)
-    "q_intersect",
-    "q_md5_sample",
-    # stale rotation: the full r09-latest cohort (policy boundary)
-    "q02_min_cost_supplier",
-    "q_approx_stats",
-    "q_bucketed_ctas",
-    "q_cogroup_join",
-    "q_connected_components",
-    "q_cube",
-    "q_dedup_embedding",
-    "q_dedup_minhash_pairs",
-    "q_dedup_simhash_pairs",
-    "q_except",
-    "q_frame_sample",
-    "q_inverse_map",
-    "q_join_anti",
-    "q_json_extract",
-    "q_kmeans_grouped",
-    "q_matmul_blocked",
-    "q_moving_window",
-    "q_multimodal_decode",
-    "q_pi_estimator",
-    "q_pipe_lang_counts",
-    "q_pipes_native_wordcount",
-    "q_ppl_buckets",
-    "q_quantile_sketch",
-    "q_salted_agg",
-    "q_scalar_funcs",
-    "q_stream_dedup",
-    "q_unigram_logprob",
-    # first driver rows: the 8 r14 registrations (the drained staged
-    # queue, in staging order)
-    "q_hll_distinct",
-    "q_stream_cms_freq",
-    "q_sparse_allpairs",
+    # stale rotation: the full r11-latest cohort (policy boundary)
+    "q_ann_pq",
+    "q_audio_decode",
+    "q_contamination",
+    "q_db_count_pageview",
+    "q_dedup_fingerprint",
+    "q_join_expr_composite",
+    "q_join_override",
+    "q_join_semi",
+    "q_kvjob_wordcount",
+    "q_kvjob_wordcount_pandas",
+    "q_media_probe",
+    "q_mixture_weights",
+    "q_ngram_freq",
+    "q_pii_redact",
+    "q_pq_encode",
+    "q_quality_filter",
+    "q_range_join",
+    "q_repetition_ratio",
+    "q_rollup",
+    "q_salted_join",
+    "q_sq8_quantize",
+    "q_stratified_sample",
+    "q_stream_quantiles",
+    "q_stream_topk",
+    "q_token_count_bpe",
+    "q_union_distinct",
+    # changed this round (dup_spans restructure; the shared
+    # shuffle-width parse hardening in nb/sequence_pack)
     "q_dup_spans",
-    "q_stream_hll_distinct",
-    "q_interval_overlap",
-    "q_bpe_token_counts",
     "q_nb_lang_confusion",
-    # changed this round (TakeOrdered rank restructure; semantic auto-
-    # probe warning; sequence_pack's pre-join bucket repartition — the
-    # sf30 rung's AQE-degenerate-map-stage fix)
-    "q_grep_ranked",
-    "q_semantic_dedup",
     "q_sequence_pack",
     # load-leveling pre-rotation from the r13-latest cohort (see the
     # slot accounting above)
-    "q04_order_priority",
-    "q06_forecast_revenue",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_shipping",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_parts_supplier_counts",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q21_waiting_orders",
+    "q_value_histogram",
+    "q_kmeans",
+    "q_ann_topk",
+    "q_ann_lsh",
+    "q_ann_ivf",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_edit_distance",
+    "q_near_dedup_survivors",
+    "q_winnow_fingerprint",
+    "q_pq_train",
+    "q_bloom_decontaminate",
+    "q_total_order_sort",
+    "q_topk",
+    # sweep-pin bridge conversion (r14 ADVICE — see
+    # test_sweep_pins_are_one_round_bridges): the one r14 __refresh__
+    # entry not already due/pre-rotated above; r12-latest, so this is
+    # also a legitimate pre-rotation (due r16).
+    "q_matmul_gram",
 ]
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50

@@ -64,6 +64,21 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
 _row_group_cache: dict[str, tuple[int, int, int]] = {}
 
 
+def shuffle_width(spark) -> int:
+    """The session's configured shuffle width as an int, tolerating
+    non-numeric ``spark.sql.shuffle.partitions`` values (some
+    distributions accept ``'auto'``) by falling back to
+    ``defaultParallelism`` (r14 ADVICE). For the explicit user
+    repartitions that pin an exchange at the configured width so AQE's
+    byte-sized coalescing cannot collapse a CPU-dense stage
+    (ml/nbayes.py, q_sequence_pack — both decompositions at their
+    call sites)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        return spark.sparkContext.defaultParallelism
+
+
 def _row_group_count(path: str) -> int:
     """num_row_groups from the parquet footer, memoized per (path, mtime,
     size). Raises on unreadable/remote paths — the caller treats any
