@@ -376,7 +376,7 @@ def epoch_changed_queries(manifest: dict) -> list[str]:
 REFRESH_KEY = "__refresh__"
 
 
-def refresh(correctness_json: str) -> None:
+def refresh(correctness_json: str, force: bool = False) -> None:
     """Update the manifest for every query the given results file shows
     green. Accepts both shapes: the driver's CORRECTNESS_rNN.json
     (top-level {name: {err, rows_match, schema_match, hash_match}}) and
@@ -388,7 +388,19 @@ def refresh(correctness_json: str) -> None:
     leave an audit trail, as restamp's ``__restamp__`` block does);
     driver-sourced refreshes clear the record for the queries they
     re-prove, so ``__refresh__`` always lists exactly the entries whose
-    CURRENT pin rests on local-sweep evidence."""
+    CURRENT pin rests on local-sweep evidence.
+
+    Laundering guard (r14 ADVICE, mirroring restamp's): a driver row
+    proves the behavior of the tree the DRIVER ran, so a driver-sourced
+    refresh must not MOVE an existing pin — a moved pin means the
+    query's closure changed after the row was earned, and stamping the
+    current fingerprint would launder that change past the
+    changed-queries-must-be-windowed invariant (e.g. replaying an older
+    CORRECTNESS_rNN.json after in-round edits). The normal
+    first-commit-of-round flow moves nothing (the driver ran the
+    end-of-round tree). Refused by default; ``force=True`` stamps
+    anyway and records the moved pins under ``__refresh__`` with
+    ``driver_forced`` so the downgrade stays auditable."""
     import json
     import os
 
@@ -412,6 +424,22 @@ def refresh(correctness_json: str) -> None:
     fps = all_fingerprints()
     provenance = dict(manifest.get(REFRESH_KEY, {}))
     head, _ = _git_state()
+    if not from_sweep:
+        moved = sorted(
+            n for n in green
+            if n in fps and n in manifest and manifest[n] != fps[n]
+        )
+        if moved and not force:
+            raise RuntimeError(
+                f"driver refresh refused: it would MOVE the pins of {moved} "
+                f"— their closures changed after {os.path.basename(correctness_json)}'s "
+                "rows were earned, so those rows do not prove the current "
+                "tree. Leave the stale pins (the window invariant then "
+                "forces the queries into the next driver window), or pass "
+                "force=True (audited under __refresh__ as driver_forced)"
+            )
+    else:
+        moved = []
     for n in green:
         if n in fps:
             changed = manifest.get(n) != fps[n]
@@ -426,6 +454,13 @@ def refresh(correctness_json: str) -> None:
                         "round": rows.get("round"),
                         "commit": head,
                     }
+            elif n in moved:  # forced: keep the audit trail
+                provenance[n] = {
+                    "source": os.path.basename(correctness_json),
+                    "round": rows.get("round") if isinstance(rows, dict) else None,
+                    "commit": head,
+                    "driver_forced": True,
+                }
             else:
                 provenance.pop(n, None)  # driver row supersedes
     # drop retired queries (keep reserved keys)
@@ -655,7 +690,10 @@ if __name__ == "__main__":
     import sys
 
     if len(sys.argv) >= 3 and sys.argv[1] == "refresh":
-        refresh(sys.argv[2])
+        refresh(
+            next(a for a in sys.argv[2:] if a != "--force"),
+            force="--force" in sys.argv[2:],
+        )
     elif len(sys.argv) >= 2 and sys.argv[1] == "restamp":
         argv = [a for a in sys.argv[2:] if a != "--force"]
         restamp(

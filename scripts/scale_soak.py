@@ -17,6 +17,7 @@ Usage::
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -24,17 +25,6 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-
-GATES = [
-    "q_hll_distinct",
-    "q_sparse_allpairs",
-    "q_dup_spans",
-    "q_bpe_token_counts",
-    "q_nb_lang_confusion",
-    "q_interval_overlap",
-    "q_stream_cms_freq",
-    "q_stream_hll_distinct",
-]
 
 
 def _run_once(fn, spark, sf_dir: str) -> float:
@@ -49,24 +39,39 @@ def _run_once(fn, spark, sf_dir: str) -> float:
     return dt
 
 
-def main(sf_dirs: list[str], json_out: str | None) -> int:
+def main(sf_dirs: list[str], json_out: str | None, only: list[str] | None = None) -> int:
     from bench import HEADLINE
 
     from hadoop_gpu_spark import get_spark
-    from hadoop_gpu_spark.queries import QUERIES
+    from hadoop_gpu_spark.queries import QUERIES, SCALE_SOAK_GATES
 
     spark = get_spark(app_name="scale-soak")
-    names = [*HEADLINE, *GATES]
+    names = [*HEADLINE, *SCALE_SOAK_GATES]
+    if only:
+        missing = [n for n in only if n not in QUERIES]
+        if missing:
+            raise SystemExit(f"unknown queries: {missing}")
+        names = only
     load0 = os.getloadavg()
     print(f"loadavg at start: {load0}", flush=True)
     results: dict[str, dict[str, float]] = {d: {} for d in sf_dirs}
+    loads: dict[str, dict[str, float]] = {d: {} for d in sf_dirs}
     for sf_dir in sf_dirs:
         for name in names:  # untimed warm pass (whole set, JIT + codegen)
             _run_once(QUERIES[name], spark, sf_dir)
         for name in names:
-            t = min(_run_once(QUERIES[name], spark, sf_dir) for _ in range(2))
+            # loadavg BEFORE each timed pass: a minimum drawn under
+            # ambient contention is self-describing in the JSON (the
+            # r14 minima-table lesson — cross-pass minima under mixed
+            # load made six ratios unintelligible).
+            passes = []
+            for _ in range(2):
+                l1 = os.getloadavg()[0]
+                passes.append((_run_once(QUERIES[name], spark, sf_dir), l1))
+            t, load_at = min(passes)
             results[sf_dir][name] = round(t, 3)
-            print(f"{sf_dir} {name} {t:.3f}s", flush=True)
+            loads[sf_dir][name] = round(load_at, 2)
+            print(f"{sf_dir} {name} {t:.3f}s (load1 {load_at:.1f})", flush=True)
 
     print(f"\n| query | {' | '.join(sf_dirs)} | ratio |")
     print("|---|" + "---|" * (len(sf_dirs) + 1))
@@ -82,7 +87,7 @@ def main(sf_dirs: list[str], json_out: str | None) -> int:
     if json_out:
         with open(json_out, "w") as f:
             json.dump(
-                {"results": results, "totals": totals,
+                {"results": results, "totals": totals, "loads": loads,
                  "loadavg_start": load0, "loadavg_end": load1},
                 f, indent=1,
             )
@@ -91,9 +96,14 @@ def main(sf_dirs: list[str], json_out: str | None) -> int:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    out = None
-    if "--json" in sys.argv:
-        out = sys.argv[sys.argv.index("--json") + 1]
-        args = [a for a in args if a != out]
-    raise SystemExit(main(args, out))
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("sf_dirs", nargs="+", help="scaled fixture dirs, small to large")
+    ap.add_argument("--json", dest="json_out", default=None, metavar="OUT")
+    ap.add_argument(
+        "--only", default=None, metavar="Q1,Q2",
+        help="comma-separated query subset (default: bench HEADLINE + SCALE_SOAK_GATES)",
+    )
+    ns = ap.parse_args()
+    raise SystemExit(
+        main(ns.sf_dirs, ns.json_out, ns.only.split(",") if ns.only else None)
+    )

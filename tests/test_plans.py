@@ -3,6 +3,7 @@ broadcast, no cartesians) for the headline queries."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hadoop_gpu_spark import plans
@@ -216,6 +217,45 @@ def test_changed_queries_are_windowed():
         f"if the cause is a test-data regeneration (epoch-changed: "
         f"{sorted(epoch_changed)[:8]}…), re-verify locally, re-window, then "
         f"`python -m hadoop_gpu_spark.fingerprint epoch`"
+    )
+
+
+def test_sweep_pins_are_one_round_bridges():
+    # r14 ADVICE: a sweep-sourced manifest refresh (__refresh__ pins)
+    # must not become STANDING evidence that keeps a changed query out
+    # of the driver window indefinitely — in r14 five HEADLINE queries
+    # drifted (shared-utility memoization) and were re-pinned from the
+    # sf0.01 sweep, so their benched times rested on local evidence
+    # only. Rule: a sweep pin stamped in round R must sit in
+    # _DRIVER_WINDOW for round R+1 (converting to a driver row, which
+    # clears the record). If a bulk utility drift ever exceeds the
+    # window's spare slots, stagger: refresh only the subset you can
+    # window that round (refresh() accepts any filtered results file)
+    # and leave the rest's pins stale — the changed-queries invariant
+    # then forces them into the following window.
+    import json
+    import pathlib
+    import re
+
+    from hadoop_gpu_spark.fingerprint import REFRESH_KEY, manifest_path
+    from hadoop_gpu_spark.queries import _DRIVER_WINDOW
+
+    with open(manifest_path()) as f:
+        manifest = json.load(f)
+    root = pathlib.Path(__file__).parent.parent
+    rounds = [
+        int(re.search(r"r(\d+)", f.name).group(1))
+        for f in root.glob("CORRECTNESS_r*.json")
+    ]
+    upcoming = max(rounds) + 1 if rounds else 0
+    stale_bridges = sorted(
+        n for n, rec in manifest.get(REFRESH_KEY, {}).items()
+        if (rec.get("round") or 0) < upcoming and n not in _DRIVER_WINDOW
+    )
+    assert not stale_bridges, (
+        f"sweep-pinned queries whose one-round bridge expires with round "
+        f"{upcoming} are outside _DRIVER_WINDOW: {stale_bridges} — rotate "
+        "them in so the driver converts the sweep pin to a driver row"
     )
 
 
@@ -496,6 +536,39 @@ def test_restamp_guard_mechanically_derives_laundered_set():
 
     some = list(QUERIES)[:5]
     assert laundered_queries([], some) == []
+
+
+def test_driver_refresh_refuses_to_move_pins(tmp_path, monkeypatch):
+    # The r14 ADVICE laundering hole: replaying a driver CORRECTNESS
+    # file after in-round edits would stamp the CURRENT tree's
+    # fingerprint as driver-proven. refresh() must refuse to MOVE an
+    # existing pin from a driver-sourced file unless forced — and a
+    # forced move must leave a driver_forced audit record.
+    import json
+
+    from hadoop_gpu_spark import fingerprint as fp
+
+    manifest = tmp_path / "m.json"
+    manifest.write_text(json.dumps({"q_x": "old-fp", "q_y": "same-fp"}))
+    corr = tmp_path / "CORRECTNESS_r99.json"
+    corr.write_text(json.dumps({
+        "q_x": {"err": None, "rows_match": True, "schema_match": True, "hash_match": True},
+        "q_y": {"err": None, "rows_match": True, "schema_match": True, "hash_match": True},
+    }))
+    monkeypatch.setattr(fp, "manifest_path", lambda: str(manifest))
+    monkeypatch.setattr(fp, "all_fingerprints", lambda: {"q_x": "new-fp", "q_y": "same-fp"})
+    monkeypatch.setattr(fp, "data_epoch", lambda *a, **k: {})
+
+    with pytest.raises(RuntimeError, match="q_x"):
+        fp.refresh(str(corr))
+    # refusal left the manifest untouched
+    assert json.loads(manifest.read_text())["q_x"] == "old-fp"
+
+    fp.refresh(str(corr), force=True)
+    m = json.loads(manifest.read_text())
+    assert m["q_x"] == "new-fp"
+    assert m[fp.REFRESH_KEY]["q_x"]["driver_forced"] is True
+    assert "q_y" not in m[fp.REFRESH_KEY]  # unmoved pin: clean driver pin
 
 
 def test_ensure_min_partitions_sees_through_fake_splits(spark, tmp_path):
