@@ -311,7 +311,19 @@ def dup_substring_spans(
             .filter(F.col("ndocs") >= min_docs)
             .select("h")
         )
-    dup = pos.join(freq, "h", "left_semi").select("__id", "pos")
+    # The probe side is every position; the build side is the frequent-
+    # gram set (vocabulary-bounded — always the small side, but above
+    # the broadcast threshold from ~sf30 up, and unboundedly so at real
+    # scale). Hint SHUFFLE_HASH: the above-threshold regime then hash-
+    # probes instead of SORTING the position frame (sf30 quiet minima:
+    # unhinted SMJ sorted 427M rows, 99s and 6.7x sf10 with GCLocker
+    # allocation stalls; SHJ 80.5s, 2.8x, zero stalls). The hint PINS
+    # the strategy — AQE does not override user hints — so the
+    # below-threshold regime pays one position-frame shuffle where it
+    # could have broadcast (sf10: 29s vs 14.8s). Deliberate: the
+    # at-scale regime is the one that must not degenerate, and the
+    # sub-threshold absolute cost is small.
+    dup = pos.join(freq.hint("shuffle_hash"), "h", "left_semi").select("__id", "pos")
     # Width-k bucket collapse before the per-document window — exact
     # (see module docstring) and map-side combinable, so the window
     # sees ~1/k of the duplicated positions.

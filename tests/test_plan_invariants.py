@@ -179,10 +179,14 @@ EXTRA_EXCHANGE_BUDGET = {
     # r14 registrations (measured at registration): hll = token-grid
     # groupBy + register groupBy; sparse_allpairs = the inverted-index
     # self-join lattice off the eager_persist'd posting frame;
-    # dup_spans (recomposed r15, same total): freq-pass combined-count
-    # groupBy + the semi-join pair + the width-k bucket groupBy + the
-    # per-doc bucket window — positions collapse ~k-fold map-side
-    # before any exchange, and nothing corpus-persisted remains;
+    # dup_spans (recomposed r15, 5 -> 6): freq-pass combined-count
+    # groupBy + the SHUFFLE_HASH-hinted semi-join pair (the +1: the
+    # hint trades the sub-threshold broadcast for a position-frame
+    # shuffle so the at-scale regime hash-probes instead of sorting
+    # 427M rows — decomposition at dedup/substr.py) + the width-k
+    # bucket groupBy + the per-doc bucket window — positions collapse
+    # ~k-fold map-side before the bucket exchange, and nothing
+    # corpus-persisted remains;
     # interval = the (user, bucket) hash-join pair; bpe counts = vocab
     # groupBy + encoded-subword re-aggregate off the persisted vocab;
     # nb = the train-count / prior / apply / doc-base aggregates over
@@ -190,7 +194,7 @@ EXTRA_EXCHANGE_BUDGET = {
     # buckets, or the model grid — never document text.
     "q_hll_distinct": 2,
     "q_sparse_allpairs": 6,
-    "q_dup_spans": 5,
+    "q_dup_spans": 6,
     "q_interval_overlap": 2,
     "q_bpe_token_counts": 4,
     # 13 = 12 at registration + the explicit width-pinned term
