@@ -4925,17 +4925,37 @@ def q_bucketed_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Still-staged gates awaiting window slots (for tests to iterate; empty
-# since r14: the full 8-gate queue — q_hll_distinct, q_stream_cms_freq,
-# q_sparse_allpairs, q_dup_spans, q_stream_hll_distinct,
-# q_interval_overlap, q_bpe_token_counts, q_nb_lang_confusion —
-# registered in round 14 when retiring the HEADLINE-every-round window
-# policy freed the slots (r13 VERDICT #1; see the _DRIVER_WINDOW note).
-# Each had been oracle-pinned at both scales since staging
-# (tests/test_r12_candidates.py, tests/test_r13_candidates.py,
-# tests/test_r14_candidates.py) and 10x-scale-checked in the r13 sf10
-# soak (ARCHITECTURE.md soak tables).
-STAGED_CANDIDATES: list[str] = []
+# Still-staged gates awaiting window slots (for tests to iterate; the
+# 8-gate r09 queue drained in r14 — see the _DRIVER_WINDOW note).
+# q_ann_ivfpq: r15-built (the r14 VERDICT's north-star-depth pointer),
+# oracle-pinned at both scales since staging
+# (tests/test_r15_candidates.py), registers r16 with a window slot.
+STAGED_CANDIDATES: list[str] = ["q_ann_ivfpq"]
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composed ANN (r15-built, STAGED for r16): coarse probing + in-cell
+# ADC — the billion-scale index shape (Jégou et al. 2011), composing the
+# engine's proven IVF assignment and PQ code kernels. Same determinism
+# conventions as q_ann_ivf / q_ann_pq (centroids = vec_id < 16, queries =
+# vec_id < 8, dyadic codebook, ties on lower id) so the DuckDB twin is
+# exact. See similarity/quantize.py::ivfpq_topk for the 100 TB shape.
+# ---------------------------------------------------------------------------
+def _ivfpq_oracle() -> str:
+    from hadoop_gpu_spark.similarity.quantize import ivfpq_sql, pq_codebook
+
+    return ivfpq_sql(pq_codebook())
+
+
+Q_ANN_IVFPQ_ORACLE = _ivfpq_oracle()
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k gate (r15-built, staged; registration adds the
+    @query binding to Q_ANN_IVFPQ_ORACLE in r16)."""
+    from hadoop_gpu_spark.similarity.quantize import ivfpq_topk
+
+    return ivfpq_topk(T(spark, sf_dir, "embeddings"))
 
 # The macro-scale soak's extra members beyond bench.HEADLINE (the r14
 # gate graduates — scale-sensitive kernels whose exponents the soak

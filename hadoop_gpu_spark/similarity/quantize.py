@@ -605,3 +605,197 @@ def pq_train_sql(
     SELECT sub, cluster AS cluster_id, {final} FROM book{iters}
     """
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ composition — coarse probing + in-cell ADC (r15)
+# --------------------------------------------------------------------------
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    book: list[list[list[float]]] | None = None,
+    n_centroids: int = 16,
+    n_queries: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale ANN index shape (Jégou et al.
+    2011, "Product Quantization for Nearest Neighbor Search" §V) —
+    coarse centroids prune the corpus to ``nprobe`` cells per query,
+    PQ codes compress what remains ~32x, ADC scores candidates from a
+    per-query LUT without decompressing. Composes the engine's two
+    existing proven kernels: IVF assignment (``ann.assign_to_centroids_
+    pandas``, bit-identical to the q_ann_ivf expression spec) and PQ
+    encoding (same kernel conventions as ``pq_encode``: left-to-right
+    distance accumulation, first-occurrence argmin — parity-pinned by
+    test against ``pq_encode``).
+
+    Determinism contract (shared with q_ann_ivf / q_ann_pq so the
+    DuckDB twin is exact): centroids = the first ``n_centroids``
+    vectors, queries = the first ``n_queries``, codebook = the dyadic
+    ``pq_codebook`` grid, every tie broken on the lower id.
+
+    Scale shape: one corpus pass assigns + encodes (map-only, both
+    models ride in closures); the probe set (|queries| x nprobe rows,
+    each with its n_sub x n_cent LUT) broadcasts; scoring is a
+    broadcast join + LUT lookups over code columns — the corpus never
+    shuffles, and only probed-cell candidate rows reach the per-query
+    rank. At real scale the assigned+encoded corpus would be WRITTEN
+    partitioned by centroid_id so a probe is partition pruning
+    (the MapFileOutputFormat lesson, SURVEY.md §1.4).
+    """
+    from pyspark.sql.window import Window
+
+    from hadoop_gpu_spark.functions.vectors import euclidean_sq
+    from hadoop_gpu_spark.similarity.ann import assign_to_centroids_pandas
+
+    spark = df.sparkSession
+    book_v = book if book is not None else pq_codebook()
+    n_sub = len(book_v)
+    sub_dim = len(book_v[0][0])
+    C = np.asarray(book_v, dtype=np.float64)  # (S, K, D)
+
+    cen = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(col)
+    )
+    assigned = assign_to_centroids_pandas(df, cen, col, id_col)
+
+    # PQ codes alongside centroid_id in the SAME pass (pq_encode's
+    # kernel projects ids+codes only, which would force a corpus-sized
+    # re-join to recover the cell — so the identical kernel runs here
+    # as a withColumn; bit-parity with pq_encode is test-pinned).
+    @F.pandas_udf("array<long>")
+    def _codes(embs: pd.Series) -> pd.Series:
+        if not len(embs):
+            return pd.Series([], dtype=object)
+        X = np.asarray(embs.tolist(), dtype=np.float64)
+        out = np.empty((X.shape[0], n_sub), dtype=np.int64)
+        for s in range(n_sub):
+            xs = X[:, s * sub_dim : (s + 1) * sub_dim]
+            sq = xs[:, None, :] - C[s][None, :, :]
+            sq *= sq
+            acc = sq[:, :, 0].copy()
+            for d in range(1, sub_dim):
+                acc += sq[:, :, d]
+            out[:, s] = acc.argmin(axis=1)
+        return pd.Series(list(out))
+
+    enc = assigned.select(
+        F.col(id_col).alias("nid"), "centroid_id", _codes(F.col(col)).alias("__pq")
+    ).select(
+        "nid", "centroid_id", *[F.col("__pq")[s].alias(f"c{s}") for s in range(n_sub)]
+    )
+
+    # nprobe nearest cells per query (exact small-side math, as ivf_topk)
+    q = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), F.col(col).alias("__qv")
+    )
+    cen_b = cen.select("centroid_id", F.col(col).alias("__mv"))
+    qc = q.crossJoin(F.broadcast(cen_b))
+    w = Window.partitionBy("qid").orderBy(
+        euclidean_sq("__qv", "__mv").asc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qc.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= nprobe)
+        .select("qid", "centroid_id")
+    )
+
+    # per-query subspace-distance LUTs, driver-side exact (tiny model:
+    # n_queries x n_sub x n_cent doubles) — the pq_adc_topk convention,
+    # including the sequential accumulation the SQL twin mirrors
+    qrows = df.filter(F.col(id_col) < n_queries).select(id_col, col).collect()
+    lut_rows = []
+    for r in qrows:
+        x = np.asarray(r[col], dtype=np.float64)
+        per_s = []
+        for s in range(n_sub):
+            xs = x[s * sub_dim : (s + 1) * sub_dim]
+            sq = xs[None, :] - C[s]
+            sq *= sq
+            acc = sq[:, 0].copy()
+            for d in range(1, sub_dim):
+                acc += sq[:, d]
+            per_s.append([float(v) for v in acc])
+        lut_rows.append((int(r[id_col]), per_s))
+    lut_df = spark.createDataFrame(lut_rows, "qid long, lut array<array<double>>")
+
+    cand = enc.join(
+        F.broadcast(probes.join(F.broadcast(lut_df), "qid")), "centroid_id"
+    ).filter(F.col("nid") != F.col("qid"))
+    terms = [
+        F.expr(f"element_at(element_at(lut, {s + 1}), cast(c{s} as int) + 1)")
+        for s in range(n_sub)
+    ]
+    adc = reduce(lambda a, b: a + b, terms)
+    scored = cand.select("qid", "nid", adc.alias("adc"))
+    w2 = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", F.round("adc", 9).alias("adc"), "rank")
+    )
+
+
+def ivfpq_sql(
+    book: list[list[list[float]]],
+    table: str = "embeddings",
+    n_centroids: int = 16,
+    n_queries: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of :func:`ivfpq_topk`: the q_ann_ivf assignment/probe
+    CTEs composed with pq_adc_sql's dists/codes/LUT CTEs — same
+    centroid convention, same argmin CASE chains, same ADC term order,
+    same tie rules."""
+    n_sub = len(book)
+    dist_cols, mins, cases = _pq_sql_parts(book)
+
+    def eucl(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]), "
+            "p -> (p[1]-p[2])*(p[1]-p[2])))"
+        )
+
+    adc_terms = []
+    for s in range(n_sub):
+        whens = " ".join(f"WHEN {kk} THEN q.d{s}_{kk}" for kk in range(len(book[s])))
+        adc_terms.append(f"(CASE e.c{s} {whens} END)")
+    adc = " + ".join(adc_terms)
+    return f"""
+    WITH cen AS (
+      SELECT vec_id AS centroid_id, embedding FROM {table}
+      WHERE vec_id < {n_centroids}),
+    assigned AS (
+      SELECT e.vec_id, c.centroid_id
+      FROM {table} e CROSS JOIN cen c
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+          ORDER BY {eucl('e.embedding', 'c.embedding')}, c.centroid_id) = 1),
+    dists AS (SELECT vec_id, {', '.join(dist_cols)} FROM {table}),
+    mins AS (SELECT *, {', '.join(mins)} FROM dists),
+    codes AS (SELECT vec_id, {', '.join(cases)} FROM mins),
+    acodes AS (
+      SELECT a.centroid_id, c.* FROM codes c JOIN assigned a USING (vec_id)),
+    probes AS (
+      SELECT q.vec_id AS qid, c.centroid_id
+      FROM {table} q CROSS JOIN cen c
+      WHERE q.vec_id < {n_queries}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+          ORDER BY {eucl('q.embedding', 'c.embedding')}, c.centroid_id) <= {nprobe}),
+    lut AS (SELECT * FROM dists WHERE vec_id < {n_queries}),
+    scored AS (
+      SELECT p.qid, e.vec_id AS nid, {adc} AS adc
+      FROM probes p JOIN acodes e USING (centroid_id)
+      JOIN lut q ON q.vec_id = p.qid
+      WHERE e.vec_id <> p.qid),
+    ranked AS (
+      SELECT qid, nid, adc,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY adc ASC, nid ASC) AS rank
+      FROM scored)
+    SELECT qid, nid, round(adc, 9) AS adc, rank FROM ranked WHERE rank <= {k}
+    """

@@ -25,14 +25,14 @@ CANDIDATES = [
     "q_stream_quantiles",
 ]
 STAGED: list[str] = [
-    # Empty since r14: the final 8-gate queue (q_hll_distinct,
-    # q_stream_cms_freq, q_sparse_allpairs, q_dup_spans,
-    # q_stream_hll_distinct, q_interval_overlap, q_bpe_token_counts,
-    # q_nb_lang_confusion) graduated together when the r14 window
-    # rotation freed the slots — kept in sync with
-    # queries.STAGED_CANDIDATES. (Earlier graduations: q_stream_quantiles
+    # The r09 8-gate queue drained in r14 (q_hll_distinct ..
+    # q_nb_lang_confusion graduated together when the r14 window
+    # rotation freed the slots; earlier graduations: q_stream_quantiles
     # r10; q_bm25_topk, q_semantic_dedup, q_bpe_merges, q_cms_token_freq
-    # r12 — one round after plan, r11 shipped zero commits.)
+    # r12). q_ann_ivfpq is the r15 build (IVF-PQ composition,
+    # tests/test_r15_candidates.py), staged for r16 registration —
+    # kept in sync with queries.STAGED_CANDIDATES.
+    "q_ann_ivfpq",
 ]
 R14_GRADUATES = [
     "q_hll_distinct",
