@@ -56,18 +56,33 @@ def main(sf_dirs: list[str], json_out: str | None, only: list[str] | None = None
     print(f"loadavg at start: {load0}", flush=True)
     results: dict[str, dict[str, float]] = {d: {} for d in sf_dirs}
     loads: dict[str, dict[str, float]] = {d: {} for d in sf_dirs}
+    failures: dict[str, dict[str, str]] = {d: {} for d in sf_dirs}
     for sf_dir in sf_dirs:
         for name in names:  # untimed warm pass (whole set, JIT + codegen)
-            _run_once(QUERIES[name], spark, sf_dir)
+            try:
+                _run_once(QUERIES[name], spark, sf_dir)
+            except Exception as e:  # record, keep soaking — a per-query
+                # failure (OOM at a new rung) IS the rung's finding, not
+                # a reason to lose the rest of the table (r15 lesson:
+                # the first sf100 attempt died whole-run on one OOM)
+                failures[sf_dir][name] = type(e).__name__
+                print(f"{sf_dir} {name} WARM-FAIL {type(e).__name__}", flush=True)
         for name in names:
+            if name in failures[sf_dir]:
+                continue
             # loadavg BEFORE each timed pass: a minimum drawn under
             # ambient contention is self-describing in the JSON (the
             # r14 minima-table lesson — cross-pass minima under mixed
             # load made six ratios unintelligible).
             passes = []
-            for _ in range(2):
-                l1 = os.getloadavg()[0]
-                passes.append((_run_once(QUERIES[name], spark, sf_dir), l1))
+            try:
+                for _ in range(2):
+                    l1 = os.getloadavg()[0]
+                    passes.append((_run_once(QUERIES[name], spark, sf_dir), l1))
+            except Exception as e:
+                failures[sf_dir][name] = type(e).__name__
+                print(f"{sf_dir} {name} FAIL {type(e).__name__}", flush=True)
+                continue
             t, load_at = min(passes)
             results[sf_dir][name] = round(t, 3)
             loads[sf_dir][name] = round(load_at, 2)
@@ -76,18 +91,31 @@ def main(sf_dirs: list[str], json_out: str | None, only: list[str] | None = None
     print(f"\n| query | {' | '.join(sf_dirs)} | ratio |")
     print("|---|" + "---|" * (len(sf_dirs) + 1))
     for name in names:
-        row = [results[d][name] for d in sf_dirs]
-        ratio = row[-1] / row[0] if len(row) > 1 and row[0] > 0 else 1.0
-        print(f"| {name} | {' | '.join(f'{v:.2f}' for v in row)} | {ratio:.1f}x |")
+        row = [results[d].get(name) for d in sf_dirs]
+        cells = [
+            f"{v:.2f}" if v is not None else failures[d].get(name, "-")
+            for v, d in zip(row, sf_dirs)
+        ]
+        if row[0] and row[-1]:
+            cells.append(f"{row[-1] / row[0]:.1f}x")
+        else:
+            cells.append("-")
+        print(f"| {name} | {' | '.join(cells)} |")
     totals = {d: round(sum(results[d].values()), 2) for d in sf_dirs}
-    print(f"| TOTAL | {' | '.join(str(totals[d]) for d in sf_dirs)} | "
-          f"{totals[sf_dirs[-1]] / totals[sf_dirs[0]]:.2f}x |")
+    ratio = (
+        f"{totals[sf_dirs[-1]] / totals[sf_dirs[0]]:.2f}x"
+        if len(sf_dirs) > 1 and totals[sf_dirs[0]]
+        else "-"
+    )
+    print(f"| TOTAL | {' | '.join(str(totals[d]) for d in sf_dirs)} | {ratio} |")
     load1 = os.getloadavg()
     print(f"loadavg at end: {load1}", flush=True)
     if json_out:
         with open(json_out, "w") as f:
             json.dump(
                 {"results": results, "totals": totals, "loads": loads,
+                 "failures": failures, "driver_mem":
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
                  "loadavg_start": load0, "loadavg_end": load1},
                 f, indent=1,
             )
