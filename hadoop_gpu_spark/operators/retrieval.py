@@ -209,3 +209,216 @@ def bm25_topk_sql(
     SELECT qid, {id_col}, rank, round(CAST(s AS DOUBLE), 6) AS score
     FROM ranked WHERE rank <= {top_k}
     """
+
+
+# --------------------------------------------------------------------------
+# Two-stage retrieve-then-rerank (r15)
+# --------------------------------------------------------------------------
+
+
+def rerank_tfidf_topk(
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    *,
+    stage1_k: int = 20,
+    top_k: int = 5,
+    idf_scale: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_stats: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Two-stage ranked retrieval — the shape every production search/RAG
+    stack runs: a CHEAP recall stage (BM25 top ``stage1_k`` per query,
+    :func:`bm25_topk`) prunes the corpus to a bounded candidate set, then
+    an EXPENSIVE precision stage re-scores candidates only — here exact
+    word-unigram TF-IDF cosine between query and document on the
+    integer-idf lattice proven portable by ``similarity/sparse.py``
+    (``idf_u = round(ln(N/df) * idf_scale)`` BIGINT — round at scale 0,
+    the portable rounding; weights/dots/norms exact BIGINT; cosine =
+    one int64→double conversion per operand then sqrt/mult/div, all in
+    the fuzz-pinned exactly-equal set, NO round(double, d) anywhere).
+
+    Output: (qid, doc_id, bm25_rank, cosine, rank) — rank = rerank
+    position by (cosine desc, doc_id), top_k rows per query; bm25_rank
+    rides along so rank movement is visible.
+
+    100 TB shape: stage 1 is bm25_topk's shape (query terms prune at
+    the scan, corpus text never shuffles). Stage 2's candidate-bound
+    work is per-(candidate-doc) — norms and dots touch only candidate
+    docs' token rows (left-semi pruned BEFORE the per-doc aggregates).
+    The one corpus-sized stage-2 aggregate is df-per-term (TF-IDF's
+    definitional corpus statistic): one partial-aggregated
+    (doc, term)-distinct pass, vocab-sized output, exactly the stats a
+    deployment maintains as a table next to ``corpus_stats``.
+
+    Degenerate guards: a candidate pair with no idf-weighted overlap
+    scores cosine 0.0 (kept — stage 1 ranked it, stage 2 reports the
+    exact rescore); an all-idf-0 document (every term in every doc)
+    has norm2 = 0 and scores 0.0 by CASE, never a divide-by-zero
+    (ANSI mode raises — the r06 lesson).
+    """
+    from hadoop_gpu_spark.operators.fields import tokenize
+
+    cand = bm25_topk(
+        docs,
+        queries,
+        top_k=stage1_k,
+        id_col=id_col,
+        text_col=text_col,
+        corpus_stats=corpus_stats,
+    ).select("qid", id_col, F.col("rank").alias("bm25_rank"))
+
+    pairs = (
+        docs.select(id_col, F.explode(tokenize(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_t = pairs.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    if corpus_stats is None:
+        n_col = F.broadcast(
+            docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        )
+        idf = df_t.crossJoin(n_col)
+    else:
+        idf = df_t.withColumn("__n", F.lit(int(corpus_stats[0])).cast("long"))
+    idf = idf.select(
+        "term",
+        F.round(
+            F.log(F.col("__n").cast("double") / F.col("df").cast("double"))
+            * F.lit(int(idf_scale)),
+            0,
+        )
+        .cast("long")
+        .alias("idf_u"),
+    )
+
+    cdocs = cand.select(id_col).distinct()
+    cw = (
+        pairs.join(cdocs, id_col, "left_semi")
+        .join(idf, "term")
+        .select(id_col, "term", (F.col("tf") * F.col("idf_u")).alias("w"))
+        .filter(F.col("w") > 0)
+    )
+    nd = cw.groupBy(id_col).agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("__nd2")
+    )
+
+    qtf: dict[tuple[str, str], int] = {}
+    for qid, qtext in queries:
+        for t in qtext.split():
+            qtf[(qid, t)] = qtf.get((qid, t), 0) + 1
+    spark = docs.sparkSession
+    qterms = spark.createDataFrame(
+        [(q, t, c) for (q, t), c in sorted(qtf.items())],
+        schema="qid string, term string, tfq long",
+    )
+    qw = (
+        qterms.join(idf, "term")
+        .select("qid", "term", (F.col("tfq") * F.col("idf_u")).alias("wq"))
+        .filter(F.col("wq") > 0)
+    )
+    nq = qw.groupBy("qid").agg(
+        F.sum(F.col("wq") * F.col("wq")).cast("long").alias("__nq2")
+    )
+
+    dots = (
+        qw.join(cw, "term")
+        .groupBy("qid", id_col)
+        .agg(F.sum(F.col("wq") * F.col("w")).cast("long").alias("__dot"))
+    )
+    scored = (
+        cand.join(dots, ["qid", id_col], "left")
+        .join(nd, id_col, "left")
+        .join(nq, "qid", "left")
+        .withColumn(
+            "cosine",
+            F.when(
+                (F.col("__nd2") > 0) & (F.col("__nq2") > 0) & F.col("__dot").isNotNull(),
+                F.col("__dot").cast("double")
+                / (
+                    F.sqrt(F.col("__nd2").cast("double"))
+                    * F.sqrt(F.col("__nq2").cast("double"))
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("qid", id_col, "bm25_rank", "cosine", "rank")
+    )
+
+
+def rerank_tfidf_topk_sql(
+    table: str,
+    queries: list[tuple[str, str]],
+    *,
+    stage1_k: int = 20,
+    top_k: int = 5,
+    idf_scale: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`rerank_tfidf_topk` — the bm25_topk_sql CTE
+    lattice as stage 1, then the identical integer-idf TF-IDF cosine:
+    same round-at-scale-0 idf, same BIGINT weights/norms/dots, same
+    int64→double/sqrt/mult/div cosine with the same CASE guards, same
+    (cosine desc, id) rerank ties."""
+    stage1 = bm25_topk_sql(
+        table, queries, top_k=stage1_k, id_col=id_col, text_col=text_col
+    )
+    qtf: dict[tuple[str, str], int] = {}
+    for qid, qtext in queries:
+        for t in qtext.split():
+            qtf[(qid, t)] = qtf.get((qid, t), 0) + 1
+    q_values = ", ".join(
+        f"('{q}', '{t}', CAST({c} AS BIGINT))" for (q, t), c in sorted(qtf.items())
+    )
+    toks = f"list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x <> '')"
+    return f"""
+    WITH cand AS (
+      SELECT qid, {id_col}, rank AS bm25_rank FROM ({stage1})),
+    pairs AS (
+      SELECT {id_col}, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT {id_col}, unnest({toks}) AS term FROM {table})
+      GROUP BY {id_col}, term),
+    dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pairs GROUP BY term),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {table}),
+    idf AS (
+      SELECT term,
+             CAST(round(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))
+                        * CAST({int(idf_scale)} AS DOUBLE), 0) AS BIGINT) AS idf_u
+      FROM dft CROSS JOIN nn),
+    cw AS (
+      SELECT p.{id_col}, p.term, p.tf * i.idf_u AS w
+      FROM pairs p JOIN idf i USING (term)
+      WHERE p.{id_col} IN (SELECT {id_col} FROM cand) AND p.tf * i.idf_u > 0),
+    nd AS (SELECT {id_col}, CAST(SUM(w * w) AS BIGINT) AS nd2 FROM cw GROUP BY {id_col}),
+    qw AS (
+      SELECT q.qid, q.term, q.tfq * i.idf_u AS wq
+      FROM (VALUES {q_values}) AS q(qid, term, tfq)
+      JOIN idf i USING (term)
+      WHERE q.tfq * i.idf_u > 0),
+    nq AS (SELECT qid, CAST(SUM(wq * wq) AS BIGINT) AS nq2 FROM qw GROUP BY qid),
+    dots AS (
+      SELECT qw.qid, cw.{id_col}, CAST(SUM(qw.wq * cw.w) AS BIGINT) AS dot
+      FROM qw JOIN cw ON qw.term = cw.term
+      GROUP BY qw.qid, cw.{id_col}),
+    scored AS (
+      SELECT c.qid, c.{id_col}, c.bm25_rank,
+             CASE WHEN nd.nd2 > 0 AND nq.nq2 > 0 AND dots.dot IS NOT NULL
+                  THEN CAST(dots.dot AS DOUBLE)
+                       / (sqrt(CAST(nd.nd2 AS DOUBLE)) * sqrt(CAST(nq.nq2 AS DOUBLE)))
+                  ELSE CAST(0.0 AS DOUBLE) END AS cosine
+      FROM cand c
+      LEFT JOIN dots ON dots.qid = c.qid AND dots.{id_col} = c.{id_col}
+      LEFT JOIN nd ON nd.{id_col} = c.{id_col}
+      LEFT JOIN nq ON nq.qid = c.qid),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY cosine DESC, {id_col}) AS BIGINT) AS rank
+      FROM scored)
+    SELECT qid, {id_col}, bm25_rank, cosine, rank
+    FROM ranked WHERE rank <= {top_k}
+    """

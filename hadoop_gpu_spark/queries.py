@@ -4927,10 +4927,36 @@ def q_bucketed_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Still-staged gates awaiting window slots (for tests to iterate; the
 # 8-gate r09 queue drained in r14 — see the _DRIVER_WINDOW note).
-# q_ann_ivfpq: r15-built (the r14 VERDICT's north-star-depth pointer),
-# oracle-pinned at both scales since staging
-# (tests/test_r15_candidates.py), registers r16 with a window slot.
-STAGED_CANDIDATES: list[str] = ["q_ann_ivfpq"]
+# The r15 builds (both north-star retrieval depth, the r14 VERDICT #6
+# pointer), each oracle-pinned at both scales since staging
+# (tests/test_r15_candidates.py), register r16 with window slots:
+# q_ann_ivfpq (IVF-PQ composition) and q_rerank_tfidf (two-stage
+# BM25-then-exact-cosine rerank).
+STAGED_CANDIDATES: list[str] = ["q_ann_ivfpq", "q_rerank_tfidf"]
+
+
+# ---------------------------------------------------------------------------
+# Two-stage retrieve-then-rerank (r15-built, STAGED for r16): BM25 top-20
+# recall stage feeding an exact word-unigram TF-IDF-cosine precision stage
+# over candidates only — the production search/RAG shape next to
+# q_bm25_topk. Integer-idf lattice per similarity/sparse.py (portability
+# proven there); raw-double cosine (every step in the fuzz-pinned
+# exactly-equal set, no round(double, d)).
+# ---------------------------------------------------------------------------
+def _rerank_oracle() -> str:
+    from hadoop_gpu_spark.operators.retrieval import rerank_tfidf_topk_sql
+
+    return rerank_tfidf_topk_sql("documents", _BM25_QUERIES, stage1_k=20, top_k=5)
+
+
+def q_rerank_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage rerank gate (r15-built, staged; registration adds the
+    @query binding to Q_RERANK_TFIDF_ORACLE in r16)."""
+    from hadoop_gpu_spark.operators.retrieval import rerank_tfidf_topk
+
+    return rerank_tfidf_topk(
+        T(spark, sf_dir, "documents"), _BM25_QUERIES, stage1_k=20, top_k=5
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -5035,6 +5061,10 @@ def _bm25_oracle() -> str:
 
 
 Q_BM25_TOPK_ORACLE = _bm25_oracle()
+
+# staged-gate oracle (q_rerank_tfidf, defined in the STAGED section
+# above) — bound here because it composes _BM25_QUERIES
+Q_RERANK_TFIDF_ORACLE = _rerank_oracle()
 
 
 @query("q_bm25_topk", oracle=Q_BM25_TOPK_ORACLE)

@@ -232,3 +232,184 @@ def test_ivfpq_plan_corpus_never_shuffles_before_probe_join(spark, sf_dir):
     # every join is broadcast-shaped
     assert plan.count("BroadcastHashJoin") >= 1
     assert "embedding" not in plans.shuffled_columns(df)
+
+
+# ---------------------------------------------------------------------------
+# q_rerank_tfidf — the second r15 staged gate (two-stage
+# BM25-then-exact-TF-IDF-cosine rerank; operators/retrieval.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("scale_dir", _BOTH_SCALES)
+def test_rerank_gate_oracle(spark, scale_dir):
+    from hadoop_gpu_spark import queries as q
+
+    got = q.q_rerank_tfidf(spark, scale_dir).toPandas()
+    con = duckdb_con(scale_dir)
+    want = con.sql(q.Q_RERANK_TFIDF_ORACLE).df()
+    con.close()
+    errs = compare_frames(got, want)
+    assert not errs, f"q_rerank_tfidf@{scale_dir}: " + "; ".join(errs[:3])
+    assert len(got) > 0
+
+
+def test_rerank_oracle_emits_driver_safe_types(sf_dir):
+    from hadoop_gpu_spark import queries as q
+
+    con = duckdb_con(sf_dir)
+    rel = con.sql(q.Q_RERANK_TFIDF_ORACLE)
+    offenders = [
+        f"{c}: {t}"
+        for c, t in zip(rel.columns, [str(t) for t in rel.types])
+        if str(t) in ("HUGEINT", "UHUGEINT", "UBIGINT")
+    ]
+    con.close()
+    assert not offenders, offenders
+
+
+def _py_rerank(texts_by_id, queries, stage1_k=20, top_k=5, k1=1.2, b=0.75,
+               idf_scale=1000):
+    """Pure-python third implementation: Okapi BM25 stage 1 (same
+    'plus one' idf, round-9 discipline) then integer-idf TF-IDF cosine
+    on candidates — stdlib math only, no Spark, no SQL."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    toks = {i: t.split() for i, t in texts_by_id.items()}
+    n = len(texts_by_id)
+    tt = sum(len(v) for v in toks.values())
+    tf = {i: Counter(v) for i, v in toks.items()}
+    all_df = Counter()
+    for i in tf:
+        for term in tf[i]:
+            all_df[term] += 1
+
+    cand = {}
+    for qid, qtext in queries:
+        scores = {}
+        for i in tf:
+            s = Decimal(0)
+            for term in set(qtext.split()):
+                if tf[i].get(term):
+                    df = all_df[term]
+                    idf9 = round(math.log((n - df + 0.5) / (df + 0.5) + 1.0), 9)
+                    dl = len(toks[i])
+                    ratio = (tf[i][term] * (k1 + 1.0)) / (
+                        tf[i][term] + k1 * ((1.0 - b) + b * ((dl * n) / tt))
+                    )
+                    s += Decimal(repr(round(idf9 * ratio, 9)))
+            if s:
+                scores[i] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:stage1_k]
+        cand[qid] = {i: r + 1 for r, (i, _) in enumerate(ranked)}
+
+    idf_u = {
+        t: int(
+            Decimal(repr(math.log(n / df) * idf_scale)).quantize(
+                Decimal(1), rounding="ROUND_HALF_UP"
+            )
+        )
+        for t, df in all_df.items()
+    }
+    out = []
+    for qid, qtext in queries:
+        qc = Counter(qtext.split())
+        qw = {t: c * idf_u.get(t, 0) for t, c in qc.items() if c * idf_u.get(t, 0) > 0}
+        nq2 = sum(w * w for w in qw.values())
+        rows = []
+        for i, brank in cand[qid].items():
+            cw = {t: c * idf_u[t] for t, c in tf[i].items() if c * idf_u[t] > 0}
+            nd2 = sum(w * w for w in cw.values())
+            dot = sum(qw[t] * cw[t] for t in qw if t in cw)
+            cos = (
+                float(dot) / (math.sqrt(float(nd2)) * math.sqrt(float(nq2)))
+                if nd2 > 0 and nq2 > 0 and dot
+                else 0.0
+            )
+            rows.append((cos, i, brank))
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        for r, (cos, i, brank) in enumerate(rows[:top_k], 1):
+            out.append((qid, i, brank, cos, r))
+    return sorted(out)
+
+
+def test_rerank_matches_python_reference(spark, sf_dir):
+    from hadoop_gpu_spark import queries as q
+    from hadoop_gpu_spark.queries import _BM25_QUERIES
+    from hadoop_gpu_spark.tables import load_table
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, "documents", sf_dir).select("doc_id", "text").collect()
+    }
+    want = _py_rerank(texts, _BM25_QUERIES)
+    got = sorted(
+        (r["qid"], r["doc_id"], r["bm25_rank"], r["cosine"], r["rank"])
+        for r in q.q_rerank_tfidf(spark, sf_dir).collect()
+    )
+    assert got == want
+
+
+def test_rerank_is_candidate_permutation_prefix(spark, sf_dir):
+    # Every reranked row must come from the stage-1 candidate set with
+    # its ORIGINAL bm25 rank; rerank positions are 1..top_k consecutive
+    # with cosine non-increasing.
+    from hadoop_gpu_spark import queries as q
+    from hadoop_gpu_spark.operators.retrieval import bm25_topk
+    from hadoop_gpu_spark.queries import _BM25_QUERIES
+    from hadoop_gpu_spark.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    stage1 = {
+        (r["qid"], r["doc_id"]): r["rank"]
+        for r in bm25_topk(docs, _BM25_QUERIES, top_k=20).collect()
+    }
+    by_q = {}
+    for r in q.q_rerank_tfidf(spark, sf_dir).collect():
+        assert stage1.get((r["qid"], r["doc_id"])) == r["bm25_rank"]
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        cosines = [r["cosine"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_rerank_idf_lattice_parity_exhaustive(spark, sf_dir):
+    # The portable-rounding claim, exhaustively over this gate's ACTUAL
+    # df domain: Spark round(ln(N/df)*1000, 0) == DuckDB for every
+    # df in [1, N] at the fixture's N (the sparse_allpairs stance —
+    # deterministic, not probabilistic).
+    import duckdb
+
+    from hadoop_gpu_spark.tables import load_table
+
+    n = load_table(spark, "documents", sf_dir).count()
+    got = (
+        spark.range(1, n + 1)
+        .select(
+            F.col("id").alias("df"),
+            F.round(F.log(F.lit(float(n)) / F.col("id").cast("double")) * F.lit(1000), 0)
+            .cast("long")
+            .alias("idf_u"),
+        )
+        .orderBy("df")
+        .collect()
+    )
+    con = duckdb.connect()
+    want = con.sql(
+        f"""SELECT df, CAST(round(ln(CAST({n} AS DOUBLE) / CAST(df AS DOUBLE))
+                 * CAST(1000 AS DOUBLE), 0) AS BIGINT) AS idf_u
+            FROM (SELECT unnest(range(1, {n + 1})) AS df) ORDER BY df"""
+    ).fetchall()
+    con.close()
+    assert [(r["df"], r["idf_u"]) for r in got] == [(a, b) for a, b in want]
+
+
+def test_rerank_plan_text_never_shuffles(spark, sf_dir):
+    from hadoop_gpu_spark import plans
+    from hadoop_gpu_spark import queries as q
+
+    df = q.q_rerank_tfidf(spark, sf_dir)
+    assert "text" not in plans.shuffled_columns(df)
