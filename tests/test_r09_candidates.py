@@ -31,8 +31,11 @@ STAGED: list[str] = [
     # r10; q_bm25_topk, q_semantic_dedup, q_bpe_merges, q_cms_token_freq
     # r12). q_ann_ivfpq is the r15 build (IVF-PQ composition,
     # tests/test_r15_candidates.py), staged for r16 registration —
-    # kept in sync with queries.STAGED_CANDIDATES.
+    # kept in sync with queries.STAGED_CANDIDATES. q_rerank_tfidf is
+    # the second r15 build (two-stage BM25 -> exact-TF-IDF-cosine
+    # rerank), same staging file.
     "q_ann_ivfpq",
+    "q_rerank_tfidf",
 ]
 R14_GRADUATES = [
     "q_hll_distinct",
