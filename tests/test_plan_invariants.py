@@ -610,6 +610,17 @@ ALLOWED_MODULE_BROADCAST_HINTS = {
     ("ml/nbayes.py", "pri"):
         "NB class priors: |classes| rows (the vocab-sized grid join "
         "stays deliberately UNHINTED next to these)",
+    # r15 staged gates
+    ("operators/retrieval.py",
+     "docs.agg(F.count(F.lit(1)).cast('long').alias('__n'))"):
+        "rerank corpus doc count: a 1-row aggregate (the bm25 'stats' "
+        "pattern) feeding the idf lattice",
+    ("similarity/quantize.py", "cen_b"):
+        "IVF-PQ coarse centroid table: n_centroids rows (first-k "
+        "convention), never corpus-sized",
+    ("similarity/quantize.py", "probes.join(F.broadcast(lut_df), 'qid')"):
+        "IVF-PQ probe set with per-query LUTs: n_queries x nprobe rows, "
+        "each carrying an n_sub x n_cent double grid — model-sized",
 }
 
 
