@@ -376,11 +376,23 @@ def epoch_changed_queries(manifest: dict) -> list[str]:
 REFRESH_KEY = "__refresh__"
 
 
-def refresh(correctness_json: str, force: bool = False) -> None:
+def refresh(
+    correctness_json: str,
+    force: bool = False,
+    exclude: list[str] | None = None,
+) -> None:
     """Update the manifest for every query the given results file shows
     green. Accepts both shapes: the driver's CORRECTNESS_rNN.json
     (top-level {name: {err, rows_match, schema_match, hash_match}}) and
     the local sweep's LOCAL_SWEEP_rNN.json ({"results": {name: {ok}}}).
+
+    ``exclude`` (r16, mirroring restamp's): green rows to SKIP — their
+    pins stay stale so the changed-queries invariant keeps forcing them
+    into the next driver window. This is the sanctioned answer when the
+    moved-pin guard below refuses: queries whose closures changed in the
+    same round their rows were earned are excluded and re-windowed
+    instead of force-stamped, and everyone else's refresh (including the
+    sweep-bridge clearing) still lands.
 
     Sweep-sourced refreshes record per-query provenance under the
     reserved ``__refresh__`` key (source file, sf, round, HEAD commit —
@@ -415,6 +427,16 @@ def refresh(correctness_json: str, force: bool = False) -> None:
             if not r.get("err") and r.get("rows_match")
             and r.get("schema_match", True) and r.get("hash_match", True)
         }
+    green -= set(exclude or [])
+    # Driver CORRECTNESS files carry no top-level "round" key — derive it
+    # from the canonical filename so provenance records never stamp
+    # round=None (the r15 ADVICE CLI finding).
+    import re as _re
+
+    m = _re.search(r"r(\d+)", os.path.basename(correctness_json))
+    file_round = rows.get("round") if from_sweep else None
+    if file_round is None and m:
+        file_round = int(m.group(1))
     path = manifest_path()
     try:
         with open(path) as f:
@@ -451,13 +473,13 @@ def refresh(correctness_json: str, force: bool = False) -> None:
                     provenance[n] = {
                         "source": os.path.basename(correctness_json),
                         "sf": rows.get("sf"),
-                        "round": rows.get("round"),
+                        "round": file_round,
                         "commit": head,
                     }
             elif n in moved:  # forced: keep the audit trail
                 provenance[n] = {
                     "source": os.path.basename(correctness_json),
-                    "round": rows.get("round") if isinstance(rows, dict) else None,
+                    "round": file_round,
                     "commit": head,
                     "driver_forced": True,
                 }
@@ -478,6 +500,7 @@ def refresh(correctness_json: str, force: bool = False) -> None:
     print(
         f"manifest: {len(green & set(fps))} refreshed "
         f"({'sweep' if from_sweep else 'driver'}-sourced), "
+        f"{len(exclude or [])} excluded, "
         f"{len(manifest)} total, {len(provenance)} sweep-pinned"
     )
 
@@ -689,11 +712,26 @@ def ack_epoch() -> None:
 if __name__ == "__main__":
     import sys
 
-    if len(sys.argv) >= 3 and sys.argv[1] == "refresh":
-        refresh(
-            next(a for a in sys.argv[2:] if a != "--force"),
-            force="--force" in sys.argv[2:],
-        )
+    if len(sys.argv) >= 2 and sys.argv[1] == "refresh":
+        # validate BEFORE destructuring (r15 ADVICE: `refresh --force`
+        # with no file raised a bare StopIteration from next())
+        flags = [a for a in sys.argv[2:] if a.startswith("--")]
+        files = [a for a in sys.argv[2:] if not a.startswith("--")]
+        unknown = [
+            a for a in flags
+            if a != "--force" and not a.startswith("--exclude=")
+        ]
+        if len(files) != 1 or unknown:
+            sys.exit(
+                "usage: python -m hadoop_gpu_spark.fingerprint refresh "
+                "<CORRECTNESS_rNN.json|LOCAL_SWEEP_rNN.json> [--force] "
+                "[--exclude=q_a,q_b]"
+            )
+        excl: list[str] = []
+        for a in flags:
+            if a.startswith("--exclude="):
+                excl += [n for n in a.split("=", 1)[1].split(",") if n]
+        refresh(files[0], force="--force" in flags, exclude=excl)
     elif len(sys.argv) >= 2 and sys.argv[1] == "restamp":
         argv = [a for a in sys.argv[2:] if a != "--force"]
         restamp(

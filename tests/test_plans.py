@@ -568,7 +568,59 @@ def test_driver_refresh_refuses_to_move_pins(tmp_path, monkeypatch):
     m = json.loads(manifest.read_text())
     assert m["q_x"] == "new-fp"
     assert m[fp.REFRESH_KEY]["q_x"]["driver_forced"] is True
+    # r15 ADVICE: driver files carry no "round" key — the provenance
+    # round derives from the CORRECTNESS_rNN filename, never None
+    assert m[fp.REFRESH_KEY]["q_x"]["round"] == 99
     assert "q_y" not in m[fp.REFRESH_KEY]  # unmoved pin: clean driver pin
+
+
+def test_driver_refresh_exclude_does_not_waive_other_movers(tmp_path, monkeypatch):
+    # Excluding one moved query must not silence the guard for OTHER
+    # non-excluded movers — exclusion is per-query, not a bypass.
+    import json
+
+    from hadoop_gpu_spark import fingerprint as fp
+
+    manifest = tmp_path / "m.json"
+    manifest.write_text(json.dumps({"q_x": "old-fp", "q_y": "old-fp-y"}))
+    corr = tmp_path / "CORRECTNESS_r99.json"
+    corr.write_text(json.dumps({
+        "q_x": {"err": None, "rows_match": True, "schema_match": True, "hash_match": True},
+        "q_y": {"err": None, "rows_match": True, "schema_match": True, "hash_match": True},
+    }))
+    monkeypatch.setattr(fp, "manifest_path", lambda: str(manifest))
+    monkeypatch.setattr(fp, "all_fingerprints", lambda: {"q_x": "new-fp", "q_y": "new-fp-y"})
+    monkeypatch.setattr(fp, "data_epoch", lambda *a, **k: {})
+
+    with pytest.raises(RuntimeError, match="q_y"):
+        fp.refresh(str(corr), exclude=["q_x"])
+    assert json.loads(manifest.read_text())["q_y"] == "old-fp-y"
+
+
+def test_driver_refresh_excluded_move_does_not_refuse(tmp_path, monkeypatch):
+    # The sanctioned alternative to force (r16): exclude the moved
+    # queries — their pins stay stale (so the changed-queries invariant
+    # keeps them window-forced) while everyone else's refresh lands.
+    import json
+
+    from hadoop_gpu_spark import fingerprint as fp
+
+    manifest = tmp_path / "m.json"
+    manifest.write_text(json.dumps({"q_x": "old-fp", "q_y": "same-fp"}))
+    corr = tmp_path / "CORRECTNESS_r99.json"
+    corr.write_text(json.dumps({
+        "q_x": {"err": None, "rows_match": True, "schema_match": True, "hash_match": True},
+        "q_y": {"err": None, "rows_match": True, "schema_match": True, "hash_match": True},
+    }))
+    monkeypatch.setattr(fp, "manifest_path", lambda: str(manifest))
+    monkeypatch.setattr(fp, "all_fingerprints", lambda: {"q_x": "new-fp", "q_y": "same-fp"})
+    monkeypatch.setattr(fp, "data_epoch", lambda *a, **k: {})
+
+    fp.refresh(str(corr), exclude=["q_x"])  # the only mover is excluded
+    m = json.loads(manifest.read_text())
+    assert m["q_x"] == "old-fp"  # stale → stays window-forced
+    assert m["q_y"] == "same-fp"
+    assert fp.REFRESH_KEY not in m  # no sweep/forced records created
 
 
 def test_ensure_min_partitions_sees_through_fake_splits(spark, tmp_path):
