@@ -244,12 +244,24 @@ def rerank_tfidf_topk(
 
     100 TB shape: stage 1 is bm25_topk's shape (query terms prune at
     the scan, corpus text never shuffles). Stage 2's candidate-bound
-    work is per-(candidate-doc) — norms and dots touch only candidate
-    docs' token rows (left-semi pruned BEFORE the per-doc aggregates).
-    The one corpus-sized stage-2 aggregate is df-per-term (TF-IDF's
+    work is per-(candidate-doc) — the candidate docs are left-semi
+    pruned BEFORE tokenization, so norms and dots tokenize only
+    |queries| x stage1_k documents, never the corpus. The one
+    corpus-sized stage-2 aggregate is df-per-term (TF-IDF's
     definitional corpus statistic): one partial-aggregated
     (doc, term)-distinct pass, vocab-sized output, exactly the stats a
     deployment maintains as a table next to ``corpus_stats``.
+
+    Shared-subtree hygiene (r15 ADVICE): the two frames read from more
+    than one plan branch — the stage-1 candidate set (fed by bm25's two
+    corpus passes; consumed by the prune AND the final score join) and
+    the idf lattice (fed by the df-per-term pass; consumed by document
+    AND query weights) — are ``eager_persist``-ed, so each corpus pass
+    plans exactly once instead of once per consumer (the unpersisted
+    form planned 16 parquet scans at sf0.01). Both frames are bounded:
+    candidates by |queries| x stage1_k rows, idf by the vocabulary
+    (Heaps' law), so the cache is model-sized at any corpus scale and
+    correctness never depends on it (eviction degrades to recompute).
 
     Degenerate guards: a candidate pair with no idf-weighted overlap
     scores cosine 0.0 (kept — stage 1 ranked it, stage 2 reports the
@@ -258,22 +270,29 @@ def rerank_tfidf_topk(
     (ANSI mode raises — the r06 lesson).
     """
     from hadoop_gpu_spark.operators.fields import tokenize
+    from hadoop_gpu_spark.utils import eager_persist
 
-    cand = bm25_topk(
-        docs,
-        queries,
-        top_k=stage1_k,
-        id_col=id_col,
-        text_col=text_col,
-        corpus_stats=corpus_stats,
-    ).select("qid", id_col, F.col("rank").alias("bm25_rank"))
+    cand = eager_persist(
+        bm25_topk(
+            docs,
+            queries,
+            top_k=stage1_k,
+            id_col=id_col,
+            text_col=text_col,
+            corpus_stats=corpus_stats,
+        ).select("qid", id_col, F.col("rank").alias("bm25_rank"))
+    )
 
-    pairs = (
+    # df-per-term: the one corpus-sized stage-2 pass, feeding ONLY the
+    # idf lattice (candidate weights re-tokenize candidate docs below
+    # instead of re-reading this corpus-sized frame).
+    df_t = (
         docs.select(id_col, F.explode(tokenize(text_col)).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
-    df_t = pairs.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     if corpus_stats is None:
         n_col = F.broadcast(
             docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
@@ -281,20 +300,28 @@ def rerank_tfidf_topk(
         idf = df_t.crossJoin(n_col)
     else:
         idf = df_t.withColumn("__n", F.lit(int(corpus_stats[0])).cast("long"))
-    idf = idf.select(
-        "term",
-        F.round(
-            F.log(F.col("__n").cast("double") / F.col("df").cast("double"))
-            * F.lit(int(idf_scale)),
-            0,
+    idf = eager_persist(
+        idf.select(
+            "term",
+            F.round(
+                F.log(F.col("__n").cast("double") / F.col("df").cast("double"))
+                * F.lit(int(idf_scale)),
+                0,
+            )
+            .cast("long")
+            .alias("idf_u"),
         )
-        .cast("long")
-        .alias("idf_u"),
     )
 
     cdocs = cand.select(id_col).distinct()
-    cw = (
-        pairs.join(cdocs, id_col, "left_semi")
+    # cw feeds both the norm and the dot aggregates — persisted (bounded
+    # by |candidate docs| x terms-per-doc) so the candidate-pruned
+    # document pass plans once, not once per consumer.
+    cw = eager_persist(
+        docs.join(cdocs, id_col, "left_semi")
+        .select(id_col, F.explode(tokenize(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .join(idf, "term")
         .select(id_col, "term", (F.col("tf") * F.col("idf_u")).alias("w"))
         .filter(F.col("w") > 0)

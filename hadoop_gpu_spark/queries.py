@@ -4927,21 +4927,18 @@ def q_bucketed_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Still-staged gates awaiting window slots (for tests to iterate; the
 # 8-gate r09 queue drained in r14 — see the _DRIVER_WINDOW note).
-# The r15 builds (both north-star retrieval depth, the r14 VERDICT #6
-# pointer), each oracle-pinned at both scales since staging
-# (tests/test_r15_candidates.py), register r16 with window slots:
-# q_ann_ivfpq (IVF-PQ composition) and q_rerank_tfidf (two-stage
-# BM25-then-exact-cosine rerank).
-STAGED_CANDIDATES: list[str] = ["q_ann_ivfpq", "q_rerank_tfidf"]
+# EMPTY since r16: the two r15 builds (q_ann_ivfpq, q_rerank_tfidf —
+# both north-star retrieval depth, the r14 VERDICT #6 pointer)
+# graduated with r16 window slots after a round of staged evidence
+# (tests/test_r15_candidates.py: both-scale oracle parity, pure-python
+# third implementations, equivalence/containment/rank invariants).
+STAGED_CANDIDATES: list[str] = []
 
 
 # ---------------------------------------------------------------------------
-# Two-stage retrieve-then-rerank (r15-built, STAGED for r16): BM25 top-20
-# recall stage feeding an exact word-unigram TF-IDF-cosine precision stage
-# over candidates only — the production search/RAG shape next to
-# q_bm25_topk. Integer-idf lattice per similarity/sparse.py (portability
-# proven there); raw-double cosine (every step in the fuzz-pinned
-# exactly-equal set, no round(double, d)).
+# Two-stage retrieve-then-rerank (r15-built, r16-registered): the oracle
+# composes _BM25_QUERIES, so _rerank_oracle lives here but the @query
+# binding sits next to q_bm25_topk below, after the query list exists.
 # ---------------------------------------------------------------------------
 def _rerank_oracle() -> str:
     from hadoop_gpu_spark.operators.retrieval import rerank_tfidf_topk_sql
@@ -4949,23 +4946,16 @@ def _rerank_oracle() -> str:
     return rerank_tfidf_topk_sql("documents", _BM25_QUERIES, stage1_k=20, top_k=5)
 
 
-def q_rerank_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage rerank gate (r15-built, staged; registration adds the
-    @query binding to Q_RERANK_TFIDF_ORACLE in r16)."""
-    from hadoop_gpu_spark.operators.retrieval import rerank_tfidf_topk
-
-    return rerank_tfidf_topk(
-        T(spark, sf_dir, "documents"), _BM25_QUERIES, stage1_k=20, top_k=5
-    )
-
-
 # ---------------------------------------------------------------------------
-# IVF-PQ composed ANN (r15-built, STAGED for r16): coarse probing + in-cell
-# ADC — the billion-scale index shape (Jégou et al. 2011), composing the
-# engine's proven IVF assignment and PQ code kernels. Same determinism
-# conventions as q_ann_ivf / q_ann_pq (centroids = vec_id < 16, queries =
-# vec_id < 8, dyadic codebook, ties on lower id) so the DuckDB twin is
-# exact. See similarity/quantize.py::ivfpq_topk for the 100 TB shape.
+# IVF-PQ composed ANN (r15-built, r16-registered): coarse probing +
+# in-cell ADC — the billion-scale index shape (Jégou et al. 2011),
+# composing the engine's proven IVF assignment and PQ code kernels. Same
+# determinism conventions as q_ann_ivf / q_ann_pq (centroids = vec_id <
+# 16, queries = vec_id < 8, dyadic codebook, ties on lower id) so the
+# DuckDB twin is exact. See similarity/quantize.py::ivfpq_topk for the
+# 100 TB shape (corpus assigned+encoded in ONE map-side pass; probe set
+# + LUTs broadcast; at real scale the codes table is written partitioned
+# by centroid_id so a probe is partition pruning).
 # ---------------------------------------------------------------------------
 def _ivfpq_oracle() -> str:
     from hadoop_gpu_spark.similarity.quantize import ivfpq_sql, pq_codebook
@@ -4976,9 +4966,12 @@ def _ivfpq_oracle() -> str:
 Q_ANN_IVFPQ_ORACLE = _ivfpq_oracle()
 
 
+@query("q_ann_ivfpq", oracle=Q_ANN_IVFPQ_ORACLE)
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ top-k gate (r15-built, staged; registration adds the
-    @query binding to Q_ANN_IVFPQ_ORACLE in r16)."""
+    """IVF-PQ top-k over the embeddings corpus (r16 registration of the
+    r15 staged gate — evidence in tests/test_r15_candidates.py:
+    both-scale oracle parity, pure-numpy third impl, nprobe=all ≡ PQ-ADC
+    equivalence, containment + rank invariants, plan pins)."""
     from hadoop_gpu_spark.similarity.quantize import ivfpq_topk
 
     return ivfpq_topk(T(spark, sf_dir, "embeddings"))
@@ -5062,9 +5055,23 @@ def _bm25_oracle() -> str:
 
 Q_BM25_TOPK_ORACLE = _bm25_oracle()
 
-# staged-gate oracle (q_rerank_tfidf, defined in the STAGED section
-# above) — bound here because it composes _BM25_QUERIES
 Q_RERANK_TFIDF_ORACLE = _rerank_oracle()
+
+
+@query("q_rerank_tfidf", oracle=Q_RERANK_TFIDF_ORACLE)
+def q_rerank_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage BM25-then-exact-TF-IDF-cosine rerank, top-5 of the
+    BM25 top-20 per query (r16 registration of the r15 staged gate —
+    evidence in tests/test_r15_candidates.py: both-scale oracle parity,
+    pure-python third impl, candidate-permutation/rank invariants,
+    text-never-shuffles pin). The production retrieve-then-rerank shape
+    next to q_bm25_topk; see operators/retrieval.py for the 100 TB
+    shape and the r16 shared-subtree persist hygiene."""
+    from hadoop_gpu_spark.operators.retrieval import rerank_tfidf_topk
+
+    return rerank_tfidf_topk(
+        T(spark, sf_dir, "documents"), _BM25_QUERIES, stage1_k=20, top_k=5
+    )
 
 
 @query("q_bm25_topk", oracle=Q_BM25_TOPK_ORACLE)
@@ -5547,120 +5554,104 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every CORRECTNESS_r*.json: the driver checks the first 50 insertions,
 # nothing else).
 #
-# Round 15 window. Slot accounting (hard 50; every set below MUST be
+# Round 16 window. Slot accounting (hard 50; every set below MUST be
 # inside it). Freshness policy: 4-round re-proof period (amended r07 —
 # after round N no query's latest driver row may be older than N-3;
 # pytest's oracle-parity suite still re-proves the ENTIRE surface every
 # session; the floor is mechanized in
 # tests/test_plans.py::test_stale_evidence_is_windowed). Ledger after
-# CORRECTNESS_r14 (50/50 green, enumerated mechanically from the
+# CORRECTNESS_r15 (50/50 green, enumerated mechanically from the
 # CORRECTNESS_r*.json files this round):
-# latest-green r11 = 26 queries, r12 = 26, r13 = 38, r14 = 50.
+# latest-green r12 = 25 queries, r13 = 18, r14 = 47, r15 = 50.
 #
 # - stale-evidence rotation (due at the policy boundary): the full
-#   26-query r11-latest cohort (q_ann_pq .. q_union_distinct). [26]
-# - CHANGED this round (category b): q_dup_spans — the r14 VERDICT's
-#   one perf-weak mark, restructured end to end (md5bulk vectorized
-#   single-block MD5 kernel; two-pass no-persist plan; width-k bucket
-#   collapse before the per-doc window — sf10 soak 47.5s -> ~16s, sf30
-#   161s -> ~88s, same oracle); q_nb_lang_confusion and
-#   q_sequence_pack — their explicit repartition-width parses now go
-#   through utils.shuffle_width (the r14 ADVICE robustness fix:
-#   non-numeric spark.sql.shuffle.partitions values no longer raise),
-#   behavior-identical at default config but the closure fingerprints
-#   changed and the policy does not take the builder's word for it. [3]
-# - load-leveling pre-rotation (category d): 21 members of the
-#   38-query r13-latest cohort, preferring (i) the heavy macros whose
-#   re-proof is most valuable (q_kmeans, the dedup/ANN set, pq_train,
-#   bloom_decontaminate, total_order_sort) and (ii) the six members of
-#   the r14 soak's superlinear-ratio question (q01, q03, q05, q21,
-#   q_value_histogram — q_dup_spans is already in (b)) so the re-proof
-#   and the re-measurement land in the same round: q01_pricing_summary,
-#   q03_shipping_priority, q05_local_supplier_volume,
-#   q21_waiting_orders, q_value_histogram, q_kmeans, q_ann_topk,
-#   q_ann_lsh, q_ann_ivf, q_dedup_exact, q_dedup_minhash,
-#   q_dedup_simhash, q_dedup_ngram_jaccard, q_dedup_edit_distance,
-#   q_near_dedup_survivors, q_winnow_fingerprint, q_pq_train,
-#   q_bloom_decontaminate, q_total_order_sort, q_topk — plus
-#   q_matmul_gram (r12-latest, due r16), the one r14 sweep-pinned
-#   (__refresh__) entry not already in the sets above: sweep pins are
-#   one-round bridges (r14 ADVICE; mechanized in
-#   test_sweep_pins_are_one_round_bridges), so all 14 r14 re-pins
-#   convert to driver rows this round. [21]
-# - 26 + 3 + 21 = exactly 50, zero overlap.
+#   25-query r12-latest cohort, exactly as the r15 lookahead and the
+#   tripwire's failure message enumerated. [25]
+# - CHANGED / stale-pin carryover (category b): q_dup_spans,
+#   q_nb_lang_confusion, q_sequence_pack — their r15 rows are green but
+#   their closures changed in the same round the rows were earned, so
+#   the driver-refresh moved-pin guard refused to stamp them
+#   (refresh --exclude left the pins stale, per the r15 VERDICT's
+#   "re-window rather than force"); one more driver round retires the
+#   ambiguity. Also q_rerank_tfidf's operator restructure (this round's
+#   r15-ADVICE persist fix) lands with its registration below. [3]
+# - REGISTRATIONS (new queries must be windowed): q_ann_ivfpq,
+#   q_rerank_tfidf — the r15 staged gates, evidence-complete in
+#   tests/test_r15_candidates.py, green in LOCAL_SWEEP_r15. [2]
+# - load-leveling pre-rotation (category d): the ENTIRE 18-query
+#   r13-latest cohort (due r17 otherwise): q09_product_type_profit,
+#   q13_customer_distribution, q17_small_quantity_revenue,
+#   q18_large_orders, q19_discounted_revenue, q20_potential_promotion,
+#   q22_global_sales, q_boilerplate_ratio, q_embedding_outliers,
+#   q_events_hourly, q_funnel, q_hybrid_token_stats, q_join_star,
+#   q_pretrain_pipeline, q_tfidf_topterms, q_token_budget_sample,
+#   q_uniq_value_count, q_wordcount — plus 2 heavy members of the
+#   47-query r14-latest cohort (due r18) whose re-proof is most
+#   valuable: q_semantic_dedup, q_sparse_allpairs. [20]
+# - 25 + 3 + 2 + 20 = exactly 50, zero overlap.
 #
-# r16 lookahead (enumerate against CORRECTNESS_r15 when it lands):
-# due = the 25 remaining r12-latest queries (q_asof_event_state ..
-# q_text_stats; q_matmul_gram is pre-rotated here) — ~25 spare slots
-# after changed-query needs. The remaining 18 r13-latest members (q09,
-# q13, q17, q18, q19, q20, q22, q_boilerplate_ratio,
-# q_embedding_outliers, q_events_hourly, q_funnel,
-# q_hybrid_token_stats, q_join_star, q_pretrain_pipeline,
-# q_tfidf_topterms, q_token_budget_sample, q_uniq_value_count,
-# q_wordcount) fit in r16's spare OR r17's (due 18) — steady state
-# holds: ~26 due per round, >20 slots of slack, gate registrations
-# never queue.
+# r17 lookahead (enumerate against CORRECTNESS_r16 when it lands):
+# due = the remaining 45 r14-latest queries; 45 fit in 50 with ~5
+# spare slots for changed queries — steady state holds (the r15 cohort
+# of 50 then splits across r18/r19).
 # ===========================================================================
 _DRIVER_WINDOW = [
-    # stale rotation: the full r11-latest cohort (policy boundary)
-    "q_ann_pq",
-    "q_audio_decode",
-    "q_contamination",
-    "q_db_count_pageview",
-    "q_dedup_fingerprint",
-    "q_join_expr_composite",
-    "q_join_override",
-    "q_join_semi",
-    "q_kvjob_wordcount",
-    "q_kvjob_wordcount_pandas",
-    "q_media_probe",
-    "q_mixture_weights",
-    "q_ngram_freq",
-    "q_pii_redact",
-    "q_pq_encode",
-    "q_quality_filter",
-    "q_range_join",
-    "q_repetition_ratio",
-    "q_rollup",
-    "q_salted_join",
-    "q_sq8_quantize",
-    "q_stratified_sample",
-    "q_stream_quantiles",
-    "q_stream_topk",
-    "q_token_count_bpe",
-    "q_union_distinct",
-    # changed this round (dup_spans restructure; the shared
-    # shuffle-width parse hardening in nb/sequence_pack)
+    # stale rotation: the full r12-latest cohort (policy boundary)
+    "q_asof_event_state",
+    "q_asof_join",
+    "q_bm25_topk",
+    "q_bpe_merges",
+    "q_chunk_documents",
+    "q_cms_token_freq",
+    "q_descriptor_agg",
+    "q_domain_cap",
+    "q_epoch_shuffle",
+    "q_field_selection",
+    "q_grep",
+    "q_join_broadcast",
+    "q_join_outer_counts",
+    "q_lang_id_confusion",
+    "q_mapfile_get_closest",
+    "q_quality_score",
+    "q_secondary_sort",
+    "q_sessionization",
+    "q_stream_hourly",
+    "q_stream_join",
+    "q_stream_sessionize",
+    "q_stream_sliding",
+    "q_terasort",
+    "q_text_normalize",
+    "q_text_stats",
+    # stale-pin carryover: changed in r15 in the same round their rows
+    # were earned (refresh --exclude kept their pins stale)
     "q_dup_spans",
     "q_nb_lang_confusion",
     "q_sequence_pack",
-    # load-leveling pre-rotation from the r13-latest cohort (see the
-    # slot accounting above)
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    "q21_waiting_orders",
-    "q_value_histogram",
-    "q_kmeans",
-    "q_ann_topk",
-    "q_ann_lsh",
-    "q_ann_ivf",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_edit_distance",
-    "q_near_dedup_survivors",
-    "q_winnow_fingerprint",
-    "q_pq_train",
-    "q_bloom_decontaminate",
-    "q_total_order_sort",
-    "q_topk",
-    # sweep-pin bridge conversion (r14 ADVICE — see
-    # test_sweep_pins_are_one_round_bridges): the one r14 __refresh__
-    # entry not already due/pre-rotated above; r12-latest, so this is
-    # also a legitimate pre-rotation (due r16).
-    "q_matmul_gram",
+    # r16 registrations (the r15 staged gates)
+    "q_ann_ivfpq",
+    "q_rerank_tfidf",
+    # load-leveling pre-rotation: the full r13-latest cohort
+    "q09_product_type_profit",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q22_global_sales",
+    "q_boilerplate_ratio",
+    "q_embedding_outliers",
+    "q_events_hourly",
+    "q_funnel",
+    "q_hybrid_token_stats",
+    "q_join_star",
+    "q_pretrain_pipeline",
+    "q_tfidf_topterms",
+    "q_token_budget_sample",
+    "q_uniq_value_count",
+    "q_wordcount",
+    # pre-rotation from the r14-latest cohort: the two heaviest macros
+    "q_semantic_dedup",
+    "q_sparse_allpairs",
 ]
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50

@@ -71,6 +71,16 @@ INTENTIONAL_NESTED_LOOP = {
                                # LABEL SET, never corpus x corpus — the
                                # zero-token-doc LEFT-join base from the
                                # module docstring)
+    # r16 registrations (the r15 staged gates; hinted frames registered
+    # in ALLOWED_MODULE_BROADCAST_HINTS since r15):
+    "q_ann_ivfpq",             # coarse centroid table (n_centroids rows)
+                               # broadcast-crossed onto query/corpus rows
+                               # — model-sized BY DESIGN, never corpus x
+                               # corpus
+    "q_rerank_tfidf",          # bm25 stage-1 corpus-stats scalar + the
+                               # idf lattice's 1-row doc-count aggregate
+                               # (broadcast 1-row cross joins, the
+                               # q_bm25_topk fold-in pattern)
 }
 
 # Exchange-count budget per bench HEADLINE query (hash/range/broadcast
@@ -421,6 +431,19 @@ SCAN_BUDGET = {
     "q_interval_overlap": 3,
     "q_bpe_token_counts": 1,
     "q_nb_lang_confusion": 5,
+    # r16 registrations (measured at registration): ivfpq = 3
+    # semantically distinct embedding passes with distinct pushed
+    # filters (corpus assign+encode map pass, centroid table vec_id<16,
+    # query set vec_id<8 — the q_ann_ivf convention). rerank = 5 after
+    # the r15-ADVICE persist fix (was 16 unpersisted): the two bm25
+    # stage-1 passes (token scan + corpus-stats scalar) build the
+    # persisted candidate cache, the df-per-term pass + 1-row doc-count
+    # scalar build the persisted idf lattice, and ONE candidate-pruned
+    # document pass builds the persisted stage-2 weights — each
+    # eager_persist cache-build lineage counted per the convention
+    # above, every pass semantically distinct.
+    "q_ann_ivfpq": 3,
+    "q_rerank_tfidf": 5,
 }
 
 

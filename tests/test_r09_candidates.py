@@ -25,17 +25,13 @@ CANDIDATES = [
     "q_stream_quantiles",
 ]
 STAGED: list[str] = [
-    # The r09 8-gate queue drained in r14 (q_hll_distinct ..
-    # q_nb_lang_confusion graduated together when the r14 window
-    # rotation freed the slots; earlier graduations: q_stream_quantiles
-    # r10; q_bm25_topk, q_semantic_dedup, q_bpe_merges, q_cms_token_freq
-    # r12). q_ann_ivfpq is the r15 build (IVF-PQ composition,
-    # tests/test_r15_candidates.py), staged for r16 registration —
-    # kept in sync with queries.STAGED_CANDIDATES. q_rerank_tfidf is
-    # the second r15 build (two-stage BM25 -> exact-TF-IDF-cosine
-    # rerank), same staging file.
-    "q_ann_ivfpq",
-    "q_rerank_tfidf",
+    # EMPTY since r16: the r09 8-gate queue drained in r14
+    # (q_hll_distinct .. q_nb_lang_confusion graduated together when
+    # the r14 window rotation freed the slots; earlier graduations:
+    # q_stream_quantiles r10; q_bm25_topk, q_semantic_dedup,
+    # q_bpe_merges, q_cms_token_freq r12), and the r15 staged pair
+    # (q_ann_ivfpq, q_rerank_tfidf — tests/test_r15_candidates.py)
+    # registered in r16 with window slots.
 ]
 R14_GRADUATES = [
     "q_hll_distinct",
@@ -46,6 +42,10 @@ R14_GRADUATES = [
     "q_interval_overlap",
     "q_bpe_token_counts",
     "q_nb_lang_confusion",
+]
+R16_GRADUATES = [
+    "q_ann_ivfpq",
+    "q_rerank_tfidf",
 ]
 
 
@@ -62,7 +62,9 @@ def test_candidate_list_matches_registry_constant():
     # registration rounds and have since rotated out; the four r12
     # registrations earned theirs in CORRECTNESS_r12 — assert the rows
     # landed green rather than pinning the since-rotated window)
-    graduated = [n for n in CANDIDATES if n not in STAGED] + R14_GRADUATES
+    graduated = (
+        [n for n in CANDIDATES if n not in STAGED] + R14_GRADUATES + R16_GRADUATES
+    )
     assert set(graduated) <= set(q.QUERIES) and set(graduated) <= set(q.ORACLES)
     # the two streaming r14 graduates joined the declared streaming set,
     # as their docstrings required
