@@ -110,6 +110,48 @@ HEADLINE = [
 ]
 
 
+def _machine_calib() -> dict:
+    """Fixed CPU microbenchmark stamped into every bench record so
+    cross-round totals are normalizable for machine speed (r16 lesson:
+    the r15 "9.4% regression" and an r16 quiet re-bench both showed a
+    UNIFORM per-query inflation vs the r14 pin — every query, including
+    plans untouched since r12, scaled by the same ~1.2x. That is the
+    signature of round-VM speed drift, not a plan change, but the
+    adjudication needed a hand argument because nothing absolute was
+    recorded per round. These two numbers make it mechanical: compare
+    calib ratios before reading anything into total ratios).
+
+    Two axes, min-of-3 each: single-thread integer/hash throughput
+    (md5 over 32 MiB — stresses the same scalar pipeline the JVM's
+    generated code runs on) and threaded BLAS/memory (1024^2 float64
+    matmul). Deterministic inputs, sub-0.1s total.
+    """
+    import hashlib
+
+    import numpy as np
+
+    blk = b"\x5a" * 65536
+    md5_t = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = hashlib.md5()
+        for _ in range(512):
+            h.update(blk)
+        h.digest()
+        md5_t.append(time.perf_counter() - t0)
+    a = np.full((1024, 1024), 0.5, dtype=np.float64)
+    (a @ a).sum()  # warm BLAS thread pool
+    mm_t = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (a @ a).sum()
+        mm_t.append(time.perf_counter() - t0)
+    return {
+        "md5_32mib_s": round(min(md5_t), 4),
+        "matmul_1k_s": round(min(mm_t), 4),
+    }
+
+
 def _load_per_cpu() -> float:
     # Load guard (VERDICT r05 #2: the official r05 record ran under
     # machine contention and became a misleading comparison base). The
@@ -235,6 +277,7 @@ def main() -> None:
         "load_per_cpu_start": best["load_per_cpu_start"],
         "contended": best["contended"],
         "attempts": len(attempts),
+        "machine_calib": _machine_calib(),
     }
     if len(attempts) > 1:
         record["attempt_totals"] = [a["value"] for a in attempts]
