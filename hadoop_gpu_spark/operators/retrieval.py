@@ -377,6 +377,323 @@ def rerank_tfidf_topk(
     )
 
 
+def morelikethis_topk(
+    docs: DataFrame,
+    *,
+    n_seeds: int = 8,
+    max_query_terms: int = 8,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_stats: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Related-document retrieval — the Lucene ``MoreLikeThis`` shape
+    (the reference's Lucene index contrib, ``H/src/contrib/index/``, is
+    this engine's retrieval north-star): each SEED document (id_col <
+    ``n_seeds``) becomes a query whose terms are the seed's own top
+    ``max_query_terms`` terms by tf·idf (MLT's maxQueryTerms cap), and
+    the corpus is ranked for those terms under the exact Okapi BM25
+    lattice of :func:`bm25_topk` (same plus-one idf rounded at 9 before
+    any multiplication, same DECIMAL(28,9) accumulation, same
+    (score desc, id) ties). Output: (qid, id_col, rank, score), seed
+    itself excluded.
+
+    100 TB shape: the term cap is the scale lever — MLT keeps only the
+    seed's HIGHEST-idf (rarest) terms, so the candidate set is bounded
+    by the sum of those terms' document frequencies, not by the corpus
+    (querying on stopwords would touch every document; querying on the
+    8 rarest terms touches ~8·df docs). Corpus-sized passes: one
+    (doc, term) tf pass feeding df-per-term (TF-IDF/BM25's definitional
+    statistic — the stats a deployment maintains as a table) and one
+    candidate-match pass; the seed tokenization pushes ``id <
+    n_seeds`` below the tokenize so it scans seed rows only. Bounded
+    frames (idf lattice: vocab-sized by Heaps' law; the seed term
+    selection: n_seeds × max_query_terms rows) are eager-persisted per
+    the rerank shared-subtree hygiene; nothing corpus-sized persists.
+
+    Determinism: seed-term ranking orders by tf·idf9 — a BIGINT×double
+    product of engine-identical operands (idf9 is round-9'd before use)
+    — with term-string ties; both engines agree bit-for-bit.
+    """
+    from hadoop_gpu_spark.operators.fields import tokenize
+    from hadoop_gpu_spark.utils import eager_persist
+
+    spark = docs.sparkSession
+    pairs = (
+        docs.select(
+            id_col,
+            F.regexp_count(F.col(text_col), F.lit(_DL_RE)).alias("__dl"),
+            F.explode(tokenize(text_col)).alias("term"),
+        )
+        .groupBy(id_col, "__dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_t = pairs.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    if corpus_stats is None:
+        stats = docs.agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(F.regexp_count(F.col(text_col), F.lit(_DL_RE)))
+            .cast("long")
+            .alias("__tt"),
+        )
+        idf_src = df_t.crossJoin(F.broadcast(stats))
+        stats_b = F.broadcast(stats)
+    else:
+        n_docs, total_tokens = corpus_stats
+        idf_src = df_t.withColumn("__n", F.lit(int(n_docs)).cast("long")).withColumn(
+            "__tt", F.lit(int(total_tokens)).cast("long")
+        )
+        stats_b = F.broadcast(
+            spark.createDataFrame(
+                [(int(n_docs), int(total_tokens))], "__n long, __tt long"
+            )
+        )
+    idf9_expr = F.round(
+        F.log(
+            ((F.col("__n") - F.col("df")) + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        9,
+    )
+    idf = eager_persist(idf_src.select("term", idf9_expr.alias("idf9")))
+
+    # Seed term selection: seeds tokenize from the pushed-down id filter
+    # (seed rows only — never the corpus), rank terms by tf·idf9.
+    seed_tf = (
+        docs.filter(F.col(id_col) < n_seeds)
+        .select(id_col, F.explode(tokenize(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tfq"))
+    )
+    w_sel = Window.partitionBy(id_col).orderBy(
+        (F.col("tfq") * F.col("idf9")).desc(), F.col("term").asc()
+    )
+    qsel = eager_persist(
+        seed_tf.join(idf, "term")
+        .withColumn("__r", F.row_number().over(w_sel))
+        .filter(F.col("__r") <= max_query_terms)
+        .select(F.col(id_col).alias("qid"), "term")
+    )
+
+    # Candidate match + BM25 scoring (bm25_topk's contrib lattice).
+    cand = (
+        pairs.join(F.broadcast(qsel), "term")
+        .filter(F.col(id_col) != F.col("qid"))
+        .join(idf, "term")
+        .crossJoin(stats_b)
+    )
+    dl_over_avgdl = (
+        F.col("__dl").cast("double") * F.col("__n").cast("double")
+    ) / F.col("__tt").cast("double")
+    ratio = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_over_avgdl)
+    )
+    contrib = cand.withColumn(
+        "__c", F.round(F.col("idf9") * ratio, 9).cast("decimal(28,9)")
+    )
+    per_doc = contrib.groupBy("qid", id_col).agg(F.sum("__c").alias("__s"))
+    w_rank = Window.partitionBy("qid").orderBy(F.col("__s").desc(), F.col(id_col))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "qid",
+            id_col,
+            "rank",
+            F.round(F.col("__s").cast("double"), 6).alias("score"),
+        )
+    )
+
+
+def morelikethis_sql(
+    table: str,
+    *,
+    n_seeds: int = 8,
+    max_query_terms: int = 8,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`morelikethis_topk` — identical lattice:
+    same tokenizer spelling, same plus-one idf round-9 discipline, same
+    tf·idf9 seed-term ranking with term ties, same decimal contrib
+    accumulation and (score desc, id) ranking."""
+    toks = f"list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x <> '')"
+    k1p1 = repr(k1 + 1.0)
+    one_m_b = repr(1.0 - b)
+    return f"""
+    WITH stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(len({toks})) AS BIGINT) AS tt
+      FROM {table}),
+    pairs AS (
+      SELECT {id_col}, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (
+        SELECT {id_col}, len({toks}) AS dl, unnest({toks}) AS term
+        FROM {table})
+      GROUP BY {id_col}, dl, term),
+    dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pairs GROUP BY term),
+    idf AS (
+      SELECT term,
+             round(ln(((CAST(n AS DOUBLE) - CAST(df AS DOUBLE)) + CAST(0.5 AS DOUBLE))
+                      / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                      + CAST(1.0 AS DOUBLE)), 9) AS idf9
+      FROM dft CROSS JOIN stats),
+    seed_tf AS (
+      SELECT {id_col}, term, CAST(COUNT(*) AS BIGINT) AS tfq
+      FROM (SELECT {id_col}, unnest({toks}) AS term FROM {table}
+            WHERE {id_col} < {n_seeds})
+      GROUP BY {id_col}, term),
+    qsel AS (
+      SELECT qid, term FROM (
+        SELECT s.{id_col} AS qid, s.term,
+               ROW_NUMBER() OVER (PARTITION BY s.{id_col}
+                   ORDER BY CAST(s.tfq AS DOUBLE) * i.idf9 DESC, s.term ASC) AS r
+        FROM seed_tf s JOIN idf i USING (term))
+      WHERE r <= {max_query_terms}),
+    contrib AS (
+      SELECT q.qid, p.{id_col},
+             CAST(round(
+               i.idf9
+               * ((CAST(p.tf AS DOUBLE) * CAST({k1p1} AS DOUBLE))
+                  / (CAST(p.tf AS DOUBLE) + CAST({repr(float(k1))} AS DOUBLE)
+                     * (CAST({one_m_b} AS DOUBLE) + CAST({repr(float(b))} AS DOUBLE)
+                        * ((CAST(p.dl AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(tt AS DOUBLE))))),
+               9) AS DECIMAL(28,9)) AS c
+      FROM pairs p
+      JOIN qsel q USING (term)
+      JOIN idf i USING (term)
+      CROSS JOIN stats
+      WHERE p.{id_col} <> q.qid),
+    ranked AS (
+      SELECT qid, {id_col}, SUM(c) AS s,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY SUM(c) DESC, {id_col})
+                  AS BIGINT) AS rank
+      FROM contrib GROUP BY qid, {id_col})
+    SELECT qid, {id_col}, rank, round(CAST(s AS DOUBLE), 6) AS score
+    FROM ranked WHERE rank <= {top_k}
+    """
+
+
+def rrf_fuse(
+    lists: dict[str, DataFrame],
+    *,
+    c: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    standard hybrid-retrieval combiner (Elasticsearch/OpenSearch/Vespa
+    all ship exactly this): given named ranked lists (qid, nid, rank),
+    score every (qid, nid) as the fixed-order sum over lists of
+    1/(c + rank), 0 where absent, and re-rank. Output: (qid, nid,
+    rank_<name>... with 0 = absent, rrf, rank).
+
+    Scale shape: inputs are already top-k lists — |queries| × k rows
+    each — so the fusion is a full-outer join chain + window over
+    bounded frames; nothing here ever touches the corpus. Determinism:
+    1/(c+rank) is one IEEE division of exact-int-valued doubles and the
+    sum is a fixed-order (sorted list-name) chain of adds — bit-equal
+    in both engines; ties rank on (rrf desc, nid asc). Absent ranks
+    surface as 0 (ranks are 1-based) rather than NULL so the column
+    stays BIGINT in both engines (the HUGEINT/float64-null dtype
+    class)."""
+    from functools import reduce as _reduce
+
+    names = sorted(lists)
+    if not names:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    joined = None
+    for nm in names:
+        d = lists[nm].select(
+            "qid", "nid", F.col("rank").cast("long").alias(f"rank_{nm}")
+        )
+        joined = d if joined is None else joined.join(
+            d, ["qid", "nid"], "full_outer"
+        )
+    terms = [
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(c)) + F.col(f"rank_{nm}").cast("double")),
+            F.lit(0.0),
+        )
+        for nm in names
+    ]
+    score = _reduce(lambda a, b: a + b, terms)
+    w = Window.partitionBy("qid").orderBy(F.col("__rrf").desc(), F.col("nid").asc())
+    return (
+        joined.withColumn("__rrf", score)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "qid",
+            "nid",
+            *[
+                F.coalesce(F.col(f"rank_{nm}"), F.lit(0).cast("long")).alias(
+                    f"rank_{nm}"
+                )
+                for nm in names
+            ],
+            F.round(F.col("__rrf"), 9).alias("rrf"),
+            "rank",
+        )
+    )
+
+
+def rrf_fuse_sql(
+    lists: dict[str, str],
+    *,
+    c: int = 60,
+    top_k: int = 10,
+) -> str:
+    """DuckDB twin of :func:`rrf_fuse`: each value in ``lists`` is a SQL
+    subquery yielding (qid, nid, rank); the fusion chains FULL JOINs
+    with explicit COALESCE'd keys (not USING — spelled out so the
+    coalescing semantics are visible and engine-independent), the same
+    fixed-order 1/(c+rank) sum, the same (rrf desc, nid) ties, and the
+    same 0-for-absent BIGINT ranks."""
+    names = sorted(lists)
+    ctes = [f"l_{nm} AS ({sql})" for nm, sql in lists.items()]
+    ctes += [
+        f"n_{nm} AS (SELECT qid, nid, rank AS rank_{nm} FROM l_{nm})"
+        for nm in names
+    ]
+    # Chain: f_i = f_{i-1} FULL JOIN n_i with coalesced keys.
+    prev = f"n_{names[0]}"
+    for i, nm in enumerate(names[1:], start=2):
+        kept = ", ".join(f"p.rank_{n}" for n in names[: i - 1])
+        ctes.append(
+            f"""f_{i} AS (
+      SELECT COALESCE(p.qid, q.qid) AS qid, COALESCE(p.nid, q.nid) AS nid,
+             {kept}, q.rank_{nm}
+      FROM {prev} p FULL JOIN n_{nm} q ON p.qid = q.qid AND p.nid = q.nid)"""
+        )
+        prev = f"f_{i}"
+    prev_sel = f"SELECT * FROM {prev}"
+    rrf = " + ".join(
+        f"COALESCE(CAST(1.0 AS DOUBLE) / (CAST({float(c)!r} AS DOUBLE) "
+        f"+ CAST(rank_{nm} AS DOUBLE)), CAST(0.0 AS DOUBLE))"
+        for nm in names
+    )
+    rank_outs = ", ".join(
+        f"CAST(COALESCE(rank_{nm}, 0) AS BIGINT) AS rank_{nm}" for nm in names
+    )
+    return f"""
+    WITH {', '.join(ctes)},
+    unioned AS ({prev_sel}),
+    scored AS (SELECT qid, nid, {rank_outs}, {rrf} AS rrf FROM unioned),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY rrf DESC, nid ASC) AS BIGINT) AS rank
+      FROM scored)
+    SELECT qid, nid, {', '.join(f'rank_{nm}' for nm in names)},
+           round(rrf, 9) AS rrf, rank
+    FROM ranked WHERE rank <= {top_k}
+    """
+
+
 def rerank_tfidf_topk_sql(
     table: str,
     queries: list[tuple[str, str]],

@@ -4927,12 +4927,132 @@ def q_bucketed_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Still-staged gates awaiting window slots (for tests to iterate; the
 # 8-gate r09 queue drained in r14 — see the _DRIVER_WINDOW note).
-# EMPTY since r16: the two r15 builds (q_ann_ivfpq, q_rerank_tfidf —
-# both north-star retrieval depth, the r14 VERDICT #6 pointer)
-# graduated with r16 window slots after a round of staged evidence
-# (tests/test_r15_candidates.py: both-scale oracle parity, pure-python
-# third implementations, equivalence/containment/rank invariants).
-STAGED_CANDIDATES: list[str] = []
+# The two r15 builds (q_ann_ivfpq, q_rerank_tfidf) graduated with r16
+# window slots after a round of staged evidence. The r16 builds extend
+# the same retrieval north-star (the r15 VERDICT's "next depth" pointer:
+# a reranker over the BM25/ANN stack, or IVF-PQ with residual encoding —
+# both built): MoreLikeThis related-document retrieval (the literal
+# Lucene-contrib analog), RRF hybrid fusion of the lexical and dense
+# rankings, and residual-encoded IVF-PQ (Jégou §V.B, the faiss
+# IndexIVFPQ shape). Evidence bar in tests/test_r16_candidates.py;
+# registration = the one-line @query move + r17 window slots + budget
+# pins.
+STAGED_CANDIDATES: list[str] = [
+    "q_morelikethis",
+    "q_hybrid_rrf",
+    "q_ann_ivfpq_residual",
+]
+
+
+# ---------------------------------------------------------------------------
+# MoreLikeThis related-document retrieval (r16-built, STAGED for r17):
+# each seed document's top max_query_terms terms by tf·idf become a BM25
+# query over the corpus — Lucene MoreLikeThis (the reference's Lucene
+# index contrib, H/src/contrib/index/, is the retrieval north-star this
+# family implements). The term cap is the scale lever: candidates are
+# bounded by the rare terms' document frequencies, never the corpus.
+# ---------------------------------------------------------------------------
+def _morelikethis_oracle() -> str:
+    from hadoop_gpu_spark.operators.retrieval import morelikethis_sql
+
+    return morelikethis_sql("documents", n_seeds=8, max_query_terms=8, top_k=10)
+
+
+Q_MORELIKETHIS_ORACLE = _morelikethis_oracle()
+
+
+def q_morelikethis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-document retrieval gate (r16-built, staged; registration
+    adds the @query binding to Q_MORELIKETHIS_ORACLE in r17)."""
+    from hadoop_gpu_spark.operators.retrieval import morelikethis_topk
+
+    return morelikethis_topk(
+        T(spark, sf_dir, "documents"), n_seeds=8, max_query_terms=8, top_k=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval via reciprocal-rank fusion (r16-built, STAGED for
+# r17): the MoreLikeThis lexical ranking fused with the dense
+# embedding-cosine ranking for the same seed ids (doc_id ↔ vec_id, the
+# corpus' dual representation) — RRF with the standard c=60, the
+# combiner Elasticsearch/OpenSearch/Vespa ship for exactly this
+# lexical+semantic shape. Fusion runs over the two top-k lists only
+# (|queries| × k rows each); the corpus is touched by the two legs, not
+# by the fuse.
+# ---------------------------------------------------------------------------
+_HYBRID_N_SEEDS = 8
+_HYBRID_K = 10
+
+
+def _hybrid_rrf_oracle() -> str:
+    from hadoop_gpu_spark.operators.retrieval import morelikethis_sql, rrf_fuse_sql
+
+    sparse = (
+        "SELECT qid, doc_id AS nid, rank FROM ("
+        + morelikethis_sql(
+            "documents", n_seeds=_HYBRID_N_SEEDS, max_query_terms=8, top_k=_HYBRID_K
+        )
+        + ")"
+    )
+    dense = f"""
+    SELECT qid, nid, rank FROM (
+      SELECT q.vec_id AS qid, e.vec_id AS nid,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                  ORDER BY {_COS_SQL} DESC, e.vec_id ASC) AS BIGINT) AS rank
+      FROM embeddings q, embeddings e
+      WHERE q.vec_id < {_HYBRID_N_SEEDS} AND q.vec_id <> e.vec_id)
+    WHERE rank <= {_HYBRID_K}"""
+    return rrf_fuse_sql({"lex": sparse, "sem": dense}, c=60, top_k=_HYBRID_K)
+
+
+Q_HYBRID_RRF_ORACLE = _hybrid_rrf_oracle()
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval gate (r16-built, staged;
+    registration adds the @query binding to Q_HYBRID_RRF_ORACLE in
+    r17)."""
+    from hadoop_gpu_spark.operators.retrieval import morelikethis_topk, rrf_fuse
+    from hadoop_gpu_spark.similarity.ann import brute_force_topk
+
+    docs = T(spark, sf_dir, "documents")
+    emb = T(spark, sf_dir, "embeddings")
+    sparse = morelikethis_topk(
+        docs, n_seeds=_HYBRID_N_SEEDS, max_query_terms=8, top_k=_HYBRID_K
+    ).select("qid", F.col("doc_id").alias("nid"), "rank")
+    dense = brute_force_topk(
+        emb,
+        emb.filter(F.col("vec_id") < _HYBRID_N_SEEDS),
+        "embedding",
+        "vec_id",
+        k=_HYBRID_K,
+    ).select("qid", "nid", "rank")
+    return rrf_fuse({"lex": sparse, "sem": dense}, c=60, top_k=_HYBRID_K)
+
+
+# ---------------------------------------------------------------------------
+# Residual-encoded IVF-PQ (r16-built, STAGED for r17): PQ codes of
+# x − c(x) with per-(query, probed-cell) ADC LUTs — Jégou et al. 2011
+# §V.B ("IVFADC"), the variant faiss IndexIVFPQ ships. Same determinism
+# conventions as q_ann_ivfpq (first-16 centroids, first-8 queries,
+# dyadic codebook, lower-id ties); same never-shuffle-the-corpus shape.
+# ---------------------------------------------------------------------------
+def _ivfpq_residual_oracle() -> str:
+    from hadoop_gpu_spark.similarity.quantize import ivfpq_residual_sql, pq_codebook
+
+    return ivfpq_residual_sql(pq_codebook())
+
+
+Q_ANN_IVFPQ_RESIDUAL_ORACLE = _ivfpq_residual_oracle()
+
+
+def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ top-k gate (r16-built, staged; registration adds
+    the @query binding to Q_ANN_IVFPQ_RESIDUAL_ORACLE in r17)."""
+    from hadoop_gpu_spark.similarity.quantize import ivfpq_residual_topk
+
+    return ivfpq_residual_topk(T(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------

@@ -298,20 +298,24 @@ def _fmt(x: float) -> str:
     return repr(float(x))
 
 
-def _pq_sql_parts(book: list[list[list[float]]]) -> tuple[list[str], list[str], list[str]]:
+def _pq_sql_parts(
+    book: list[list[list[float]]], elem: str = "embedding[{i}]::DOUBLE"
+) -> tuple[list[str], list[str], list[str]]:
     """Shared SQL fragments: per-centroid distance columns (explicit
     left-to-right sums), per-subspace LEAST columns, and the
-    first-match-wins argmin CASE columns."""
+    first-match-wins argmin CASE columns. ``elem`` is the 1-based
+    element-access template — the default reads the raw embedding;
+    the residual variant passes ``r[{i}]`` over a residual DOUBLE[]
+    column instead."""
     n_sub = len(book)
     sub_dim = len(book[0][0])
     dist_cols = []
     for s, cents in enumerate(book):
         for k, ent in enumerate(cents):
-            terms = [
-                f"(embedding[{s * sub_dim + d + 1}]::DOUBLE - {_fmt(c)})"
-                f" * (embedding[{s * sub_dim + d + 1}]::DOUBLE - {_fmt(c)})"
-                for d, c in enumerate(ent)
-            ]
+            terms = []
+            for d, c in enumerate(ent):
+                e = elem.format(i=s * sub_dim + d + 1)
+                terms.append(f"({e} - {_fmt(c)}) * ({e} - {_fmt(c)})")
             dist_cols.append(f"{' + '.join(terms)} AS d{s}_{k}")
     mins = [
         f"LEAST({', '.join(f'd{s}_{k}' for k in range(len(book[s])))}) AS m{s}"
@@ -792,6 +796,221 @@ def ivfpq_sql(
       FROM probes p JOIN acodes e USING (centroid_id)
       JOIN lut q ON q.vec_id = p.qid
       WHERE e.vec_id <> p.qid),
+    ranked AS (
+      SELECT qid, nid, adc,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY adc ASC, nid ASC) AS rank
+      FROM scored)
+    SELECT qid, nid, round(adc, 9) AS adc, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ with RESIDUAL encoding — the Jégou et al. 2011 §V.B variant (r16)
+# --------------------------------------------------------------------------
+
+
+def ivfpq_residual_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    book: list[list[list[float]]] | None = None,
+    n_centroids: int = 16,
+    n_queries: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-PQ over RESIDUALS (Jégou et al. 2011 §V.B — "IVFADC"): PQ
+    encodes x − c(x), the vector's offset from its coarse centroid,
+    instead of x itself. Residuals concentrate near the origin, so the
+    same codebook budget quantizes them with far less distortion — this
+    is the variant every production billion-scale index (faiss
+    IndexIVFPQ) actually ships. The ADC lookup table becomes
+    per-(query, probed cell): the query's residual against THAT cell,
+    q − c_cell, scored against the codebook.
+
+    Composition/determinism contract shared with :func:`ivfpq_topk` /
+    q_ann_ivf / q_ann_pq: centroids = first ``n_centroids`` vectors
+    (assignment = sequential-accumulation euclidean, first-min/lower-id
+    ties — the ``assign_to_centroids_pandas`` kernel), queries = first
+    ``n_queries``, codebook = the dyadic ``pq_codebook`` grid, residual
+    subtraction in float64 (exact for float32 inputs), codes = the
+    ``pq_encode`` accumulation/argmin conventions applied to residuals,
+    ties on lower id everywhere.
+
+    Scale shape: ONE corpus pass assigns + residual-encodes map-side
+    (centroid matrix + codebook ride the closure — model-sized
+    broadcasts); the probe set with its per-(query, cell) LUTs
+    (|queries| × nprobe rows) broadcasts; scoring is a broadcast join +
+    LUT lookups — the corpus never shuffles. At real scale the codes
+    table is written partitioned by centroid_id so a probe is partition
+    pruning; residual encoding changes WHAT is stored per row (codes of
+    x − c), not the storage or probe topology.
+    """
+    from pyspark.sql.window import Window
+
+    from hadoop_gpu_spark.similarity.ann import assign_to_centroids_pandas
+
+    spark = df.sparkSession
+    book_v = book if book is not None else pq_codebook()
+    n_sub = len(book_v)
+    sub_dim = len(book_v[0][0])
+    C = np.asarray(book_v, dtype=np.float64)  # (S, K, D)
+
+    cen = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(col)
+    )
+    # Coarse model driver-side (metadata-sized, the kmeans/IVF role):
+    # the residual kernel needs the assigned centroid VECTOR, and the
+    # per-(query, cell) LUTs need centroids too.
+    cen_rows = sorted(cen.collect(), key=lambda r: r["centroid_id"])
+    cen_ids = [int(r["centroid_id"]) for r in cen_rows]
+    M = np.asarray([[float(x) for x in r[col]] for r in cen_rows], dtype=np.float64)
+    cid_to_row = {c: i for i, c in enumerate(cen_ids)}
+
+    assigned = assign_to_centroids_pandas(df, cen, col, id_col)
+
+    @F.pandas_udf("array<long>")
+    def _res_codes(embs: pd.Series, cids: pd.Series) -> pd.Series:
+        if not len(embs):
+            return pd.Series([], dtype=object)
+        X = np.asarray(embs.tolist(), dtype=np.float64)
+        rows = np.asarray([cid_to_row[int(c)] for c in cids], dtype=np.int64)
+        R = X - M[rows]  # residuals, one exact float64 subtract per dim
+        out = np.empty((R.shape[0], n_sub), dtype=np.int64)
+        for s in range(n_sub):
+            xs = R[:, s * sub_dim : (s + 1) * sub_dim]
+            sq = xs[:, None, :] - C[s][None, :, :]
+            sq *= sq
+            acc = sq[:, :, 0].copy()
+            for d in range(1, sub_dim):
+                acc += sq[:, :, d]
+            out[:, s] = acc.argmin(axis=1)
+        return pd.Series(list(out))
+
+    enc = assigned.select(
+        F.col(id_col).alias("nid"),
+        "centroid_id",
+        _res_codes(F.col(col), F.col("centroid_id")).alias("__pq"),
+    ).select(
+        "nid", "centroid_id", *[F.col("__pq")[s].alias(f"c{s}") for s in range(n_sub)]
+    )
+
+    # Probes + per-(query, cell) residual LUTs, driver-side exact
+    # (n_queries × nprobe × n_sub × n_cent doubles — model-sized).
+    # Probe selection mirrors the ivf convention: sequential-accumulated
+    # euclidean, ties on lower centroid_id.
+    qrows = sorted(
+        df.filter(F.col(id_col) < n_queries).select(id_col, col).collect(),
+        key=lambda r: r[id_col],
+    )
+    probe_rows = []
+    for r in qrows:
+        x = np.asarray([float(v) for v in r[col]], dtype=np.float64)
+        acc = np.zeros(M.shape[0], dtype=np.float64)
+        for d in range(M.shape[1]):
+            diff = x[d] - M[:, d]
+            acc += diff * diff
+        order = sorted(range(M.shape[0]), key=lambda i: (acc[i], cen_ids[i]))
+        for i in order[:nprobe]:
+            rq = x - M[i]  # query residual against THIS cell
+            per_s = []
+            for s in range(n_sub):
+                xs = rq[s * sub_dim : (s + 1) * sub_dim]
+                sq = xs[None, :] - C[s]
+                sq *= sq
+                a = sq[:, 0].copy()
+                for d in range(1, sub_dim):
+                    a += sq[:, d]
+                per_s.append([float(v) for v in a])
+            probe_rows.append((int(r[id_col]), int(cen_ids[i]), per_s))
+    lut_df = spark.createDataFrame(
+        probe_rows, "qid long, centroid_id long, lut array<array<double>>"
+    )
+
+    cand = enc.join(F.broadcast(lut_df), "centroid_id").filter(
+        F.col("nid") != F.col("qid")
+    )
+    terms = [
+        F.expr(f"element_at(element_at(lut, {s + 1}), cast(c{s} as int) + 1)")
+        for s in range(n_sub)
+    ]
+    adc = reduce(lambda a, b: a + b, terms)
+    scored = cand.select("qid", "nid", adc.alias("adc"))
+    w2 = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", F.round("adc", 9).alias("adc"), "rank")
+    )
+
+
+def ivfpq_residual_sql(
+    book: list[list[list[float]]],
+    table: str = "embeddings",
+    n_centroids: int = 16,
+    n_queries: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of :func:`ivfpq_residual_topk`: the ivfpq_sql
+    assignment/probe CTEs, with the dists/codes lattice evaluated over
+    the RESIDUAL array (list_zip elementwise x − c in DOUBLE) and the
+    LUT evaluated per (query, probed cell) over q − c_cell — same
+    argmin CASE chains, same ADC term order, same tie rules."""
+    n_sub = len(book)
+    rdist_cols, rmins, rcases = _pq_sql_parts(book, elem="r[{i}]")
+
+    def eucl(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]), "
+            "p -> (p[1]-p[2])*(p[1]-p[2])))"
+        )
+
+    res = (
+        "list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]), "
+        "p -> p[1] - p[2])"
+    )
+    adc_terms = []
+    for s in range(n_sub):
+        whens = " ".join(f"WHEN {kk} THEN q.d{s}_{kk}" for kk in range(len(book[s])))
+        adc_terms.append(f"(CASE e.c{s} {whens} END)")
+    adc = " + ".join(adc_terms)
+    return f"""
+    WITH cen AS (
+      SELECT vec_id AS centroid_id, embedding AS cemb FROM {table}
+      WHERE vec_id < {n_centroids}),
+    assigned AS (
+      SELECT e.vec_id, c.centroid_id
+      FROM {table} e CROSS JOIN cen c
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+          ORDER BY {eucl('e.embedding', 'c.cemb')}, c.centroid_id) = 1),
+    res AS (
+      SELECT e.vec_id, a.centroid_id,
+             {res.format(a='e.embedding', b='c.cemb')} AS r
+      FROM {table} e
+      JOIN assigned a USING (vec_id)
+      JOIN cen c ON c.centroid_id = a.centroid_id),
+    rdists AS (SELECT vec_id, centroid_id, {', '.join(rdist_cols)} FROM res),
+    rmins AS (SELECT *, {', '.join(rmins)} FROM rdists),
+    rcodes AS (SELECT vec_id, centroid_id, {', '.join(rcases)} FROM rmins),
+    probes AS (
+      SELECT q.vec_id AS qid, c.centroid_id
+      FROM {table} q CROSS JOIN cen c
+      WHERE q.vec_id < {n_queries}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+          ORDER BY {eucl('q.embedding', 'c.cemb')}, c.centroid_id) <= {nprobe}),
+    qres AS (
+      SELECT p.qid, p.centroid_id,
+             {res.format(a='q.embedding', b='c.cemb')} AS r
+      FROM probes p
+      JOIN cen c ON c.centroid_id = p.centroid_id
+      JOIN {table} q ON q.vec_id = p.qid),
+    qlut AS (SELECT qid, centroid_id, {', '.join(rdist_cols)} FROM qres),
+    scored AS (
+      SELECT q.qid, e.vec_id AS nid, {adc} AS adc
+      FROM qlut q JOIN rcodes e ON e.centroid_id = q.centroid_id
+      WHERE e.vec_id <> q.qid),
     ranked AS (
       SELECT qid, nid, adc,
              ROW_NUMBER() OVER (PARTITION BY qid
