@@ -111,12 +111,16 @@ def main(sf_dirs: list[str], json_out: str | None, only: list[str] | None = None
     load1 = os.getloadavg()
     print(f"loadavg at end: {load1}", flush=True)
     if json_out:
+        from bench import _machine_calib  # VM drift normalizer (r16 lesson:
+        # cross-round absolute comparisons need a per-run speed stamp)
+
         with open(json_out, "w") as f:
             json.dump(
                 {"results": results, "totals": totals, "loads": loads,
                  "failures": failures, "driver_mem":
                      os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
-                 "loadavg_start": load0, "loadavg_end": load1},
+                 "loadavg_start": load0, "loadavg_end": load1,
+                 "machine_calib": _machine_calib()},
                 f, indent=1,
             )
             f.write("\n")
