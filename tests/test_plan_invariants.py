@@ -638,6 +638,17 @@ ALLOWED_MODULE_BROADCAST_HINTS = {
      "docs.agg(F.count(F.lit(1)).cast('long').alias('__n'))"):
         "rerank corpus doc count: a 1-row aggregate (the bm25 'stats' "
         "pattern) feeding the idf lattice",
+    # r16 staged gates
+    ("operators/retrieval.py", "qsel"):
+        "MoreLikeThis selected seed terms: n_seeds x max_query_terms "
+        "rows by construction (the term cap IS the operator's scale "
+        "lever), never corpus- or vocab-sized",
+    ("operators/retrieval.py",
+     "spark.createDataFrame([(int(n_docs), int(total_tokens))], "
+     "'__n long, __tt long')"):
+        "MoreLikeThis precomputed corpus stats: a 1-row literal frame "
+        "(the corpus_stats fast path, mirroring the bm25 'stats' 1-row "
+        "aggregate on the default path)",
     ("similarity/quantize.py", "cen_b"):
         "IVF-PQ coarse centroid table: n_centroids rows (first-k "
         "convention), never corpus-sized",

@@ -25,13 +25,16 @@ CANDIDATES = [
     "q_stream_quantiles",
 ]
 STAGED: list[str] = [
-    # EMPTY since r16: the r09 8-gate queue drained in r14
-    # (q_hll_distinct .. q_nb_lang_confusion graduated together when
-    # the r14 window rotation freed the slots; earlier graduations:
-    # q_stream_quantiles r10; q_bm25_topk, q_semantic_dedup,
-    # q_bpe_merges, q_cms_token_freq r12), and the r15 staged pair
-    # (q_ann_ivfpq, q_rerank_tfidf — tests/test_r15_candidates.py)
-    # registered in r16 with window slots.
+    # The r09 8-gate queue drained in r14 (q_hll_distinct ..
+    # q_nb_lang_confusion graduated together when the r14 window
+    # rotation freed the slots; earlier graduations: q_stream_quantiles
+    # r10; q_bm25_topk, q_semantic_dedup, q_bpe_merges, q_cms_token_freq
+    # r12), and the r15 staged pair (q_ann_ivfpq, q_rerank_tfidf —
+    # tests/test_r15_candidates.py) registered in r16 with window slots.
+    # The r16 builds below await r17 slots (tests/test_r16_candidates.py).
+    "q_morelikethis",
+    "q_hybrid_rrf",
+    "q_ann_ivfpq_residual",
 ]
 R14_GRADUATES = [
     "q_hll_distinct",
