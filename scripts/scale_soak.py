@@ -87,6 +87,12 @@ def main(sf_dirs: list[str], json_out: str | None, only: list[str] | None = None
             results[sf_dir][name] = round(t, 3)
             loads[sf_dir][name] = round(load_at, 2)
             print(f"{sf_dir} {name} {t:.3f}s (load1 {load_at:.1f})", flush=True)
+            if json_out:  # incremental flush (r16): a rung that outlives
+                # the session budget keeps every completed row
+                with open(json_out + ".partial", "w") as f:
+                    json.dump(
+                        {"results": results, "loads": loads,
+                         "failures": failures, "partial": True}, f, indent=1)
 
     print(f"\n| query | {' | '.join(sf_dirs)} | ratio |")
     print("|---|" + "---|" * (len(sf_dirs) + 1))
