@@ -4927,21 +4927,17 @@ def q_bucketed_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Still-staged gates awaiting window slots (for tests to iterate; the
 # 8-gate r09 queue drained in r14 — see the _DRIVER_WINDOW note).
-# The two r15 builds (q_ann_ivfpq, q_rerank_tfidf) graduated with r16
-# window slots after a round of staged evidence. The r16 builds extend
-# the same retrieval north-star (the r15 VERDICT's "next depth" pointer:
-# a reranker over the BM25/ANN stack, or IVF-PQ with residual encoding —
-# both built): MoreLikeThis related-document retrieval (the literal
-# Lucene-contrib analog), RRF hybrid fusion of the lexical and dense
-# rankings, and residual-encoded IVF-PQ (Jégou §V.B, the faiss
-# IndexIVFPQ shape). Evidence bar in tests/test_r16_candidates.py;
-# registration = the one-line @query move + r17 window slots + budget
-# pins.
-STAGED_CANDIDATES: list[str] = [
-    "q_morelikethis",
-    "q_hybrid_rrf",
-    "q_ann_ivfpq_residual",
-]
+# EMPTY again late-r16: the three r16 builds — q_morelikethis (the
+# literal Lucene-contrib analog), q_hybrid_rrf (lexical+dense fusion),
+# q_ann_ivfpq_residual (Jégou §V.B, the faiss IndexIVFPQ shape) —
+# registered WITHIN their build round when the round continued past the
+# planned r17 handoff: their evidence bar was already complete
+# (tests/test_r16_candidates.py: both-scale oracle parity, third
+# implementations, equivalence/containment/rank invariants, plan pins)
+# and green in the 145-query sweep, so three r13-cohort pre-rotation
+# slots (q17/q18/q19 — not due until r17, cheap to re-prove) were
+# swapped for same-round registrations.
+STAGED_CANDIDATES: list[str] = []
 
 
 # ---------------------------------------------------------------------------
@@ -4961,9 +4957,15 @@ def _morelikethis_oracle() -> str:
 Q_MORELIKETHIS_ORACLE = _morelikethis_oracle()
 
 
+@query("q_morelikethis", oracle=Q_MORELIKETHIS_ORACLE)
 def q_morelikethis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Related-document retrieval gate (r16-built, staged; registration
-    adds the @query binding to Q_MORELIKETHIS_ORACLE in r17)."""
+    """MoreLikeThis related-document retrieval: each seed doc's top
+    tf·idf terms become a BM25 query over the corpus (r16-built and
+    r16-registered — evidence in tests/test_r16_candidates.py:
+    both-scale oracle parity, pure-python third impl, seed-permutation
+    and term-cap invariants, text-never-shuffles pin). The Lucene
+    MoreLikeThis analog over the reference's index contrib north star
+    (H/src/contrib/index/)."""
     from hadoop_gpu_spark.operators.retrieval import morelikethis_topk
 
     return morelikethis_topk(
@@ -5009,10 +5011,14 @@ def _hybrid_rrf_oracle() -> str:
 Q_HYBRID_RRF_ORACLE = _hybrid_rrf_oracle()
 
 
+@query("q_hybrid_rrf", oracle=Q_HYBRID_RRF_ORACLE)
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid lexical+dense retrieval gate (r16-built, staged;
-    registration adds the @query binding to Q_HYBRID_RRF_ORACLE in
-    r17)."""
+    """Reciprocal-rank fusion of the MoreLikeThis lexical ranking and
+    the dense embedding-cosine ranking for the same seeds (r16-built
+    and r16-registered — evidence in tests/test_r16_candidates.py:
+    both-scale oracle parity, third impl, leg-permutation invariants).
+    The fuse touches only the two top-k lists (|queries| × k rows); the
+    corpus is touched by the legs, never by the fusion."""
     from hadoop_gpu_spark.operators.retrieval import morelikethis_topk, rrf_fuse
     from hadoop_gpu_spark.similarity.ann import brute_force_topk
 
@@ -5047,9 +5053,13 @@ def _ivfpq_residual_oracle() -> str:
 Q_ANN_IVFPQ_RESIDUAL_ORACLE = _ivfpq_residual_oracle()
 
 
+@query("q_ann_ivfpq_residual", oracle=Q_ANN_IVFPQ_RESIDUAL_ORACLE)
 def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Residual IVF-PQ top-k gate (r16-built, staged; registration adds
-    the @query binding to Q_ANN_IVFPQ_RESIDUAL_ORACLE in r17)."""
+    """Residual-encoded IVF-PQ top-k (IVFADC, Jégou et al. 2011 §V.B —
+    the faiss IndexIVFPQ shape; r16-built and r16-registered, evidence
+    in tests/test_r16_candidates.py: both-scale oracle parity,
+    pure-numpy third impl, residual≡plain-PQ degenerate-codebook
+    equivalence, corpus-never-shuffles plan pin)."""
     from hadoop_gpu_spark.similarity.quantize import ivfpq_residual_topk
 
     return ivfpq_residual_topk(T(spark, sf_dir, "embeddings"))
@@ -5698,22 +5708,29 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # - REGISTRATIONS (new queries must be windowed): q_ann_ivfpq,
 #   q_rerank_tfidf — the r15 staged gates, evidence-complete in
 #   tests/test_r15_candidates.py, green in LOCAL_SWEEP_r15. [2]
-# - load-leveling pre-rotation (category d): the ENTIRE 18-query
+#   Plus the three r16 builds registered late-r16 when the round
+#   continued past the planned r17 handoff: q_morelikethis,
+#   q_hybrid_rrf, q_ann_ivfpq_residual (evidence-complete in
+#   tests/test_r16_candidates.py, green in LOCAL_SWEEP_r16); they took
+#   the slots of three r13-cohort pre-rotations (q17/q18/q19), which
+#   revert to ordinary r17 dues. [3]
+# - load-leveling pre-rotation (category d): 15 of the 18-query
 #   r13-latest cohort (due r17 otherwise): q09_product_type_profit,
-#   q13_customer_distribution, q17_small_quantity_revenue,
-#   q18_large_orders, q19_discounted_revenue, q20_potential_promotion,
+#   q13_customer_distribution, q20_potential_promotion,
 #   q22_global_sales, q_boilerplate_ratio, q_embedding_outliers,
 #   q_events_hourly, q_funnel, q_hybrid_token_stats, q_join_star,
 #   q_pretrain_pipeline, q_tfidf_topterms, q_token_budget_sample,
-#   q_uniq_value_count, q_wordcount — plus 2 heavy members of the
+#   q_uniq_value_count, q_wordcount — q17/q18/q19 ceded their slots to
+#   the late-r16 registrations above — plus 2 heavy members of the
 #   47-query r14-latest cohort (due r18) whose re-proof is most
-#   valuable: q_semantic_dedup, q_sparse_allpairs. [20]
-# - 25 + 3 + 2 + 20 = exactly 50, zero overlap.
+#   valuable: q_semantic_dedup, q_sparse_allpairs. [17]
+# - 25 + 3 + 2 + 3 + 17 = exactly 50, zero overlap.
 #
 # r17 lookahead (enumerate against CORRECTNESS_r16 when it lands):
-# due = the remaining 45 r14-latest queries; 45 fit in 50 with ~5
-# spare slots for changed queries — steady state holds (the r15 cohort
-# of 50 then splits across r18/r19).
+# due = the remaining 45 r14-latest queries + the three q17/q18/q19
+# r13-cohort members that ceded their pre-rotation slots = 48 in 50
+# with 2 spare slots for changed queries — steady state holds (the
+# r15 cohort of 50 then splits across r18/r19).
 # ===========================================================================
 _DRIVER_WINDOW = [
     # stale rotation: the full r12-latest cohort (policy boundary)
@@ -5750,12 +5767,13 @@ _DRIVER_WINDOW = [
     # r16 registrations (the r15 staged gates)
     "q_ann_ivfpq",
     "q_rerank_tfidf",
-    # load-leveling pre-rotation: the full r13-latest cohort
+    # late-r16 registrations (the r16 builds, registered same-round)
+    "q_morelikethis",
+    "q_hybrid_rrf",
+    "q_ann_ivfpq_residual",
+    # load-leveling pre-rotation: the r13-latest cohort minus q17/q18/q19
     "q09_product_type_profit",
     "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
     "q20_potential_promotion",
     "q22_global_sales",
     "q_boilerplate_ratio",

@@ -81,6 +81,16 @@ INTENTIONAL_NESTED_LOOP = {
                                # idf lattice's 1-row doc-count aggregate
                                # (broadcast 1-row cross joins, the
                                # q_bm25_topk fold-in pattern)
+    # late-r16 registrations (the r16 staged gates; hinted frames
+    # registered in ALLOWED_MODULE_BROADCAST_HINTS at staging):
+    "q_morelikethis",          # seed-term table (n_seeds × max_query_terms
+                               # rows BY CONSTRUCTION — the term cap is the
+                               # operator's scale lever) + the 1-row corpus
+                               # stats scalar, both broadcast cross joins
+    "q_hybrid_rrf",            # composes the morelikethis lexical leg
+                               # (above) and the brute-force dense leg
+                               # (all-pairs BY DESIGN over |seeds| query
+                               # rows — the q_ann_topk baseline shape)
 }
 
 # Exchange-count budget per bench HEADLINE query (hash/range/broadcast
@@ -444,6 +454,18 @@ SCAN_BUDGET = {
     # above, every pass semantically distinct.
     "q_ann_ivfpq": 3,
     "q_rerank_tfidf": 5,
+    # late-r16 registrations (measured at registration, stable across
+    # sf0.001/sf0.01): morelikethis = seed-term selection pass + corpus
+    # stats pass + df-per-term pass + the BM25 candidate pass + the
+    # final score pass (each semantically distinct; the seed/stat frames
+    # are bounded broadcasts); hybrid = those 5 + the dense leg's
+    # query/corpus embedding pair; residual ivfpq = ONE corpus scan
+    # (assignment + residual-encode + ADC in a single map-side pass —
+    # the never-shuffle-the-corpus claim, pinned in
+    # tests/test_r16_candidates.py).
+    "q_morelikethis": 5,
+    "q_hybrid_rrf": 7,
+    "q_ann_ivfpq_residual": 1,
 }
 
 

@@ -31,10 +31,10 @@ STAGED: list[str] = [
     # r10; q_bm25_topk, q_semantic_dedup, q_bpe_merges, q_cms_token_freq
     # r12), and the r15 staged pair (q_ann_ivfpq, q_rerank_tfidf —
     # tests/test_r15_candidates.py) registered in r16 with window slots.
-    # The r16 builds below await r17 slots (tests/test_r16_candidates.py).
-    "q_morelikethis",
-    "q_hybrid_rrf",
-    "q_ann_ivfpq_residual",
+    # The r16 builds (q_morelikethis, q_hybrid_rrf, q_ann_ivfpq_residual
+    # — tests/test_r16_candidates.py) also registered late-r16 when the
+    # round continued past the planned r17 handoff, taking the q17/q18/
+    # q19 pre-rotation slots. EMPTY again.
 ]
 R14_GRADUATES = [
     "q_hll_distinct",
