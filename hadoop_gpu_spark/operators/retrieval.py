@@ -388,6 +388,9 @@ def morelikethis_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     corpus_stats: tuple[int, int] | None = None,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 1,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Related-document retrieval — the Lucene ``MoreLikeThis`` shape
     (the reference's Lucene index contrib, ``H/src/contrib/index/``, is
@@ -416,6 +419,21 @@ def morelikethis_topk(
     Determinism: seed-term ranking orders by tf·idf9 — a BIGINT×double
     product of engine-identical operands (idf9 is round-9'd before use)
     — with term-string ties; both engines agree bit-for-bit.
+
+    Term-selection knobs (the remaining Lucene MoreLikeThis surface —
+    minTermFreq / minDocFreq / maxDocFreq): a term is eligible as a
+    query term only if its frequency IN THE SEED doc is >=
+    ``min_term_freq``, its document frequency is >= ``min_doc_freq``,
+    and (when ``max_doc_freq`` is set) its df is <= ``max_doc_freq``.
+    Filters apply BEFORE the ``max_query_terms`` cap, exactly as
+    Lucene's interesting-terms priority queue skips ineligible terms.
+    At scale these knobs tighten the same lever the cap pulls:
+    ``min_doc_freq`` drops hapax noise, ``max_doc_freq`` bounds the
+    worst-case candidate fanout at ``max_query_terms * max_doc_freq``
+    rows per seed — a HARD cap a deployment can size memory against.
+    The defaults (1, 1, None) are exact no-ops: the default plan and
+    the SQL twin's default text are byte-identical to the pre-knob
+    operator, so the registered q_morelikethis pin is untouched.
     """
     from hadoop_gpu_spark.operators.fields import tokenize
     from hadoop_gpu_spark.utils import eager_persist
@@ -457,7 +475,12 @@ def morelikethis_topk(
         ),
         9,
     )
-    idf = eager_persist(idf_src.select("term", idf9_expr.alias("idf9")))
+    knobs = min_term_freq > 1 or min_doc_freq > 1 or max_doc_freq is not None
+    # With knobs active the persisted idf lattice carries df too (still
+    # vocab-sized, no extra corpus pass); the default path keeps the
+    # exact pre-knob frame so the registered plan pin is unchanged.
+    idf_key_cols = ["term", "df"] if knobs else ["term"]
+    idf = eager_persist(idf_src.select(*idf_key_cols, idf9_expr.alias("idf9")))
 
     # Seed term selection: seeds tokenize from the pushed-down id filter
     # (seed rows only — never the corpus), rank terms by tf·idf9.
@@ -470,9 +493,15 @@ def morelikethis_topk(
     w_sel = Window.partitionBy(id_col).orderBy(
         (F.col("tfq") * F.col("idf9")).desc(), F.col("term").asc()
     )
+    sel_src = seed_tf.join(idf, "term")
+    if min_term_freq > 1:
+        sel_src = sel_src.filter(F.col("tfq") >= min_term_freq)
+    if min_doc_freq > 1:
+        sel_src = sel_src.filter(F.col("df") >= min_doc_freq)
+    if max_doc_freq is not None:
+        sel_src = sel_src.filter(F.col("df") <= max_doc_freq)
     qsel = eager_persist(
-        seed_tf.join(idf, "term")
-        .withColumn("__r", F.row_number().over(w_sel))
+        sel_src.withColumn("__r", F.row_number().over(w_sel))
         .filter(F.col("__r") <= max_query_terms)
         .select(F.col(id_col).alias("qid"), "term")
     )
@@ -517,14 +546,29 @@ def morelikethis_sql(
     top_k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_term_freq: int = 1,
+    min_doc_freq: int = 1,
+    max_doc_freq: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`morelikethis_topk` — identical lattice:
     same tokenizer spelling, same plus-one idf round-9 discipline, same
     tf·idf9 seed-term ranking with term ties, same decimal contrib
-    accumulation and (score desc, id) ranking."""
+    accumulation and (score desc, id) ranking. The term-selection knobs
+    render as an extra dft join + WHERE inside the qsel CTE ONLY when
+    non-default, so the default twin's text is byte-identical to the
+    pre-knob generator (the registered q_morelikethis oracle pin)."""
     toks = f"list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x <> '')"
     k1p1 = repr(k1 + 1.0)
     one_m_b = repr(1.0 - b)
+    conds = []
+    if min_term_freq > 1:
+        conds.append(f"s.tfq >= {min_term_freq}")
+    if min_doc_freq > 1:
+        conds.append(f"d.df >= {min_doc_freq}")
+    if max_doc_freq is not None:
+        conds.append(f"d.df <= {max_doc_freq}")
+    knob_join = " JOIN dft d USING (term)" if conds else ""
+    knob_where = (" WHERE " + " AND ".join(conds)) if conds else ""
     return f"""
     WITH stats AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -553,7 +597,7 @@ def morelikethis_sql(
         SELECT s.{id_col} AS qid, s.term,
                ROW_NUMBER() OVER (PARTITION BY s.{id_col}
                    ORDER BY CAST(s.tfq AS DOUBLE) * i.idf9 DESC, s.term ASC) AS r
-        FROM seed_tf s JOIN idf i USING (term))
+        FROM seed_tf s JOIN idf i USING (term){knob_join}{knob_where})
       WHERE r <= {max_query_terms}),
     contrib AS (
       SELECT q.qid, p.{id_col},

@@ -62,6 +62,9 @@ STREAMING_SNAPSHOT: set[str] = {
     # complete-mode aggregates
     "q_stream_cms_freq",
     "q_stream_hll_distinct",
+    # r16 continuation: the MinHash-LSH near-dedup census (complete-mode
+    # aggregate over band buckets — the dedup family's streaming member)
+    "q_stream_lsh_dedup",
 }
 
 
@@ -5066,6 +5069,82 @@ def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVFADC+R (r16-built, late-round continuation): the residual IVF-PQ
+# shortlist re-ranked by EXACT distances fetched from the raw vectors —
+# Jégou et al. 2011 §VI ("re-ranking with source coding"), the recall
+# -recovery stage production IVFPQ deployments run. Stage 1 is
+# q_ann_ivfpq_residual verbatim with k=shortlist; stage 2 broadcasts
+# the |queries| × shortlist candidate list onto the corpus scan (a
+# map-side id fetch — zero corpus exchanges in either stage) and
+# re-ranks on the q_ann_topk exact-distance conventions.
+# ---------------------------------------------------------------------------
+def _ivfadc_r_oracle() -> str:
+    from hadoop_gpu_spark.similarity.quantize import ivfadc_r_sql, pq_codebook
+
+    return ivfadc_r_sql(pq_codebook())
+
+
+Q_ANN_IVFADC_R_ORACLE = _ivfadc_r_oracle()
+
+
+@query("q_ann_ivfadc_r", oracle=Q_ANN_IVFADC_R_ORACLE)
+def q_ann_ivfadc_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC+R: residual IVF-PQ shortlist (k=20) re-ranked by exact
+    squared-L2 over the fetched raw vectors (Jégou et al. 2011 §VI;
+    r16-built and r16-registered — evidence in
+    tests/test_r16b_candidates.py: both-scale oracle parity, numpy
+    third impl, shortlist containment / ADC-consistency / rank-1
+    improvement invariants, corpus-never-shuffles plan pin)."""
+    from hadoop_gpu_spark.similarity.quantize import ivfadc_r_topk
+
+    return ivfadc_r_topk(T(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# MoreLikeThis with Lucene's term-selection knobs (r16-built, late-round
+# continuation): minTermFreq / minDocFreq / maxDocFreq — the remaining
+# Lucene MoreLikeThis surface after q_morelikethis's maxQueryTerms. All
+# three knobs BIND at the gate's parameters on this corpus (asserted in
+# the evidence tests — the synthetic vocabulary is dense, so the df
+# thresholds sit in the observed df band of repeated seed terms,
+# [373, 415]), and maxDocFreq is the 100 TB safety rail: it hard-caps
+# candidate fanout at max_query_terms × max_doc_freq rows per seed
+# regardless of corpus skew.
+# ---------------------------------------------------------------------------
+_MLT_KNOBS = dict(min_term_freq=2, min_doc_freq=378, max_doc_freq=395)
+
+
+def _morelikethis_filtered_oracle() -> str:
+    from hadoop_gpu_spark.operators.retrieval import morelikethis_sql
+
+    return morelikethis_sql(
+        "documents", n_seeds=8, max_query_terms=8, top_k=10, **_MLT_KNOBS
+    )
+
+
+Q_MORELIKETHIS_FILTERED_ORACLE = _morelikethis_filtered_oracle()
+
+
+@query("q_morelikethis_filtered", oracle=Q_MORELIKETHIS_FILTERED_ORACLE)
+def q_morelikethis_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoreLikeThis under Lucene's minTermFreq=2 / minDocFreq=378 /
+    maxDocFreq=395 term-selection knobs (r16-built and r16-registered —
+    evidence in tests/test_r16b_candidates.py: both-scale oracle
+    parity, stdlib third impl, knob-binding and no-op-default-identity
+    invariants, eligibility containment). Same BM25 lattice as
+    q_morelikethis; only seed-term ELIGIBILITY changes."""
+    from hadoop_gpu_spark.operators.retrieval import morelikethis_topk
+
+    return morelikethis_topk(
+        T(spark, sf_dir, "documents"),
+        n_seeds=8,
+        max_query_terms=8,
+        top_k=10,
+        **_MLT_KNOBS,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Two-stage retrieve-then-rerank (r15-built, r16-registered): the oracle
 # composes _BM25_QUERIES, so _rerank_oracle lives here but the @query
 # binding sits next to q_bm25_topk below, after the query list exists.
@@ -5159,6 +5238,67 @@ def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["event_type"], **_STREAM_Q_ARGS,
     )
     return hist_quantiles(snap, _STREAM_Q_QS, ["event_type"], **_STREAM_Q_ARGS)
+
+
+# ---------------------------------------------------------------------------
+# Streaming MinHash-LSH near-dedup census (r16-continuation build): the
+# dedup family enters the streaming family — near-dup candidate
+# detection AT INGEST, next to q_stream_dedup's exact content-hash
+# dedup. MIN/COUNT-SUM merge algebra makes the availableNow snapshot
+# equal the batch band census bit-for-bit, so the gate shares the batch
+# minhash SQL lattice (the q_dedup_minhash oracle conventions).
+# ---------------------------------------------------------------------------
+def _stream_lsh_oracle() -> str:
+    from hadoop_gpu_spark.dedup.minhash import (
+        NUM_HASHES,
+        ROWS_PER_BAND,
+        sql_band_hash_expr,
+        sql_signature_exprs,
+    )
+
+    sig_exprs = ", ".join(sql_signature_exprs(NUM_HASHES))
+    band_sel = " UNION ALL ".join(
+        f"SELECT doc_id, CAST({b} AS BIGINT) AS band, "
+        f"{sql_band_hash_expr(b)} AS band_hash FROM sig"
+        for b in range(NUM_HASHES // ROWS_PER_BAND)
+    )
+    return f"""
+    WITH sig AS (SELECT doc_id, {sig_exprs} FROM documents),
+    bands AS ({band_sel}),
+    census AS (
+      SELECT band, band_hash, MIN(doc_id) AS canonical_id,
+             CAST(COUNT(*) AS BIGINT) AS members
+      FROM bands GROUP BY band, band_hash)
+    SELECT band, band_hash, canonical_id, members
+    FROM census WHERE members >= 2
+    """
+
+
+Q_STREAM_LSH_DEDUP_ORACLE = _stream_lsh_oracle()
+
+
+@query("q_stream_lsh_dedup", oracle=Q_STREAM_LSH_DEDUP_ORACLE)
+def q_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH band-bucket census, collided buckets only
+    — near-dedup candidate detection at ingest (r16-continuation build
+    and registration; evidence in tests/test_r16b_candidates.py:
+    both-scale oracle parity, batch≡stream bit-equality, micro-batch
+    split invariance, canonical-is-min + candidate-pair consistency vs
+    the batch lsh_candidate_pairs operator). Member of
+    STREAMING_SNAPSHOT: drives a Structured Streaming pipeline at
+    construction, so its batch plan is a snapshot read."""
+    from hadoop_gpu_spark.streaming import docs_stream, lsh_bucket_stream_snapshot
+
+    out_dir = _snapshot_scratch_dir("stream_lsh", sf_dir)
+    snap = lsh_bucket_stream_snapshot(
+        docs_stream(spark, sf_dir), "text", "doc_id", out_dir
+    )
+    return snap.filter(F.col("members") >= 2).select(
+        F.col("band").cast("long").alias("band"),
+        "band_hash",
+        "canonical_id",
+        "members",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -5771,11 +5911,16 @@ _DRIVER_WINDOW = [
     "q_morelikethis",
     "q_hybrid_rrf",
     "q_ann_ivfpq_residual",
-    # load-leveling pre-rotation: the r13-latest cohort minus q17/q18/q19
-    "q09_product_type_profit",
+    # continuation registrations (built in the r16 continuation session;
+    # they take the q20/q22 pre-rotation slots — r13-latest TPC-H
+    # members not due until r17 and cheap to re-prove then)
+    "q_ann_ivfadc_r",
+    "q_morelikethis_filtered",
+    "q_stream_lsh_dedup",
+    # load-leveling pre-rotation: the r13-latest cohort minus
+    # q17/q18/q19 (ceded to the late-r16 registrations) and
+    # q09/q20/q22 (ceded to the continuation registrations)
     "q13_customer_distribution",
-    "q20_potential_promotion",
-    "q22_global_sales",
     "q_boilerplate_ratio",
     "q_embedding_outliers",
     "q_events_hourly",

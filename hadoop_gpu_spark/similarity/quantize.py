@@ -945,6 +945,105 @@ def ivfpq_residual_topk(
     )
 
 
+def ivfadc_r_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    book: list[list[list[float]]] | None = None,
+    n_centroids: int = 16,
+    n_queries: int = 8,
+    nprobe: int = 2,
+    shortlist: int = 20,
+    k: int = 5,
+) -> DataFrame:
+    """IVFADC+R (Jégou et al. 2011 §VI — "re-ranking with source
+    coding"): the residual IVF-PQ index produces a ``shortlist``-sized
+    ADC candidate list per query, and a second stage re-ranks those
+    candidates by their EXACT squared-L2 distance computed from the raw
+    vectors. ADC distances are quantization-distorted estimates; the +R
+    stage restores exact ordering over the shortlist, which is how
+    production IVFPQ deployments recover recall@k without growing
+    nprobe (the paper re-ranks against stored residual refinement
+    codes; with the raw corpus available as a columnar table, the exact
+    vector IS the best refinement available, so the re-rank uses it).
+
+    Composition: stage 1 is :func:`ivfpq_residual_topk` verbatim with
+    ``k=shortlist`` (same determinism contract — first-``n_centroids``
+    centroids, first-``n_queries`` queries, dyadic codebook, lower-id
+    ties). Stage 2 fetches candidate vectors by id, scores them with
+    the ``euclidean_sq`` left-fold (the q_ann_topk exact-distance
+    convention, bit-equal to DuckDB's list_sum fold), and re-ranks on
+    (dist asc, nid asc). Output: (qid, nid, dist, rank) — round-9 dist.
+
+    Scale shape: stage 1 never shuffles the corpus (see
+    ivfpq_residual_topk); stage 2's candidate list is |queries| ×
+    shortlist rows — it BROADCASTS onto the corpus scan, so the
+    candidate fetch is one map-side semi-join pass (at real scale, an
+    id-indexed point-lookup against the vector store — here, a
+    broadcast-hash join the corpus streams through), and only
+    |queries| × shortlist fetched rows reach the per-query rank. The
+    query-vector frame (n_queries rows) broadcasts likewise. The
+    corpus crosses zero exchanges in both stages.
+    """
+    from pyspark.sql.window import Window
+
+    from hadoop_gpu_spark.functions.vectors import euclidean_sq
+
+    short = ivfpq_residual_topk(
+        df, id_col, col, book, n_centroids, n_queries, nprobe, k=shortlist
+    )
+    cand = short.select("qid", "nid")
+    nvec = df.select(F.col(id_col).alias("nid"), F.col(col).alias("__nv"))
+    qvec = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), F.col(col).alias("__qv")
+    )
+    fetched = nvec.join(F.broadcast(cand), "nid")
+    scored = fetched.join(F.broadcast(qvec), "qid").select(
+        "qid", "nid", euclidean_sq("__qv", "__nv").alias("dist")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", F.round("dist", 9).alias("dist"), "rank")
+    )
+
+
+def ivfadc_r_sql(
+    book: list[list[list[float]]],
+    table: str = "embeddings",
+    n_centroids: int = 16,
+    n_queries: int = 8,
+    nprobe: int = 2,
+    shortlist: int = 20,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of :func:`ivfadc_r_topk`: the full
+    :func:`ivfpq_residual_sql` statement (with ``k=shortlist``) nested
+    as the candidate subquery, then the exact-distance re-rank with the
+    same list_zip sequential squared-diff fold q_ann_topk's conventions
+    use and the same (dist asc, nid asc) tie rule."""
+    inner = ivfpq_residual_sql(book, table, n_centroids, n_queries, nprobe, shortlist)
+    eucl = (
+        "list_sum(list_transform(list_zip(q.embedding::DOUBLE[], "
+        "e.embedding::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])))"
+    )
+    return f"""
+    WITH short AS (SELECT qid, nid FROM ({inner})),
+    scored AS (
+      SELECT s.qid, s.nid, {eucl} AS dist
+      FROM short s
+      JOIN {table} e ON e.vec_id = s.nid
+      JOIN {table} q ON q.vec_id = s.qid),
+    ranked AS (
+      SELECT qid, nid, dist,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist ASC, nid ASC) AS rank
+      FROM scored)
+    SELECT qid, nid, round(dist, 9) AS dist, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 def ivfpq_residual_sql(
     book: list[list[list[float]]],
     table: str = "embeddings",

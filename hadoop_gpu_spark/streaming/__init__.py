@@ -440,6 +440,64 @@ def docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_bucket_stream_snapshot(
+    stream: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_dir: str,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Streaming MinHash-LSH band-bucket census — NEAR-dedup at ingest,
+    the streaming counterpart of the batch ``dedup/minhash.py`` pipeline
+    (exact_dedup_stream handles byte-identical copies; this catches the
+    near-duplicates a content hash misses). Documents flow through the
+    proven Arrow-batched signature kernel (bit-identical to the
+    expression spec, the q_dedup_minhash parity pin) and the
+    ``band_hashes`` explode; a streaming groupBy per (band, band_hash)
+    maintains ``(canonical_id, members)`` where canonical = MIN(id) —
+    the ingest-dedup decision table: any arriving doc whose bucket row
+    already exists with a lower canonical is a near-dup CANDIDATE of
+    that canonical (verification joins run downstream, as in batch).
+
+    Merge algebra: MIN and COUNT-SUM are both associative/commutative
+    across micro-batches, so after an availableNow drain the snapshot
+    EQUALS the batch band census of the same corpus bit-for-bit (pinned
+    by test) and the gate shares the batch SQL-lattice oracle. MIN is
+    additionally what makes the canonical DETERMINISTIC regardless of
+    arrival order — a "keep first seen" rule would make the survivor a
+    race. State honesty: one row per DISTINCT (band, band_hash) — this
+    grows with corpus novelty (like exact dedup's hash state, unlike
+    the fixed-grid sketches); a deployment bounds it with a state-store
+    horizon and periodic compaction into the batch index, the same
+    division of labor exact_dedup_stream documents.
+
+    Complete mode + idempotent overwrite snapshot (the sketch-family
+    shape). Returns the drained snapshot read back as a batch frame
+    ``(band, band_hash, canonical_id, members)``.
+    """
+    from hadoop_gpu_spark.dedup.minhash import band_hashes, minhash_signatures_pandas
+
+    sig = minhash_signatures_pandas(stream, text_col, id_col, num_hashes)
+    bands = band_hashes(sig, id_col, num_hashes, rows_per_band)
+    agg = bands.groupBy("band", "band_hash").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).cast("long").alias("members"),
+    )
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream.sparkSession.read.parquet(out_dir)
+
+
 def cms_stream_snapshot(
     stream: DataFrame,
     text_col: str,

@@ -16,6 +16,13 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     this is a no-op; on small/test inputs it restores full parallelism at
     the cost of one narrow exchange.
     """
+    # Streaming frames: partition inspection (df.rdd) is illegal pre-
+    # start, and micro-batch parallelism is the source's concern
+    # (maxFilesPerTrigger / source splits) — pass through untouched so
+    # batch kernels (minhash, simhash, vector math) compose into
+    # streaming pipelines unchanged.
+    if df.isStreaming:
+        return df
     spark = df.sparkSession
     if target is None:
         target = spark.sparkContext.defaultParallelism

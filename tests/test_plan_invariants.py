@@ -91,6 +91,11 @@ INTENTIONAL_NESTED_LOOP = {
                                # (above) and the brute-force dense leg
                                # (all-pairs BY DESIGN over |seeds| query
                                # rows — the q_ann_topk baseline shape)
+    # r16 continuation registration:
+    "q_morelikethis_filtered", # same bounded frames as q_morelikethis
+                               # (seed-term table + 1-row corpus stats);
+                               # the knobs only FILTER seed-term
+                               # eligibility, tightening the fanout
 }
 
 # Exchange-count budget per bench HEADLINE query (hash/range/broadcast
@@ -466,6 +471,14 @@ SCAN_BUDGET = {
     "q_morelikethis": 5,
     "q_hybrid_rrf": 7,
     "q_ann_ivfpq_residual": 1,
+    # r16 continuation registrations (measured at registration):
+    # ivfadc_r = the residual stage-1 single corpus pass + the stage-2
+    # candidate-vector fetch pass + the query-vector pass (3 distinct
+    # pushed-filter passes — the q_ann_ivf convention); the filtered
+    # MLT keeps q_morelikethis's 5 (knobs filter the seed-term frame
+    # in-plan, no new pass).
+    "q_ann_ivfadc_r": 3,
+    "q_morelikethis_filtered": 5,
 }
 
 
@@ -677,6 +690,14 @@ ALLOWED_MODULE_BROADCAST_HINTS = {
     ("similarity/quantize.py", "probes.join(F.broadcast(lut_df), 'qid')"):
         "IVF-PQ probe set with per-query LUTs: n_queries x nprobe rows, "
         "each carrying an n_sub x n_cent double grid — model-sized",
+    # r16 continuation registrations
+    ("similarity/quantize.py", "cand"):
+        "IVFADC+R stage-2 candidate list: |queries| x shortlist id "
+        "pairs by construction — the re-rank fetch broadcasts IDs onto "
+        "the corpus scan, never the corpus onto anything",
+    ("similarity/quantize.py", "qvec"):
+        "IVFADC+R query-vector frame: n_queries rows (the ANN query-set "
+        "convention, ann.py 'q')",
 }
 
 

@@ -81,10 +81,22 @@ def test_r16_oracles_emit_driver_safe_types(sf_dir, gate):
 # ---------------------------------------------------------------------------
 
 
-def _py_mlt(texts_by_id, n_seeds=8, max_query_terms=8, k1=1.2, b=0.75, top_k=10):
+def _py_mlt(
+    texts_by_id,
+    n_seeds=8,
+    max_query_terms=8,
+    k1=1.2,
+    b=0.75,
+    top_k=10,
+    min_term_freq=1,
+    min_doc_freq=1,
+    max_doc_freq=None,
+):
     """Stdlib MoreLikeThis: plus-one idf round-9, tf·idf9 seed-term cap
     with term-string ties, decimal BM25 accumulation, (score desc, id)
-    ranks. Returns {qid: [(doc_id, rank, score)...]} plus the selected
+    ranks. The Lucene term-selection knobs (minTermFreq / minDocFreq /
+    maxDocFreq) filter eligibility BEFORE the cap; defaults are no-ops.
+    Returns {qid: [(doc_id, rank, score)...]} plus the selected
     terms per seed (for the containment invariant)."""
     toks = {i: t.split() for i, t in texts_by_id.items()}
     n = len(texts_by_id)
@@ -102,9 +114,14 @@ def _py_mlt(texts_by_id, n_seeds=8, max_query_terms=8, k1=1.2, b=0.75, top_k=10)
     for qid in sorted(texts_by_id):
         if qid >= n_seeds:
             continue
-        ranked = sorted(
-            tf[qid].items(), key=lambda kv: (-(kv[1] * idf9[kv[0]]), kv[0])
-        )
+        eligible = [
+            (t, c)
+            for t, c in tf[qid].items()
+            if c >= min_term_freq
+            and all_df[t] >= min_doc_freq
+            and (max_doc_freq is None or all_df[t] <= max_doc_freq)
+        ]
+        ranked = sorted(eligible, key=lambda kv: (-(kv[1] * idf9[kv[0]]), kv[0]))
         qsel[qid] = [t for t, _ in ranked[:max_query_terms]]
     out = {}
     for qid, terms in qsel.items():
