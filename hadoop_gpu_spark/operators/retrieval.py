@@ -212,6 +212,227 @@ def bm25_topk_sql(
 
 
 # --------------------------------------------------------------------------
+# BM25F — multi-field BM25 (Robertson, Zaragoza & Taylor, CIKM 2004)
+# --------------------------------------------------------------------------
+
+
+def bm25f_topk(
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    *,
+    title_len: int = 8,
+    w_title: float = 2.0,
+    w_body: float = 1.0,
+    b_title: float = 0.5,
+    b_body: float = 0.75,
+    k1: float = 1.2,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-field BM25 ("simple BM25F", Robertson/Zaragoza/Taylor 2004;
+    the scoring Lucene/Elasticsearch expose as per-field boosts with
+    per-field length normalization): documents are split into a TITLE
+    field (the first ``title_len`` whitespace tokens — a deterministic,
+    engine-portable field boundary; real corpora carry the boundary as
+    a schema column and the lattice is unchanged) and a BODY field (the
+    rest). Per field f: the soft-normalized term frequency
+    ``tf~_f = tf_f / (1 + b_f * (len_f/avglen_f - 1))``; the weighted
+    combination ``tfc = w_title*tf~_title + w_body*tf~_body`` feeds ONE
+    shared saturation ``idf * tfc*(k1+1)/(k1 + tfc)`` — boosting a
+    field scales its term occurrences BEFORE saturation, which is
+    BM25F's whole point over naively summing per-field BM25 scores
+    (a term filling the title saturates like a term filling the body;
+    the 2004 paper's argument against score-level combination). idf is
+    DOC-level (a doc containing the term in any field counts toward
+    df), the same plus-one round-9 form as :func:`bm25_topk`.
+
+    Exact algebraic anchor (test-pinned): with ``b_title = b_body = 0``
+    and ``w_title = w_body = 1``, tfc degenerates to the doc-level tf
+    and the gate equals :func:`bm25_topk` with ``b = 0`` row-for-row.
+
+    100 TB shape = bm25_topk's: query terms prune the posexploded token
+    stream AT THE SCAN; per-field tfs are conditional aggregates of the
+    same pass (no second tokenize); df rides the tf frame as a window
+    count; the 1-row (N, total_title, total_body) stats aggregate
+    broadcasts; text never shuffles.
+
+    Determinism: every denominator is the same left-to-right IEEE
+    sequence in both engines (len_f/avglen_f spelled (len_f*N)/total_f
+    on exact-int-valued doubles); per-term contributions round-9 then
+    accumulate as DECIMAL(28,9); ties rank on (score desc, id). A
+    zero-token field corpus-wide (total_f = 0) contributes 0 via an
+    explicit CASE guard rather than raising under ANSI division.
+    """
+    from hadoop_gpu_spark.operators.fields import tokenize
+
+    qt = _query_terms(queries)
+    if not qt:
+        raise ValueError("queries must contain at least one term")
+    terms = sorted({t for _, t in qt})
+    spark = docs.sparkSession
+
+    toks = docs.select(
+        id_col,
+        F.regexp_count(F.col(text_col), F.lit(_DL_RE)).alias("__dl"),
+        F.posexplode(tokenize(text_col)).alias("__pos", "term"),
+    ).filter(F.col("term").isin(terms))
+    tf = toks.groupBy(id_col, "__dl", "term").agg(
+        F.sum(F.when(F.col("__pos") < title_len, 1).otherwise(0))
+        .cast("long")
+        .alias("tf_t"),
+        F.sum(F.when(F.col("__pos") >= title_len, 1).otherwise(0))
+        .cast("long")
+        .alias("tf_b"),
+    )
+    w_term = Window.partitionBy("term")
+    with_df = tf.withColumn("df", F.count(F.lit(1)).over(w_term))
+
+    len_t = F.least(F.col("__dl"), F.lit(title_len)).cast("double")
+    stats = docs.select(
+        F.regexp_count(F.col(text_col), F.lit(_DL_RE)).alias("__dl")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.least(F.col("__dl"), F.lit(title_len))).cast("long").alias("__tt_t"),
+        F.sum(F.col("__dl") - F.least(F.col("__dl"), F.lit(title_len)))
+        .cast("long")
+        .alias("__tt_b"),
+    )
+    cand = with_df.crossJoin(F.broadcast(stats))
+
+    idf9 = F.round(
+        F.log(
+            ((F.col("__n") - F.col("df")) + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        9,
+    )
+
+    def norm_tf(tf_col: str, flen, total_col: str, b_f: float, w_f: float):
+        denom = F.lit(1.0) + F.lit(float(b_f)) * (
+            (flen * F.col("__n").cast("double")) / F.col(total_col).cast("double")
+            - F.lit(1.0)
+        )
+        return F.when(F.col(total_col) == 0, F.lit(0.0)).otherwise(
+            F.lit(float(w_f)) * (F.col(tf_col).cast("double") / denom)
+        )
+
+    tfc = norm_tf("tf_t", len_t, "__tt_t", b_title, w_title) + norm_tf(
+        "tf_b", F.col("__dl").cast("double") - len_t, "__tt_b", b_body, w_body
+    )
+    sat = (tfc * F.lit(k1 + 1.0)) / (F.lit(float(k1)) + tfc)
+    contrib = cand.withColumn("__c", F.round(idf9 * sat, 9).cast("decimal(28,9)"))
+
+    qterms = spark.createDataFrame(qt, schema="qid string, term string")
+    per_doc = (
+        contrib.join(qterms, "term")
+        .groupBy("qid", id_col)
+        .agg(F.sum("__c").alias("__s"))
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.col("__s").desc(), F.col(id_col))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "qid",
+            id_col,
+            "rank",
+            F.round(F.col("__s").cast("double"), 6).alias("score"),
+        )
+    )
+
+
+def bm25f_topk_sql(
+    table: str,
+    queries: list[tuple[str, str]],
+    *,
+    title_len: int = 8,
+    w_title: float = 2.0,
+    w_body: float = 1.0,
+    b_title: float = 0.5,
+    b_body: float = 0.75,
+    k1: float = 1.2,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`bm25f_topk` — identical lattice: same
+    tokenizer spelling with 1-based parallel-unnest positions (title is
+    ``pos <= title_len`` here vs Spark's 0-based ``pos < title_len`` —
+    both select exactly the first title_len tokens), same conditional
+    per-field tf aggregates, same
+    (len_f*N)/total_f denominators with explicit DOUBLE casts and
+    operand order, same zero-total CASE guards, same round-9/decimal
+    accumulation and (score desc, id) ranking."""
+    qt = _query_terms(queries)
+    terms_list = ", ".join(f"'{t}'" for t in sorted({t for _, t in qt}))
+    qt_values = ", ".join(f"('{qid}', '{t}')" for qid, t in qt)
+    toks = f"list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x <> '')"
+    k1p1 = repr(k1 + 1.0)
+
+    def norm_sql(tf_col: str, flen: str, total: str, b_f: float, w_f: float) -> str:
+        denom = (
+            f"(CAST(1.0 AS DOUBLE) + CAST({b_f!r} AS DOUBLE) * "
+            f"((({flen} * CAST(n AS DOUBLE)) / CAST({total} AS DOUBLE)) "
+            f"- CAST(1.0 AS DOUBLE)))"
+        )
+        return (
+            f"(CASE WHEN {total} = 0 THEN CAST(0.0 AS DOUBLE) "
+            f"ELSE CAST({w_f!r} AS DOUBLE) * (CAST({tf_col} AS DOUBLE) / {denom}) END)"
+        )
+
+    len_t = f"CAST(least(dl, {title_len}) AS DOUBLE)"
+    len_b = f"(CAST(dl AS DOUBLE) - CAST(least(dl, {title_len}) AS DOUBLE))"
+    tfc = (
+        norm_sql("tf_t", len_t, "tt_t", float(b_title), float(w_title))
+        + " + "
+        + norm_sql("tf_b", len_b, "tt_b", float(b_body), float(w_body))
+    )
+    sat = (
+        f"((({tfc}) * CAST({k1p1} AS DOUBLE)) "
+        f"/ (CAST({float(k1)!r} AS DOUBLE) + ({tfc})))"
+    )
+    return f"""
+    WITH stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(least(len({toks}), {title_len})) AS BIGINT) AS tt_t,
+             CAST(SUM(len({toks}) - least(len({toks}), {title_len})) AS BIGINT) AS tt_b
+      FROM {table}),
+    tf AS (
+      SELECT {id_col}, dl, term,
+             CAST(SUM(CASE WHEN pos <= {title_len} THEN 1 ELSE 0 END) AS BIGINT) AS tf_t,
+             CAST(SUM(CASE WHEN pos > {title_len} THEN 1 ELSE 0 END) AS BIGINT) AS tf_b
+      FROM (
+        SELECT {id_col}, len({toks}) AS dl,
+               unnest({toks}) AS term,
+               unnest(range(1, len({toks}) + 1)) AS pos
+        FROM {table})
+      WHERE term IN ({terms_list})
+      GROUP BY {id_col}, dl, term),
+    wdf AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM tf),
+    contrib AS (
+      SELECT qid, {id_col},
+             CAST(round(
+               round(ln(((CAST(n AS DOUBLE) - CAST(df AS DOUBLE)) + CAST(0.5 AS DOUBLE))
+                         / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                         + CAST(1.0 AS DOUBLE)), 9)
+               * {sat},
+               9) AS DECIMAL(28,9)) AS c
+      FROM wdf
+      JOIN (VALUES {qt_values}) AS q(qid, term) USING (term)
+      CROSS JOIN stats),
+    ranked AS (
+      SELECT qid, {id_col}, SUM(c) AS s,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY SUM(c) DESC, {id_col})
+                  AS BIGINT) AS rank
+      FROM contrib GROUP BY qid, {id_col})
+    SELECT qid, {id_col}, rank, round(CAST(s AS DOUBLE), 6) AS score
+    FROM ranked WHERE rank <= {top_k}
+    """
+
+
+# --------------------------------------------------------------------------
 # Two-stage retrieve-then-rerank (r15)
 # --------------------------------------------------------------------------
 

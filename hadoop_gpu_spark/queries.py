@@ -5323,6 +5323,49 @@ def _bm25_oracle() -> str:
     return bm25_topk_sql("documents", _BM25_QUERIES, top_k=10)
 
 
+# ---------------------------------------------------------------------------
+# BM25F multi-field retrieval (r16-continuation build): per-field soft
+# length normalization + field boosts BEFORE one shared saturation —
+# Robertson/Zaragoza/Taylor (CIKM 2004), the multi-field scoring shape
+# Lucene/Elasticsearch expose. The title field is the first 8 whitespace
+# tokens (a deterministic engine-portable boundary; a real corpus
+# carries it as a schema column, same lattice). Exact algebraic anchor:
+# b=0 + unit weights degenerates to q_bm25_topk with b=0 (test-pinned).
+# title_len=16 (not 8): the corpus' minimum doc length is 10 tokens, so
+# at 8 every title is full-length and the title normalizer is
+# identically 1 (b_title could never bind); at 16 short docs exist at
+# both scales and all three normalization knobs provably bind.
+# ---------------------------------------------------------------------------
+_BM25F_PARAMS = dict(
+    title_len=16, w_title=2.0, w_body=1.0, b_title=0.5, b_body=0.75, k1=1.2
+)
+
+
+def _bm25f_oracle() -> str:
+    from hadoop_gpu_spark.operators.retrieval import bm25f_topk_sql
+
+    return bm25f_topk_sql("documents", _BM25_QUERIES, top_k=10, **_BM25F_PARAMS)
+
+
+Q_BM25F_TOPK_ORACLE = _bm25f_oracle()
+
+
+@query("q_bm25f_topk", oracle=Q_BM25F_TOPK_ORACLE)
+def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents per query under BM25F (title = first 16 tokens
+    boosted 2x with b=0.5; body b=0.75; shared k1 saturation over the
+    weighted field-normalized tfs — r16-continuation build and
+    registration; evidence in tests/test_r16b_candidates.py: both-scale
+    oracle parity, stdlib third impl, the b=0/unit-weight ≡ BM25(b=0)
+    exact equivalence, boost-binding falsifiers, text-never-shuffles
+    pin)."""
+    from hadoop_gpu_spark.operators.retrieval import bm25f_topk
+
+    return bm25f_topk(
+        T(spark, sf_dir, "documents"), _BM25_QUERIES, top_k=10, **_BM25F_PARAMS
+    )
+
+
 Q_BM25_TOPK_ORACLE = _bm25_oracle()
 
 Q_RERANK_TFIDF_ORACLE = _rerank_oracle()
@@ -5917,10 +5960,10 @@ _DRIVER_WINDOW = [
     "q_ann_ivfadc_r",
     "q_morelikethis_filtered",
     "q_stream_lsh_dedup",
+    "q_bm25f_topk",
     # load-leveling pre-rotation: the r13-latest cohort minus
     # q17/q18/q19 (ceded to the late-r16 registrations) and
-    # q09/q20/q22 (ceded to the continuation registrations)
-    "q13_customer_distribution",
+    # q09/q13/q20/q22 (ceded to the continuation registrations)
     "q_boilerplate_ratio",
     "q_embedding_outliers",
     "q_events_hourly",

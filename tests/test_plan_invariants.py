@@ -91,11 +91,16 @@ INTENTIONAL_NESTED_LOOP = {
                                # (above) and the brute-force dense leg
                                # (all-pairs BY DESIGN over |seeds| query
                                # rows — the q_ann_topk baseline shape)
-    # r16 continuation registration:
+    # r16 continuation registrations:
     "q_morelikethis_filtered", # same bounded frames as q_morelikethis
                                # (seed-term table + 1-row corpus stats);
                                # the knobs only FILTER seed-term
                                # eligibility, tightening the fanout
+    "q_bm25f_topk",            # the q_bm25_topk corpus-stats scalar
+                               # pattern: a broadcast 1-row
+                               # (N, tt_title, tt_body) aggregate
+                               # cross-joined onto the post-filter
+                               # candidate frame
 }
 
 # Exchange-count budget per bench HEADLINE query (hash/range/broadcast
@@ -479,6 +484,10 @@ SCAN_BUDGET = {
     # in-plan, no new pass).
     "q_ann_ivfadc_r": 3,
     "q_morelikethis_filtered": 5,
+    # bm25f = the q_bm25_topk shape: one pruned token pass (posexplode
+    # + per-field conditional tf aggregates) + the broadcast 1-row
+    # (N, tt_title, tt_body) stats pass.
+    "q_bm25f_topk": 2,
 }
 
 

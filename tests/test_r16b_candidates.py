@@ -1,11 +1,14 @@
 """r16 continuation gates, registered in the same round they were built
 (the late-r16 precedent): q_ann_ivfadc_r (IVFADC+R — the residual
 IVF-PQ shortlist re-ranked by EXACT distances from the raw vectors,
-Jégou et al. 2011 §VI) and q_morelikethis_filtered (Lucene
-MoreLikeThis's minTermFreq / minDocFreq / maxDocFreq term-selection
-knobs — the remaining MLT surface after q_morelikethis's
-maxQueryTerms). Evidence bar identical to the r09..r16 cohorts: the
-driver-identical oracle comparison runs at BOTH scales every session.
+Jégou et al. 2011 §VI), q_morelikethis_filtered (Lucene MoreLikeThis's
+minTermFreq / minDocFreq / maxDocFreq term-selection knobs — the
+remaining MLT surface after q_morelikethis's maxQueryTerms),
+q_stream_lsh_dedup (streaming MinHash-LSH band-bucket census —
+near-dedup at ingest), and q_bm25f_topk (BM25F multi-field scoring,
+Robertson/Zaragoza/Taylor 2004). Evidence bar identical to the
+r09..r16 cohorts: the driver-identical oracle comparison runs at BOTH
+scales every session.
 
 Falsifiers beyond the oracle pins:
 
@@ -33,7 +36,12 @@ from tests.oracle import compare_frames, duckdb_con
 from tests.test_r16_candidates import _np_ivfpq_residual, _py_mlt
 
 _BOTH_SCALES = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
-_GATES = ["q_ann_ivfadc_r", "q_morelikethis_filtered", "q_stream_lsh_dedup"]
+_GATES = [
+    "q_ann_ivfadc_r",
+    "q_morelikethis_filtered",
+    "q_stream_lsh_dedup",
+    "q_bm25f_topk",
+]
 
 
 def _oracle_for(name: str) -> str:
@@ -43,6 +51,7 @@ def _oracle_for(name: str) -> str:
         "q_ann_ivfadc_r": q.Q_ANN_IVFADC_R_ORACLE,
         "q_morelikethis_filtered": q.Q_MORELIKETHIS_FILTERED_ORACLE,
         "q_stream_lsh_dedup": q.Q_STREAM_LSH_DEDUP_ORACLE,
+        "q_bm25f_topk": q.Q_BM25F_TOPK_ORACLE,
     }[name]
 
 
@@ -441,6 +450,172 @@ def test_stream_lsh_census_consistent_with_candidate_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# BM25F multi-field retrieval: stdlib third impl + algebraic anchors
+# ---------------------------------------------------------------------------
+
+
+def _py_bm25f(
+    texts_by_id,
+    queries,
+    title_len=8,
+    w_title=2.0,
+    w_body=1.0,
+    b_title=0.5,
+    b_body=0.75,
+    k1=1.2,
+    top_k=10,
+):
+    """Stdlib BM25F: per-field soft-normalized tf, weighted combination,
+    one shared (k1+1) saturation, doc-level plus-one idf round-9,
+    decimal accumulation, (score desc, id) ranks."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    toks = {i: t.split() for i, t in texts_by_id.items()}
+    n = len(texts_by_id)
+    tt_t = sum(min(len(v), title_len) for v in toks.values())
+    tt_b = sum(len(v) - min(len(v), title_len) for v in toks.values())
+    tf_t = {i: Counter(v[:title_len]) for i, v in toks.items()}
+    tf_b = {i: Counter(v[title_len:]) for i, v in toks.items()}
+    df = Counter()
+    for i in toks:
+        for term in set(toks[i]):
+            df[term] += 1
+
+    def idf9(t):
+        return round(math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0), 9)
+
+    out = {}
+    for qid, qtext in queries:
+        terms = sorted(set(qtext.split()))
+        scores = {}
+        for i in toks:
+            s = Decimal(0)
+            hit = False
+            for t in terms:
+                ct, cb = tf_t[i].get(t, 0), tf_b[i].get(t, 0)
+                if not (ct or cb):
+                    continue
+                hit = True
+                lt = float(min(len(toks[i]), title_len))
+                lb = float(len(toks[i]) - min(len(toks[i]), title_len))
+                tfc = 0.0
+                if tt_t:
+                    tfc += w_title * (ct / (1.0 + b_title * ((lt * n) / tt_t - 1.0)))
+                if tt_b:
+                    tfc += w_body * (cb / (1.0 + b_body * ((lb * n) / tt_b - 1.0)))
+                sat = (tfc * (k1 + 1.0)) / (k1 + tfc)
+                s += Decimal(repr(round(idf9(t) * sat, 9)))
+            if hit:
+                scores[i] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        out[qid] = [
+            (i, r + 1, round(float(s), 6)) for r, (i, s) in enumerate(ranked)
+        ]
+    return out
+
+
+def test_bm25f_matches_python_reference(spark, sf_dir):
+    from hadoop_gpu_spark import queries as q
+    from hadoop_gpu_spark.queries import _BM25F_PARAMS, _BM25_QUERIES
+
+    texts = _load_texts(spark, sf_dir)
+    ref = _py_bm25f(texts, _BM25_QUERIES, **_BM25F_PARAMS)
+    want = sorted(
+        (qid, i, rank, score)
+        for qid, rows in ref.items()
+        for (i, rank, score) in rows
+    )
+    got = sorted(
+        (r["qid"], r["doc_id"], r["rank"], r["score"])
+        for r in q.q_bm25f_topk(spark, sf_dir).collect()
+    )
+    assert got == want
+
+
+def test_bm25f_unit_weights_b_zero_is_bm25_b_zero(spark, sf_dir):
+    # The exact algebraic anchor: with b_title=b_body=0 the per-field
+    # normalizers vanish, unit weights collapse tfc to the doc-level
+    # tf, and BM25F must equal plain BM25 with b=0 — row for row,
+    # including the round-6 score. Any drift in the field split, the
+    # conditional tf aggregates, df, or the saturation breaks this.
+    from hadoop_gpu_spark.operators.retrieval import bm25_topk, bm25f_topk
+    from hadoop_gpu_spark.queries import _BM25_QUERIES
+    from hadoop_gpu_spark.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    f = sorted(
+        tuple(r)
+        for r in bm25f_topk(
+            docs,
+            _BM25_QUERIES,
+            title_len=8,
+            w_title=1.0,
+            w_body=1.0,
+            b_title=0.0,
+            b_body=0.0,
+            top_k=10,
+        ).collect()
+    )
+    plain = sorted(
+        tuple(r)
+        for r in bm25_topk(docs, _BM25_QUERIES, b=0.0, top_k=10).collect()
+    )
+    assert f == plain
+
+
+def test_bm25f_boost_and_field_norm_bind(spark, sf_dir):
+    # The gate's parameters must actually change the ranking on this
+    # corpus: the registered gate differs from plain BM25, from the
+    # unboosted (w_title=1) variant, and from the b_title=b_body
+    # single-norm variant.
+    from hadoop_gpu_spark import queries as q
+    from hadoop_gpu_spark.operators.retrieval import bm25f_topk
+    from hadoop_gpu_spark.queries import _BM25F_PARAMS, _BM25_QUERIES
+    from hadoop_gpu_spark.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    gate = sorted(tuple(r) for r in q.q_bm25f_topk(spark, sf_dir).collect())
+    assert gate, "gate empty"
+    plain = sorted(
+        tuple(r) for r in q.QUERIES["q_bm25_topk"](spark, sf_dir).collect()
+    )
+    assert gate != plain
+
+    def run(**over):
+        kw = dict(_BM25F_PARAMS, **over)
+        return sorted(
+            tuple(r)
+            for r in bm25f_topk(docs, _BM25_QUERIES, top_k=10, **kw).collect()
+        )
+
+    assert run(w_title=1.0) != gate
+    assert run(b_title=0.0) != gate
+    assert run(b_body=0.0) != gate
+
+
+def test_bm25f_structure_invariants(spark, sf_dir):
+    # Ranks 1..n consecutive per query with scores non-increasing;
+    # every hit contains >= 1 query term (in either field).
+    from hadoop_gpu_spark import queries as q
+    from hadoop_gpu_spark.queries import _BM25_QUERIES
+
+    texts = _load_texts(spark, sf_dir)
+    qterms = {qid: set(qt.split()) for qid, qt in _BM25_QUERIES}
+    by_q: dict = {}
+    for r in q.q_bm25f_topk(spark, sf_dir).collect():
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        for r in rows:
+            assert qterms[qid] & set(texts[r["doc_id"]].split()), (qid, r["doc_id"])
+
+
+# ---------------------------------------------------------------------------
 # Plan pins
 # ---------------------------------------------------------------------------
 
@@ -463,3 +638,10 @@ def test_morelikethis_filtered_plan_text_never_shuffles(spark, sf_dir):
     assert "text" not in plans.shuffled_columns(
         q.q_morelikethis_filtered(spark, sf_dir)
     )
+
+
+def test_bm25f_plan_text_never_shuffles(spark, sf_dir):
+    from hadoop_gpu_spark import plans
+    from hadoop_gpu_spark import queries as q
+
+    assert "text" not in plans.shuffled_columns(q.q_bm25f_topk(spark, sf_dir))
