@@ -325,6 +325,12 @@ def test_run_hybrid_dual_path_single_scan(spark, monkeypatch, tmp_path):
     op.apply(df, force_path="cpu").collect()
     op.apply(df, force_path="gpu").collect()
     assert op.alpha > 0
+    # Pin alpha for the routing step (same rationale as the auto-routing
+    # test above): the warm-ups measure REAL wall time, so under a loaded
+    # machine makespan_split can route every partition to one path and
+    # flake the both-paths assertion. alpha=1 gives the deterministic 6:2
+    # split at (8 parts, 4 cpu, 2 gpu).
+    monkeypatch.setattr(type(op), "alpha", property(lambda self: 1.0))
     out = run_hybrid(op, df, n_cpu_slots=4, n_gpu_slots=2)
     plan = plans.formatted_plan(out)
     assert len(re.findall(r"^\s*\(\d+\) Scan parquet\b", plan, re.M)) == 1, plan
