@@ -50,6 +50,38 @@ def _query_terms(queries: list[tuple[str, str]]) -> list[tuple[str, str]]:
     return sorted(out)
 
 
+def _doc_token_stream(
+    docs: DataFrame, id_col: str, text_col: str, *, pos: bool = False
+) -> DataFrame:
+    """(id, __dl, term[, __pos]) token stream with the tokenizer evaluated
+    ONCE per document.
+
+    The previous idiom — ``regexp_count(text)`` named NEXT TO
+    ``explode(tokenize(text))`` in one projection — re-evaluates the
+    full-text regex per EMITTED TOKEN ROW: whole-stage codegen defers
+    non-generator expressions into the generate loop's consume path, so a
+    54-token document pays the regex 54 times (measured: the (doc, term)
+    tf aggregate at sf0.1 dropped 5.98s -> 0.55s when this was fixed —
+    the dominant cost of every BM25-family corpus pass; optimization
+    guide §1.2 "per-task work"). The two-step NAMED-ARRAY projection pins
+    one evaluation: the token array materializes in its own Project
+    (CollapseProject keeps the split un-duplicated because it is
+    non-cheap and referenced twice) and ``__dl = size(array)`` replaces
+    the second regex pass outright — identical by the tokenizer contract
+    (maximal ``\\S+`` runs == whitespace-split with empties dropped;
+    row-for-row equality verified at sf0.1 before the switch).
+    """
+    from hadoop_gpu_spark.operators.fields import tokenize
+
+    arr = docs.select(id_col, tokenize(text_col).alias("__toks"))
+    gen = (
+        F.posexplode("__toks").alias("__pos", "term")
+        if pos
+        else F.explode("__toks").alias("term")
+    )
+    return arr.select(id_col, F.size("__toks").alias("__dl"), gen)
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: list[tuple[str, str]],
@@ -85,11 +117,9 @@ def bm25_topk(
     terms = sorted({t for _, t in qt})
     spark = docs.sparkSession
 
-    toks = docs.select(
-        id_col,
-        F.regexp_count(F.col(text_col), F.lit(_DL_RE)).alias("__dl"),
-        F.explode(tokenize(text_col)).alias("term"),
-    ).filter(F.col("term").isin(terms))
+    toks = _doc_token_stream(docs, id_col, text_col).filter(
+        F.col("term").isin(terms)
+    )
     tf = toks.groupBy(id_col, "__dl", "term").agg(F.count(F.lit(1)).alias("tf"))
     w_term = Window.partitionBy("term")
     with_df = tf.withColumn("df", F.count(F.lit(1)).over(w_term))
@@ -272,11 +302,9 @@ def bm25f_topk(
     terms = sorted({t for _, t in qt})
     spark = docs.sparkSession
 
-    toks = docs.select(
-        id_col,
-        F.regexp_count(F.col(text_col), F.lit(_DL_RE)).alias("__dl"),
-        F.posexplode(tokenize(text_col)).alias("__pos", "term"),
-    ).filter(F.col("term").isin(terms))
+    toks = _doc_token_stream(docs, id_col, text_col, pos=True).filter(
+        F.col("term").isin(terms)
+    )
     tf = toks.groupBy(id_col, "__dl", "term").agg(
         F.sum(F.when(F.col("__pos") < title_len, 1).otherwise(0))
         .cast("long")
@@ -493,6 +521,23 @@ def rerank_tfidf_topk(
     from hadoop_gpu_spark.operators.fields import tokenize
     from hadoop_gpu_spark.utils import eager_persist
 
+    stats = None
+    if corpus_stats is None:
+        # 1-row (__n, __tt) corpus stats, persisted BEFORE stage 1 runs:
+        # the plan is byte-identical to the stats subtree bm25_topk
+        # builds internally, so Spark's cache manager substitutes the
+        # cached relation inside the stage-1 plan too — the corpus-stats
+        # scan runs ONCE per invocation instead of twice (stage 1 +
+        # stage 2's doc count), r16 optimization.
+        stats = eager_persist(
+            docs.agg(
+                F.count(F.lit(1)).cast("long").alias("__n"),
+                F.sum(F.regexp_count(F.col(text_col), F.lit(_DL_RE)))
+                .cast("long")
+                .alias("__tt"),
+            )
+        )
+
     cand = eager_persist(
         bm25_topk(
             docs,
@@ -504,21 +549,49 @@ def rerank_tfidf_topk(
         ).select("qid", id_col, F.col("rank").alias("bm25_rank"))
     )
 
-    # df-per-term: the one corpus-sized stage-2 pass, feeding ONLY the
-    # idf lattice (candidate weights re-tokenize candidate docs below
-    # instead of re-reading this corpus-sized frame).
+    qtf: dict[tuple[str, str], int] = {}
+    for qid, qtext in queries:
+        for t in qtext.split():
+            qtf[(qid, t)] = qtf.get((qid, t), 0) + 1
+    spark = docs.sparkSession
+    qterms = spark.createDataFrame(
+        [(q, t, c) for (q, t), c in sorted(qtf.items())],
+        schema="qid string, term string, tfq long",
+    )
+
+    # Candidate-document term frequencies, persisted (bounded by
+    # |queries| x stage1_k docs x terms-per-doc): read by the candidate
+    # weights below AND by the vocabulary filter that prunes the
+    # df-per-term pass.
+    cdocs = cand.select(id_col).distinct()
+    ctf = eager_persist(
+        docs.join(cdocs, id_col, "left_semi")
+        .select(id_col, F.explode(tokenize(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+    # df-per-term, restricted to the terms that can matter: candidate-doc
+    # terms (document weights/norms) plus the literal query terms (query
+    # weights/norms). Filter-before-aggregate is exact — df(t) counts the
+    # docs containing t and dropping other terms' rows cannot change it —
+    # and bounds the aggregate input by the candidate vocabulary's posting
+    # lists instead of the corpus' full (doc, term) pair count (r16
+    # optimization; guide §2.3). The vocab frame is bounded by
+    # |candidate docs| x terms-per-doc + |query terms|.
+    vocab = ctf.select("term").union(qterms.select("term")).distinct()
     df_t = (
         docs.select(id_col, F.explode(tokenize(text_col)).alias("term"))
+        .join(F.broadcast(vocab), "term")
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
     if corpus_stats is None:
-        n_col = F.broadcast(
-            docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
-        )
-        idf = df_t.crossJoin(n_col)
+        # The 1-row doc count rides the persisted (__n, __tt) stats
+        # aggregate shared with stage 1 (see above).
+        idf = df_t.crossJoin(F.broadcast(stats.select("__n")))
     else:
         idf = df_t.withColumn("__n", F.lit(int(corpus_stats[0])).cast("long"))
     idf = eager_persist(
@@ -534,31 +607,16 @@ def rerank_tfidf_topk(
         )
     )
 
-    cdocs = cand.select(id_col).distinct()
-    # cw feeds both the norm and the dot aggregates — persisted (bounded
-    # by |candidate docs| x terms-per-doc) so the candidate-pruned
-    # document pass plans once, not once per consumer.
-    cw = eager_persist(
-        docs.join(cdocs, id_col, "left_semi")
-        .select(id_col, F.explode(tokenize(text_col)).alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .join(idf, "term")
+    # cw derives from two persisted bounded frames (ctf join idf) — cheap
+    # to recompute per consumer (norms + dots), so it is not persisted
+    # itself.
+    cw = (
+        ctf.join(idf, "term")
         .select(id_col, "term", (F.col("tf") * F.col("idf_u")).alias("w"))
         .filter(F.col("w") > 0)
     )
     nd = cw.groupBy(id_col).agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("__nd2")
-    )
-
-    qtf: dict[tuple[str, str], int] = {}
-    for qid, qtext in queries:
-        for t in qtext.split():
-            qtf[(qid, t)] = qtf.get((qid, t), 0) + 1
-    spark = docs.sparkSession
-    qterms = spark.createDataFrame(
-        [(q, t, c) for (q, t), c in sorted(qtf.items())],
-        schema="qid string, term string, tfq long",
     )
     qw = (
         qterms.join(idf, "term")
@@ -660,22 +718,51 @@ def morelikethis_topk(
     from hadoop_gpu_spark.utils import eager_persist
 
     spark = docs.sparkSession
-    pairs = (
-        docs.select(
-            id_col,
-            F.regexp_count(F.col(text_col), F.lit(_DL_RE)).alias("__dl"),
-            F.explode(tokenize(text_col)).alias("term"),
-        )
-        .groupBy(id_col, "__dl", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    # Corpus token stream, tokenizer evaluated once per document (see
+    # _doc_token_stream — the old regexp_count-next-to-explode form paid
+    # the full-text regex per token row, ~10x this operator's corpus-pass
+    # cost). Read by the df-per-term pass and the candidate pass; each
+    # pass prunes it by a BOUNDED broadcast term set BEFORE aggregating,
+    # so nothing full-vocabulary-sized ever enters a shuffle (guide §2.3
+    # "aggregate before you shuffle" + "project before the exchange").
+    toks = _doc_token_stream(docs, id_col, text_col)
+
+    # Seed term frequencies first: their distinct terms bound BOTH corpus
+    # aggregates below. Persisted — bounded by n_seeds documents' vocab —
+    # and read twice (vocab filter + selection ranking).
+    seed_tf = eager_persist(
+        docs.filter(F.col(id_col) < n_seeds)
+        .select(id_col, F.explode(tokenize(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tfq"))
     )
-    df_t = pairs.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    seed_vocab = seed_tf.select("term").distinct()
+
+    # df-per-term restricted to SEED-VOCAB terms: filter-before-aggregate
+    # is exact — df(t) counts the docs containing t, and dropping other
+    # terms' token rows cannot change it — and bounds the aggregate input
+    # by the seed terms' total occurrences instead of the corpus' full
+    # (doc, term) pair count. Only seed-vocab terms can ever be selected
+    # as query terms, so no downstream consumer needs any other idf row.
+    df_t = (
+        toks.join(F.broadcast(seed_vocab), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
     if corpus_stats is None:
-        stats = docs.agg(
-            F.count(F.lit(1)).cast("long").alias("__n"),
-            F.sum(F.regexp_count(F.col(text_col), F.lit(_DL_RE)))
-            .cast("long")
-            .alias("__tt"),
+        # 1-row corpus stats, persisted so the (N, total-tokens) scan
+        # runs once — previously this subtree was planned twice (idf
+        # lattice build + the runtime scoring crossJoin), costing a
+        # second full-corpus regexp_count pass every invocation.
+        stats = eager_persist(
+            docs.agg(
+                F.count(F.lit(1)).cast("long").alias("__n"),
+                F.sum(F.regexp_count(F.col(text_col), F.lit(_DL_RE)))
+                .cast("long")
+                .alias("__tt"),
+            )
         )
         idf_src = df_t.crossJoin(F.broadcast(stats))
         stats_b = F.broadcast(stats)
@@ -698,19 +785,12 @@ def morelikethis_topk(
     )
     knobs = min_term_freq > 1 or min_doc_freq > 1 or max_doc_freq is not None
     # With knobs active the persisted idf lattice carries df too (still
-    # vocab-sized, no extra corpus pass); the default path keeps the
-    # exact pre-knob frame so the registered plan pin is unchanged.
+    # seed-vocab-sized, no extra corpus pass).
     idf_key_cols = ["term", "df"] if knobs else ["term"]
     idf = eager_persist(idf_src.select(*idf_key_cols, idf9_expr.alias("idf9")))
 
-    # Seed term selection: seeds tokenize from the pushed-down id filter
-    # (seed rows only — never the corpus), rank terms by tf·idf9.
-    seed_tf = (
-        docs.filter(F.col(id_col) < n_seeds)
-        .select(id_col, F.explode(tokenize(text_col)).alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tfq"))
-    )
+    # Seed term selection: rank the seed's own terms by tf·idf9 (idf
+    # covers every seed term by construction of the vocab filter above).
     w_sel = Window.partitionBy(id_col).orderBy(
         (F.col("tfq") * F.col("idf9")).desc(), F.col("term").asc()
     )
@@ -727,10 +807,18 @@ def morelikethis_topk(
         .select(F.col(id_col).alias("qid"), "term")
     )
 
-    # Candidate match + BM25 scoring (bm25_topk's contrib lattice).
+    # Candidate match + BM25 scoring (bm25_topk's contrib lattice). The
+    # broadcast qsel join lands BELOW the tf aggregate: only occurrences
+    # of the <= n_seeds x max_query_terms selected terms enter the
+    # groupBy (tf per (qid, doc, term) is the term's full in-doc count
+    # either way — the join duplicates token rows per selecting seed,
+    # never drops or adds occurrences), so the candidate aggregate is
+    # bounded by the selected terms' posting lists at any corpus scale.
     cand = (
-        pairs.join(F.broadcast(qsel), "term")
+        toks.join(F.broadcast(qsel), "term")
         .filter(F.col(id_col) != F.col("qid"))
+        .groupBy("qid", id_col, "__dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .join(idf, "term")
         .crossJoin(stats_b)
     )

@@ -454,36 +454,39 @@ SCAN_BUDGET = {
     # r16 registrations (measured at registration): ivfpq = 3
     # semantically distinct embedding passes with distinct pushed
     # filters (corpus assign+encode map pass, centroid table vec_id<16,
-    # query set vec_id<8 — the q_ann_ivf convention). rerank = 5 after
-    # the r15-ADVICE persist fix (was 16 unpersisted): the two bm25
-    # stage-1 passes (token scan + corpus-stats scalar) build the
-    # persisted candidate cache, the df-per-term pass + 1-row doc-count
-    # scalar build the persisted idf lattice, and ONE candidate-pruned
-    # document pass builds the persisted stage-2 weights — each
-    # eager_persist cache-build lineage counted per the convention
-    # above, every pass semantically distinct.
+    # query set vec_id<8 — the q_ann_ivf convention). rerank = 4 after
+    # the r16 optimization (was 5 after the r15-ADVICE persist fix, 16
+    # unpersisted before that): the corpus-stats scalar is persisted
+    # FIRST and its byte-identical subtree inside bm25 stage 1 rides the
+    # cache (two stats scans -> one), leaving: stats scalar + bm25
+    # stage-1 token scan (persisted candidate cache) + candidate-pruned
+    # ctf pass + the vocab-pruned df-per-term pass (persisted idf
+    # lattice) — each eager_persist cache-build lineage counted per the
+    # convention above, every pass semantically distinct.
     "q_ann_ivfpq": 3,
-    "q_rerank_tfidf": 5,
+    "q_rerank_tfidf": 4,
     # late-r16 registrations (measured at registration, stable across
-    # sf0.001/sf0.01): morelikethis = seed-term selection pass + corpus
-    # stats pass + df-per-term pass + the BM25 candidate pass + the
-    # final score pass (each semantically distinct; the seed/stat frames
-    # are bounded broadcasts); hybrid = those 5 + the dense leg's
-    # query/corpus embedding pair; residual ivfpq = ONE corpus scan
-    # (assignment + residual-encode + ADC in a single map-side pass —
-    # the never-shuffle-the-corpus claim, pinned in
+    # sf0.001/sf0.01), re-pinned 5 -> 4 by the r16 optimization: the
+    # persisted corpus-stats scalar's subtree is cache-shared with the
+    # scoring crossJoin (two stats passes -> one), leaving seed-term
+    # selection pass + corpus stats pass + seed-vocab-pruned df-per-term
+    # pass + the BM25 candidate pass (each semantically distinct; the
+    # seed/stat frames are bounded broadcasts); hybrid = those 4 + the
+    # dense leg's query/corpus embedding pair (7 -> 6); residual ivfpq =
+    # ONE corpus scan (assignment + residual-encode + ADC in a single
+    # map-side pass — the never-shuffle-the-corpus claim, pinned in
     # tests/test_r16_candidates.py).
-    "q_morelikethis": 5,
-    "q_hybrid_rrf": 7,
+    "q_morelikethis": 4,
+    "q_hybrid_rrf": 6,
     "q_ann_ivfpq_residual": 1,
     # r16 continuation registrations (measured at registration):
     # ivfadc_r = the residual stage-1 single corpus pass + the stage-2
     # candidate-vector fetch pass + the query-vector pass (3 distinct
     # pushed-filter passes — the q_ann_ivf convention); the filtered
-    # MLT keeps q_morelikethis's 5 (knobs filter the seed-term frame
-    # in-plan, no new pass).
+    # MLT keeps q_morelikethis's count (knobs filter the seed-term frame
+    # in-plan, no new pass) — 4 after the r16 optimization.
     "q_ann_ivfadc_r": 3,
-    "q_morelikethis_filtered": 5,
+    "q_morelikethis_filtered": 4,
     # bm25f = the q_bm25_topk shape: one pruned token pass (posexplode
     # + per-field conditional tf aggregates) + the broadcast 1-row
     # (N, tt_title, tt_body) stats pass.
@@ -678,15 +681,26 @@ ALLOWED_MODULE_BROADCAST_HINTS = {
         "NB class priors: |classes| rows (the vocab-sized grid join "
         "stays deliberately UNHINTED next to these)",
     # r15 staged gates
-    ("operators/retrieval.py",
-     "docs.agg(F.count(F.lit(1)).cast('long').alias('__n'))"):
-        "rerank corpus doc count: a 1-row aggregate (the bm25 'stats' "
-        "pattern) feeding the idf lattice",
+    ("operators/retrieval.py", "stats.select('__n')"):
+        "rerank corpus doc count: projection of the persisted 1-row "
+        "(__n, __tt) stats aggregate shared with bm25 stage 1 (r16: was "
+        "a second standalone corpus scan) feeding the idf lattice",
+    ("operators/retrieval.py", "vocab"):
+        "rerank candidate vocabulary (r16 optimization: prunes the "
+        "df-per-term aggregate input before the shuffle): distinct "
+        "terms of the |queries| x stage1_k candidate docs plus the "
+        "literal query terms — candidate-bounded, never corpus-vocab-"
+        "sized",
     # r16 staged gates
     ("operators/retrieval.py", "qsel"):
         "MoreLikeThis selected seed terms: n_seeds x max_query_terms "
         "rows by construction (the term cap IS the operator's scale "
         "lever), never corpus- or vocab-sized",
+    ("operators/retrieval.py", "seed_vocab"):
+        "MoreLikeThis seed-document vocabulary (r16 optimization: "
+        "prunes the df-per-term aggregate input before the shuffle): "
+        "distinct terms of the n_seeds seed documents — bounded by "
+        "n_seeds x max document length, never corpus-vocab-sized",
     ("operators/retrieval.py",
      "spark.createDataFrame([(int(n_docs), int(total_tokens))], "
      "'__n long, __tt long')"):
