@@ -107,24 +107,50 @@ def minhash_signatures_pandas(
 
     from hadoop_gpu_spark.utils import ensure_min_partitions
 
-    A = np.array(_A[:num_hashes], dtype=np.int64)[:, None]
-    B = np.array(_B[:num_hashes], dtype=np.int64)[:, None]
+    A = np.array(_A[:num_hashes], dtype=np.int64)
+    B = np.array(_B[:num_hashes], dtype=np.int64)
 
     @pandas_udf(ArrayType(LongType()))
     def _udf(texts: pd.Series) -> pd.Series:
+        # r16 optimization (guide §4.2): the shingle lattice runs through
+        # the bulk single-block MD5 kernel (md5bulk.hash_grams_u32 —
+        # bit-identical to the previous per-shingle _hash_shingle path,
+        # which paid one interpreter-level hashlib call per shingle with
+        # only a dict cache between it and Heaps' law). Per-document
+        # Python work is now two C calls (utf-32 encode +
+        # sliding_window_view); hashing and the permutation minima are
+        # whole-batch numpy (np.minimum.reduceat over per-doc segments).
+        from hadoop_gpu_spark.dedup.md5bulk import hash_grams_u32
         from hadoop_gpu_spark.dedup.winnow import _hash_shingle
 
-        out = []
-        for t in texts:
+        n_rows = len(texts)
+        views: list[np.ndarray] = []
+        counts = np.zeros(n_rows, dtype=np.int64)
+        short: dict[int, int] = {}
+        for i, t in enumerate(texts):
             t = t if t is not None else ""
-            n = max(len(t) - k + 1, 1)
-            h = np.fromiter(
-                (_hash_shingle(t[i : i + k]) for i in range(n)),
-                dtype=np.int64,
-                count=n,
-            )
-            out.append((A * h[None, :] + B) % P)
-        return pd.Series([m.min(axis=1) for m in out])
+            if len(t) >= k:
+                cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                v = np.lib.stride_tricks.sliding_window_view(cp, k)
+                views.append(v)
+                counts[i] = len(v)
+            else:
+                # short doc: ONE truncated shingle == the whole text
+                # (matches shingles()'s greatest(n-k+1, 1) contract)
+                short[i] = _hash_shingle(t)
+        sigs = np.empty((n_rows, num_hashes), dtype=np.int64)
+        nz = counts > 0
+        if views:
+            grams = np.ascontiguousarray(np.concatenate(views, axis=0))
+            h = hash_grams_u32(grams)
+            cnz = counts[nz]
+            starts = np.cumsum(cnz) - cnz
+            for j in range(num_hashes):
+                v = (A[j] * h + B[j]) % P
+                sigs[nz, j] = np.minimum.reduceat(v, starts)
+        for i, hs in short.items():
+            sigs[i] = (A * hs + B) % P
+        return pd.Series(list(sigs))
 
     sig = ensure_min_partitions(df).select(
         F.col(id_col), _udf(F.col(text_col)).alias("__s")

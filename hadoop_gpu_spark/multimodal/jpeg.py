@@ -29,6 +29,7 @@ runs as an Arrow-batched mapInPandas kernel (multimodal.decode_image).
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -228,7 +229,19 @@ class _RestartMarker(Exception):
 # Huffman tables.
 # ---------------------------------------------------------------------------
 def _build_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """value -> (code, length), canonical per T.81 Annex C."""
+    """value -> (code, length), canonical per T.81 Annex C.
+
+    Memoized on the (bits, vals) spec (r16, guide §4.5): encode builds
+    four tables PER IMAGE from module-constant specs, and a mapInPandas
+    corpus pass pays that per row — the cache makes it once per worker.
+    """
+    return _build_encode_table_cached(tuple(bits), tuple(vals))
+
+
+@lru_cache(maxsize=64)
+def _build_encode_table_cached(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> dict[int, tuple[int, int]]:
     table = {}
     code = 0
     k = 0
@@ -242,7 +255,21 @@ def _build_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int
 
 
 def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> value."""
+    """(length, code) -> value.
+
+    Memoized on the (bits, vals) spec read from the DHT segment (r16,
+    guide §4.5): every baseline JFIF this engine or any standard encoder
+    emits reuses the Annex K tables, so a decode corpus pass rebuilds
+    the same four dicts per image — cached, it is once per worker (an
+    exotic custom table is just another cache key).
+    """
+    return _build_decode_table_cached(tuple(bits), tuple(vals))
+
+
+@lru_cache(maxsize=64)
+def _build_decode_table_cached(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> dict[tuple[int, int], int]:
     table = {}
     code = 0
     k = 0
