@@ -17,14 +17,22 @@ NGRAM_N = 3
 
 
 def token_ngrams(text: Column | str, n: int = NGRAM_N) -> Column:
-    """Distinct token n-gram strings ('tok1 tok2 tok3')."""
-    toks = tokenize(text)
-    cnt = F.greatest(F.size(toks) - n + 1, F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), cnt),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    return F.array_distinct(grams)
+    """Distinct token n-gram strings ('tok1 tok2 tok3').
+
+    The token array is BOUND once per row (the queries._bind_once
+    idiom, applied here r16): referencing ``tokenize(text)`` inside the
+    position lambda re-splits the text once per n-gram position —
+    higher-order-function lambdas run interpreted, no CSE."""
+
+    def build(toks):
+        cnt = F.greatest(F.size(toks) - n + 1, F.lit(1))
+        grams = F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+        return F.array_distinct(grams)
+
+    return F.transform(F.array(tokenize(text)), build)[0]
 
 
 def ngram_jaccard_pairs(

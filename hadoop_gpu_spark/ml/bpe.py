@@ -118,18 +118,74 @@ def bpe_merges(
     return spark.createDataFrame(merges, _MERGE_SCHEMA)
 
 
+# Vocab tables at or below this many distinct words train driver-side
+# (bit-identical loop, zero per-iteration Spark jobs); above it, the
+# distributed iteration runs. The bound exists because the driver copy
+# is |vocab| wrapped-seq strings — 64Ki words x ~100 B is ~6 MB, far
+# under any driver budget, while the per-iteration Spark job overhead
+# it saves (~0.3-0.7 s x n_merges at gate scale) dominates small-corpus
+# training end-to-end. At real corpus scale (Heaps-law vocab >> this),
+# the distributed path is unchanged.
+DRIVER_TRAIN_MAX_WORDS = 1 << 16
+
+
+def _train_driver_side(
+    rows: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """The identical Sennrich iteration over a driver-local
+    [(wrapped-seq, wc)] list — same argmax (count desc, lhs asc, rhs
+    asc; Python str comparison is codepoint order == the engines'
+    binary-collation UTF-8 order) and the same greedy fuse
+    (str.replace is the same left-to-right non-overlapping scan as
+    F.replace / DuckDB replace). Bit-identity with the distributed
+    loop is pinned by tests/test_ml.py."""
+    merges: list[tuple[int, str, str, int]] = []
+    seqs = [(s, int(c)) for s, c in rows]
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for seq, c in seqs:
+            # strip(" ") NOT strip(): F.trim removes ASCII spaces only,
+            # and a token may legitimately START with unicode whitespace
+            # (Java \s does not split NBSP) — bare strip() would eat it.
+            syms = seq.strip(" ").split("  ")
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        (lhs, rhs), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, lhs, rhs, cnt))
+        pat, rep = f" {lhs}  {rhs} ", f" {lhs}{rhs} "
+        seqs = [(s.replace(pat, rep), c) for s, c in seqs]
+    return merges
+
+
 def _train_on_counts(
     wc: DataFrame, n_merges: int, checkpoint_every: int
 ) -> list[tuple[int, str, str, int]]:
     """The Sennrich training loop over a (word, wc) table. Returns the
     driver-side merge list; every intermediate checkpoint is consumed
-    here and released in the ``finally``."""
+    here and released in the ``finally``.
+
+    r16 optimization (guide §1.2 "the distributed algorithm" + the
+    kmeans/pq_train driver contract): the materialized vocab frame is
+    counted once; at or below DRIVER_TRAIN_MAX_WORDS distinct words the
+    identical iteration runs driver-side (the n_merges x ~0.4 s
+    per-iteration Spark-job overhead is the entire training cost at
+    gate scale), above it the distributed loop is unchanged. Only a
+    vocab-bounded, threshold-gated list ever crosses the driver — the
+    same boundedness class as the k-row kmeans collect."""
     from hadoop_gpu_spark.utils import release_local_checkpoint
 
     cur = wc.select(_word_seq("word").alias("seq"), "wc").localCheckpoint(eager=True)
     checkpoints = [cur]
     merges: list[tuple[int, str, str, int]] = []
     try:
+        if cur.count() <= DRIVER_TRAIN_MAX_WORDS:
+            return _train_driver_side(
+                [(r["seq"], r["wc"]) for r in cur.collect()], n_merges
+            )
         for step in range(1, n_merges + 1):
             best = (
                 cur.select(_pair_explode("seq").alias("z"), "wc")

@@ -81,13 +81,23 @@ def _check(tau: float, max_df: int, n: int, idf_scale: int) -> None:
 
 def _grams(text_col: str, n: int):
     """NON-distinct word n-grams — token_ngrams (dedup.ngram) without
-    the distinct: tf semantics need multiplicity."""
-    toks = tokenize(text_col)
-    cnt = F.greatest(F.size(toks) - n + 1, F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), cnt),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    the distinct: tf semantics need multiplicity.
+
+    The token array is BOUND once per row (the queries._bind_once
+    idiom): higher-order-function lambdas run interpreted with no
+    common-subexpression elimination, so referencing ``tokenize(text)``
+    inside the position lambda re-splits the document once per n-gram
+    position — measured 6.0 s for the bare sf0.1 gram explode before
+    binding (r16; guide §1.2 per-task work)."""
+
+    def build(toks):
+        cnt = F.greatest(F.size(toks) - n + 1, F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+
+    return F.transform(F.array(tokenize(text_col)), build)[0]
 
 
 def sparse_allpairs(

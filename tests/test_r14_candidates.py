@@ -251,6 +251,30 @@ def test_bpe_checkpoint_cadence_does_not_change_results(spark):
     assert {r["subword"]: r["n_tokens"] for r in c2} == dict(want_counts)
 
 
+def test_bpe_driver_train_bit_identical_to_distributed(spark, monkeypatch):
+    # r16 optimization: _train_on_counts runs the Sennrich iteration
+    # driver-side when the materialized vocab is at or below
+    # DRIVER_TRAIN_MAX_WORDS (the per-iteration Spark-job overhead IS
+    # the training cost at gate scale). The two paths must be
+    # bit-identical — forced here by pinning the threshold to 0 for the
+    # distributed run, on a corpus with the overlap shapes, unicode,
+    # an NBSP-containing token (Java \s does not split NBSP — the
+    # strip(" ")-vs-strip() seam), and an early-exhaustion doc.
+    from hadoop_gpu_spark.ml import bpe as bpe_mod
+
+    corpus = _CRAFTED + [" ab  ab x y", "ünïc ünïc öde", "q"]
+    docs = spark.createDataFrame([(t,) for t in corpus], "text string")
+    driver = [tuple(r) for r in bpe_mod.bpe_merges(docs, "text", 9).collect()]
+    monkeypatch.setattr(bpe_mod, "DRIVER_TRAIN_MAX_WORDS", 0)
+    dist = [tuple(r) for r in bpe_mod.bpe_merges(docs, "text", 9).collect()]
+    assert driver == dist
+    # single-symbol-only corpus exhausts instantly on both paths
+    one = spark.createDataFrame([("z z z",)], "text string")
+    d1 = [tuple(r) for r in bpe_mod.bpe_merges(one, "text", 3).collect()]
+    monkeypatch.undo()
+    assert d1 == [tuple(r) for r in bpe_mod.bpe_merges(one, "text", 3).collect()]
+
+
 @pytest.mark.parametrize("corpus", ["crafted", "documents"])
 def test_bpe_fast_path_bit_identical_to_expression_chain(spark, sf_dir, corpus):
     # The production Arrow encoder (min-rank iterative, O(1) plan size
