@@ -231,15 +231,31 @@ def nb_score(
             "posterior"
         ),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("posterior").desc(), F.col("cls"))
+    # Argmax as an AGGREGATE, not a window (r16 optimization, guide
+    # §2.3): min(struct(-posterior, cls, posterior)) over the
+    # (doc x class) grid is the identical total order the old
+    # row_number window used — struct ordering compares -posterior
+    # first (DECIMAL negation is exact, so asc == posterior desc),
+    # then cls asc; cls is unique per (doc, class) row so the winner
+    # is the same single row. Unlike the window (which shuffles ALL
+    # |docs| x |classes| rows by id and sorts), the aggregate
+    # partial-combines map-side: one candidate row per (doc, task)
+    # reaches the exchange.
+    best = F.min(
+        F.struct(
+            (-F.col("posterior")).alias("__np"),
+            F.col("cls"),
+            F.col("posterior"),
+        )
+    ).alias("__best")
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        scored.groupBy(id_col, *keep)
+        .agg(best)
         .select(
             id_col,
             *keep,
-            F.col("cls").alias("pred"),
-            F.round(F.col("posterior").cast("double"), 6).alias("score"),
+            F.col("__best.cls").alias("pred"),
+            F.round(F.col("__best.posterior").cast("double"), 6).alias("score"),
         )
     )
 

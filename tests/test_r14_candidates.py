@@ -538,6 +538,25 @@ def test_nb_score_held_out_corpus(spark):
     assert out == {"c1": "good", "c2": "spam", "c3": "good", "c4": "good"}
 
 
+def test_nb_argmax_is_aggregate_not_window(spark):
+    # r16 optimization: the per-document argmax runs as a map-side-
+    # combinable min(struct(-posterior, cls, ...)) aggregate, not a
+    # row_number window over the |docs| x |classes| grid — the plan
+    # must carry no Window node (the tie-break equivalence is pinned by
+    # the reference/fuzz tests around this one; the bounded |classes|-row
+    # prior window in nb_score is over a 1-row partition and was also
+    # removed from the scoring path).
+    import re
+
+    from hadoop_gpu_spark import plans
+    from hadoop_gpu_spark.ml.nbayes import nb_classify
+
+    df = spark.createDataFrame(_NB_DOCS, "doc_id string, lang string, text string")
+    plan = plans.formatted_plan(nb_classify(df, id_col="doc_id", label_col="lang"))
+    # only the bounded |classes|-row prior window may remain
+    assert len(re.findall(r"^\s*\(\d+\) Window\b", plan, re.M)) <= 1, plan
+
+
 def test_nb_confusion_partition_invariant(spark):
     from hadoop_gpu_spark.ml.nbayes import nb_confusion
 
