@@ -56,9 +56,22 @@ def cms_build(
     d: int = 4,
     w: int = 512,
     group_cols: list[str] | None = None,
+    distinct_first: bool = False,
 ) -> DataFrame:
     """Build the sketch: ``(group..., row_id, col_id, cnt)`` — at most
     ``|groups| * d * w`` rows. One pass, map-side-combined aggregate.
+
+    ``distinct_first`` (r16 optimization, guide §1.2/§2.3): aggregate
+    value counts BEFORE hashing, so the ``d`` md5 row hashes run once
+    per DISTINCT value instead of once per occurrence — under Zipf/
+    Heaps token statistics that is orders of magnitude less hash work.
+    EXACT by sum-commutativity: cell cnt = Σ over values hashing to the
+    cell of that value's occurrence count, whether the grid aggregate
+    sums 1s per occurrence or pre-summed per-value counts. BATCH PATHS
+    ONLY — a streaming caller must keep the single-aggregate form
+    (False), because the pre-aggregate would add a second, value-keyed
+    stateful operator: unbounded state, and multiple streaming
+    aggregations are rejected by the planner anyway.
     """
     _check_params(d, w)
     gcols = list(group_cols or [])
@@ -71,6 +84,13 @@ def cms_build(
             for i in range(d)
         ]
     )
+    if distinct_first:
+        pre = df.groupBy(*gcols, col).agg(F.count(F.lit(1)).alias("__c"))
+        return (
+            pre.select(*gcols, F.col("__c"), F.inline(cells))
+            .groupBy(*gcols, "row_id", "col_id")
+            .agg(F.sum("__c").cast("long").alias("cnt"))
+        )
     return (
         df.select(*gcols, F.inline(cells))
         .groupBy(*gcols, "row_id", "col_id")
@@ -132,7 +152,10 @@ def cms_token_estimates(
     from hadoop_gpu_spark.operators.fields import tokenize
 
     toks = docs.select(F.explode(tokenize(text_col)).alias("tok"))
-    sketch = cms_build(toks, "tok", d, w)
+    # batch path: hash distinct tokens, not occurrences (exact — see
+    # cms_build); the token-count pre-aggregate map-side combines, so
+    # only (token, cnt) vocab rows shuffle instead of the token stream
+    sketch = cms_build(toks, "tok", d, w, distinct_first=True)
     return cms_estimate(sketch, query_tokens, d, w, value_alias="token")
 
 

@@ -743,9 +743,16 @@ def test_cms_merge_is_cell_sum(spark):
     assert whole == merged
 
 
-def test_cms_plan_single_scan_token_stream_never_shuffles(spark, sf_dir):
-    # One corpus scan; what crosses the aggregate exchange is (row_id,
-    # col_id) cell rows, never the token string itself.
+def test_cms_plan_single_scan_and_distinct_first_shape(spark, sf_dir):
+    # One corpus scan. r16 optimization: the batch path aggregates
+    # token counts BEFORE hashing (cms_build distinct_first), so the d
+    # md5 row hashes run once per DISTINCT token instead of once per
+    # occurrence. The exchange that now carries `tok` is the
+    # map-side-combined wordcount shape — partial HashAggregate rows
+    # (per-partition-distinct tokens), never the raw token stream — so
+    # the plan must show a partial aggregate on tok feeding the
+    # exchange, and the hash/inline work sits ABOVE it (on vocab-sized
+    # input).
     import re
 
     from hadoop_gpu_spark import plans
@@ -754,7 +761,30 @@ def test_cms_plan_single_scan_token_stream_never_shuffles(spark, sf_dir):
     df = q.q_cms_token_freq(spark, sf_dir)
     plan = plans.formatted_plan(df)
     assert len(re.findall(r"^\s*\(\d+\) Scan parquet\b", plan, re.M)) == 1, plan
-    assert "tok" not in plans.shuffled_columns(df)
+    # the token-count pre-aggregate exchange (wordcount shape) exists —
+    # the marker that hashing runs on distinct tokens, not occurrences
+    assert "hashpartitioning(tok" in plan, plan
+
+
+def test_cms_build_distinct_first_is_exact(spark):
+    # The r16 distinct-first rewrite must be EXACT: cell cnt = sum of
+    # per-value counts of the values hashing to the cell, whether the
+    # grid aggregate sums 1s per occurrence or pre-summed counts
+    # (sum-commutativity). Collision-heavy shape (w=3) on purpose.
+    from hadoop_gpu_spark.operators.cms import cms_build
+
+    toks = spark.createDataFrame(
+        [(t,) for t in "a b c a a b z z z z y".split()], "tok string"
+    )
+    base = {
+        (r["row_id"], r["col_id"]): r["cnt"]
+        for r in cms_build(toks, "tok", d=3, w=3).collect()
+    }
+    fast = {
+        (r["row_id"], r["col_id"]): r["cnt"]
+        for r in cms_build(toks, "tok", d=3, w=3, distinct_first=True).collect()
+    }
+    assert base == fast
 
 
 def test_cms_sql_twin_matches_reference_fuzz():
