@@ -411,6 +411,71 @@ SQ8_SQL = """
 # --------------------------------------------------------------------------
 PQ_TRAIN_SCALE = 1_000_000
 
+# Quantized (vid, sub, d*) training rows at or below this count run the
+# Lloyd iterations driver-side (zero per-iteration Spark jobs); above
+# it, the distributed loop runs. 1 Mi rows x (sub_dim+2) int64s is tens
+# of MB — the pq_train docstring already directs production callers to
+# train on a sample, so the threshold is the sample-size regime where
+# per-iteration job overhead dominates (r16; the bpe/cc/kmeans
+# driver-boundedness contract).
+DRIVER_PQ_TRAIN_MAX_ROWS = 1 << 20
+
+
+def _pq_train_driver_side(
+    data: list[tuple[int, tuple]],
+    n_sub: int,
+    sub_dim: int,
+    n_cent: int,
+    iters: int,
+) -> list[tuple]:
+    """The IDENTICAL integer-lattice Lloyd iterations driver-side:
+    md5-ordered distinct init (Python str(int) == the engines' BIGINT
+    rendering; hex-digest ASCII order == binary-collation string
+    order), first-min/lowest-cluster argmin (np.argmin returns the
+    first minimum and centroids sit in cluster order), exact int sums
+    with floor division (numpy int64 // floors toward -inf exactly
+    like Python and both engines' training SQL). Bit-identity with the
+    distributed loop is pinned by tests/test_pending_gates.py."""
+    import hashlib
+
+    import numpy as np
+
+    by_sub: dict[int, list[tuple]] = {s: [] for s in range(n_sub)}
+    for s, dvec in data:
+        by_sub[s].append(dvec)
+    book: list[tuple] = []
+    for s in range(n_sub):
+        distinct = sorted(
+            set(by_sub[s]),
+            key=lambda dv: (
+                hashlib.md5(",".join(str(d) for d in dv).encode()).hexdigest(),
+                dv,
+            ),
+        )
+        for cluster, dv in enumerate(distinct[:n_cent]):
+            book.append((s, cluster, *dv))
+    X = {s: np.asarray(by_sub[s], dtype=np.int64) for s in range(n_sub) if by_sub[s]}
+    for _ in range(iters):
+        nxt: list[tuple] = []
+        for s in range(n_sub):
+            cents = [b for b in book if b[0] == s]
+            if s not in X or not cents:
+                nxt.extend(cents)
+                continue
+            C = np.asarray([b[2:] for b in cents], dtype=np.int64)
+            diff = X[s][:, None, :] - C[None, :, :]
+            assign = (diff * diff).sum(axis=2).argmin(axis=1)
+            for ci, (sub, cluster, *cs) in enumerate(cents):
+                mask = assign == ci
+                n = int(mask.sum())
+                if n == 0:
+                    nxt.append((sub, cluster, *cs))
+                else:
+                    sums = X[s][mask].sum(axis=0, dtype=np.int64)
+                    nxt.append((sub, cluster, *[int(v) // n for v in sums]))
+        book = nxt
+    return book
+
 
 def pq_train(
     df: DataFrame,
@@ -472,6 +537,29 @@ def pq_train(
     # checkpointed blocks are explicitly released in the finally below
     # (the r06 ADVICE leak — they otherwise stay resident for the session
     # lifetime).
+    # r16 optimization (the bpe/kmeans/cc driver contract): probe the
+    # quantized training rows with an Arrow-collected LIMIT BEFORE
+    # paying the checkpoint materialization — the fast path reads them
+    # exactly once. At or below the threshold the IDENTICAL
+    # exact-lattice iterations run driver-side (same md5-ordered init,
+    # same first-min/lowest-cluster argmin, same floor-division
+    # update); above it (production trains on a sample, but unsampled
+    # callers exist) the probe stops early and the distributed loop
+    # below runs byte-for-byte unchanged.
+    probe = rows.limit(DRIVER_PQ_TRAIN_MAX_ROWS + 1).toPandas()
+    if len(probe) <= DRIVER_PQ_TRAIN_MAX_ROWS:
+        data = list(
+            zip(
+                (int(v) for v in probe["sub"]),
+                zip(*[probe[c].astype("int64").tolist() for c in d_cols]),
+            )
+        )
+        book = _pq_train_driver_side(data, n_sub, sub_dim, n_cent, iters)
+        return spark.createDataFrame(
+            [(s, c, *cs) for s, c, *cs in book],
+            "sub long, cluster_id long, "
+            + ", ".join(f"c{d} long" for d in range(sub_dim)),
+        )
     rows = rows.localCheckpoint(eager=True)
     try:
         from pyspark.sql.window import Window
@@ -616,6 +704,72 @@ def pq_train_sql(
 # --------------------------------------------------------------------------
 
 
+def _fused_assign_encode(
+    df: DataFrame,
+    id_col: str,
+    col: str,
+    cid: "np.ndarray",
+    M: "np.ndarray",
+    C: "np.ndarray",
+    n_sub: int,
+    sub_dim: int,
+    residual: bool,
+) -> DataFrame:
+    """(nid, centroid_id, c0..c{n_sub-1}) — coarse assignment AND PQ
+    codes in ONE mapInPandas pass: the corpus crosses the Python
+    boundary once instead of twice (r16 optimization, guide §4: the
+    embedding payload used to Arrow-serialize into Python through
+    assign_to_centroids_pandas and then AGAIN through the codes UDF
+    chained behind it; a struct-returning pandas_udf was measured to
+    be re-extracted into TWO chained ArrowEvalPython nodes by the
+    optimizer — mapInPandas evaluates once by construction).
+
+    Bit-identity: the assignment block is assign_to_centroids_pandas's
+    kernel verbatim (per-dimension sequential accumulate, first-min
+    argmin over centroids sorted by id); the codes block is the
+    pq_encode/_res_codes kernel verbatim (per-subspace broadcasted
+    squared diffs, left-to-right accumulate, first-min argmin), applied
+    to x (or x - c(x) when ``residual`` — the float64 subtract the old
+    _res_codes did). Composing the two kernels in one function body
+    changes no operation and no operand, and every op is per-row
+    independent (batch boundaries cannot affect values), so the output
+    is bit-identical to the chained form.
+    """
+    from hadoop_gpu_spark.utils import ensure_min_partitions
+
+    def _assign_codes(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[col]])
+            acc = np.zeros((X.shape[0], M.shape[0]))
+            for d in range(M.shape[1]):
+                diff = X[:, d : d + 1] - M[:, d][None, :]
+                acc += diff * diff
+            rows = np.argmin(acc, axis=1)
+            R = X - M[rows] if residual else X
+            out = np.empty((R.shape[0], n_sub), dtype=np.int64)
+            for s in range(n_sub):
+                xs = R[:, s * sub_dim : (s + 1) * sub_dim]
+                sq = xs[:, None, :] - C[s][None, :, :]
+                sq *= sq
+                a = sq[:, :, 0].copy()
+                for d in range(1, sub_dim):
+                    a += sq[:, :, d]
+                out[:, s] = a.argmin(axis=1)
+            cols = {"nid": pdf[id_col].to_numpy(), "centroid_id": cid[rows]}
+            for s in range(n_sub):
+                cols[f"c{s}"] = out[:, s]
+            yield pd.DataFrame(cols)
+
+    schema = "nid long, centroid_id long, " + ", ".join(
+        f"c{s} long" for s in range(n_sub)
+    )
+    return ensure_min_partitions(df.select(id_col, col)).mapInPandas(
+        _assign_codes, schema
+    )
+
+
 def ivfpq_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -654,7 +808,6 @@ def ivfpq_topk(
     from pyspark.sql.window import Window
 
     from hadoop_gpu_spark.functions.vectors import euclidean_sq
-    from hadoop_gpu_spark.similarity.ann import assign_to_centroids_pandas
 
     spark = df.sparkSession
     book_v = book if book is not None else pq_codebook()
@@ -665,32 +818,16 @@ def ivfpq_topk(
     cen = df.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("centroid_id"), F.col(col)
     )
-    assigned = assign_to_centroids_pandas(df, cen, col, id_col)
-
-    # PQ codes alongside centroid_id in the SAME pass (pq_encode's
-    # kernel projects ids+codes only, which would force a corpus-sized
-    # re-join to recover the cell — so the identical kernel runs here
-    # as a withColumn; bit-parity with pq_encode is test-pinned).
-    @F.pandas_udf("array<long>")
-    def _codes(embs: pd.Series) -> pd.Series:
-        if not len(embs):
-            return pd.Series([], dtype=object)
-        X = np.asarray(embs.tolist(), dtype=np.float64)
-        out = np.empty((X.shape[0], n_sub), dtype=np.int64)
-        for s in range(n_sub):
-            xs = X[:, s * sub_dim : (s + 1) * sub_dim]
-            sq = xs[:, None, :] - C[s][None, :, :]
-            sq *= sq
-            acc = sq[:, :, 0].copy()
-            for d in range(1, sub_dim):
-                acc += sq[:, :, d]
-            out[:, s] = acc.argmin(axis=1)
-        return pd.Series(list(out))
-
-    enc = assigned.select(
-        F.col(id_col).alias("nid"), "centroid_id", _codes(F.col(col)).alias("__pq")
-    ).select(
-        "nid", "centroid_id", *[F.col("__pq")[s].alias(f"c{s}") for s in range(n_sub)]
+    # Coarse model driver-side once (metadata-sized): feeds the fused
+    # assign+encode kernel — previously assign_to_centroids_pandas
+    # collected it separately AND the corpus crossed the Python
+    # boundary a second time for the codes UDF (see _fused_assign_pq_udf
+    # for the bit-identity argument).
+    cen_rows = sorted(cen.collect(), key=lambda r: r["centroid_id"])
+    cid_v = np.array([int(r["centroid_id"]) for r in cen_rows], dtype=np.int64)
+    M = np.asarray([[float(x) for x in r[col]] for r in cen_rows], dtype=np.float64)
+    enc = _fused_assign_encode(
+        df, id_col, col, cid_v, M, C, n_sub, sub_dim, residual=False
     )
 
     # nprobe nearest cells per query (exact small-side math, as ivf_topk)
@@ -849,8 +986,6 @@ def ivfpq_residual_topk(
     """
     from pyspark.sql.window import Window
 
-    from hadoop_gpu_spark.similarity.ann import assign_to_centroids_pandas
-
     spark = df.sparkSession
     book_v = book if book is not None else pq_codebook()
     n_sub = len(book_v)
@@ -866,34 +1001,17 @@ def ivfpq_residual_topk(
     cen_rows = sorted(cen.collect(), key=lambda r: r["centroid_id"])
     cen_ids = [int(r["centroid_id"]) for r in cen_rows]
     M = np.asarray([[float(x) for x in r[col]] for r in cen_rows], dtype=np.float64)
-    cid_to_row = {c: i for i, c in enumerate(cen_ids)}
 
-    assigned = assign_to_centroids_pandas(df, cen, col, id_col)
-
-    @F.pandas_udf("array<long>")
-    def _res_codes(embs: pd.Series, cids: pd.Series) -> pd.Series:
-        if not len(embs):
-            return pd.Series([], dtype=object)
-        X = np.asarray(embs.tolist(), dtype=np.float64)
-        rows = np.asarray([cid_to_row[int(c)] for c in cids], dtype=np.int64)
-        R = X - M[rows]  # residuals, one exact float64 subtract per dim
-        out = np.empty((R.shape[0], n_sub), dtype=np.int64)
-        for s in range(n_sub):
-            xs = R[:, s * sub_dim : (s + 1) * sub_dim]
-            sq = xs[:, None, :] - C[s][None, :, :]
-            sq *= sq
-            acc = sq[:, :, 0].copy()
-            for d in range(1, sub_dim):
-                acc += sq[:, :, d]
-            out[:, s] = acc.argmin(axis=1)
-        return pd.Series(list(out))
-
-    enc = assigned.select(
-        F.col(id_col).alias("nid"),
-        "centroid_id",
-        _res_codes(F.col(col), F.col("centroid_id")).alias("__pq"),
-    ).select(
-        "nid", "centroid_id", *[F.col("__pq")[s].alias(f"c{s}") for s in range(n_sub)]
+    # Fused assign + residual-encode: ONE Python crossing for the
+    # corpus (was: assign_to_centroids_pandas + a chained _res_codes
+    # UDF — the embeddings Arrow-serialized into Python twice, and the
+    # assign helper re-collected the centroid frame). Bit-identity
+    # argument in _fused_assign_pq_udf; the residual subtract uses the
+    # argmin row directly, which equals the old cid_to_row lookup
+    # because cen_rows is sorted by centroid_id.
+    cid_v = np.asarray(cen_ids, dtype=np.int64)
+    enc = _fused_assign_encode(
+        df, id_col, col, cid_v, M, C, n_sub, sub_dim, residual=True
     )
 
     # Probes + per-(query, cell) residual LUTs, driver-side exact

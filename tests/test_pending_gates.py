@@ -778,6 +778,26 @@ def test_pq_train_releases_its_checkpoint(spark, sf_dir):
     assert not leaked, f"pq_train left checkpoint blocks resident: {leaked}"
 
 
+def test_pq_train_driver_path_matches_distributed(spark, sf_dir, monkeypatch):
+    # r16 optimization: small quantized training sets run the Lloyd
+    # iterations driver-side. The two paths must produce the identical
+    # book (md5-ordered init, argmin ties, floor-division update all
+    # replicated exactly) — forced here by pinning the threshold to -1
+    # for the distributed run.
+    from hadoop_gpu_spark.similarity import quantize as qz
+    from hadoop_gpu_spark.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    fast = (
+        qz.pq_train(emb).toPandas().sort_values(["sub", "cluster_id"]).reset_index(drop=True)
+    )
+    monkeypatch.setattr(qz, "DRIVER_PQ_TRAIN_MAX_ROWS", -1)
+    slow = (
+        qz.pq_train(emb).toPandas().sort_values(["sub", "cluster_id"]).reset_index(drop=True)
+    )
+    assert fast.equals(slow)
+
+
 def test_pq_train_invariant_under_partitioning(spark, sf_dir):
     # The whole point of the integer lattice: identical book under
     # adversarial shuffle layouts AND input re-slicing (float-mean Lloyd

@@ -232,6 +232,13 @@ def test_ivfpq_plan_corpus_never_shuffles_before_probe_join(spark, sf_dir):
     # every join is broadcast-shaped
     assert plan.count("BroadcastHashJoin") >= 1
     assert "embedding" not in plans.shuffled_columns(df)
+    # r16 optimization: assignment + PQ encode are FUSED into one
+    # mapInPandas pass, so the corpus embeddings cross the Python
+    # boundary exactly once (was: assign UDF + chained codes UDF = two
+    # Arrow serializations of the corpus payload; a struct pandas_udf
+    # got re-extracted into two chained ArrowEvalPython nodes).
+    assert plan.count("ArrowEvalPython") == 0, plan
+    assert len(re.findall(r"\(\d+\) MapInPandas\b", plan)) == 1, plan
 
 
 # ---------------------------------------------------------------------------

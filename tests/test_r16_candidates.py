@@ -506,3 +506,10 @@ def test_ivfpq_residual_plan_corpus_never_shuffles(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 1
     assert "embedding" not in plans.shuffled_columns(df)
+    # r16 optimization: assignment + residual-encode fused into ONE
+    # mapInPandas pass — a single Arrow crossing for the corpus
+    # embeddings (was two chained UDFs).
+    import re
+
+    assert plan.count("ArrowEvalPython") == 0, plan
+    assert len(re.findall(r"\(\d+\) MapInPandas\b", plan)) == 1, plan
