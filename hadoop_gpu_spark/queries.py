@@ -1436,18 +1436,33 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Threshold 0.3 (not the production-typical 0.8): the synthetic
     # embeddings max out at ~0.38 within-label cosine, and a gate that
     # returns 0 rows proves nothing. 82 pairs at sf0.001, 111 at sf0.01.
-    from hadoop_gpu_spark.functions.vectors import cosine
+    # r16 optimization (guide §1.2): squared norms factored out per SIDE
+    # (2 x |V| folds) instead of per PAIR (2 of the 3 folds x |pairs|),
+    # and the cosine is projected ONCE then filtered. cosine(a, b) ==
+    # dot(a, b) / sqrt(norm_sq(a) * norm_sq(b)) over the identical array
+    # values, so every double is bit-identical to the inline form.
+    from hadoop_gpu_spark.functions.vectors import dot, norm_sq
 
     emb = T(spark, sf_dir, "embeddings")
     e1 = emb.select(
-        F.col("label"), F.col("vec_id").alias("a"), F.col("embedding").alias("__v1")
+        F.col("label"),
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("__v1"),
+        norm_sq("embedding").alias("__n1"),
     )
     e2 = emb.select(
-        F.col("label"), F.col("vec_id").alias("b"), F.col("embedding").alias("__v2")
+        F.col("label"),
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("__v2"),
+        norm_sq("embedding").alias("__n2"),
     )
     pairs = e1.join(e2, on="label").filter(F.col("a") < F.col("b"))
-    cos = cosine("__v1", "__v2")
-    return pairs.filter(cos >= 0.3).select("a", "b", F.round(cos, 9).alias("cos"))
+    cos = dot("__v1", "__v2") / F.sqrt(F.col("__n1") * F.col("__n2"))
+    return (
+        pairs.select("a", "b", cos.alias("__cos"))
+        .filter(F.col("__cos") >= 0.3)
+        .select("a", "b", F.round("__cos", 9).alias("cos"))
+    )
 
 
 # ---------------------------------------------------------------------------

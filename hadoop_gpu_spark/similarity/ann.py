@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hadoop_gpu_spark.functions.vectors import cosine, euclidean_sq
+from hadoop_gpu_spark.functions.vectors import dot, euclidean_sq, norm_sq
 
 
 def brute_force_topk(
@@ -39,15 +39,26 @@ def brute_force_topk(
     """
     from hadoop_gpu_spark.utils import ensure_min_partitions
 
+    # Squared norms are factored out per SIDE (|Q| + |corpus| folds)
+    # instead of per PAIR (3 folds x |Q|*|corpus|): cosine(a, b) ==
+    # dot(a, b) / sqrt(norm_sq(a) * norm_sq(b)) with norm_sq evaluated
+    # on the identical array values, so every double in the quotient is
+    # bit-identical to the inline form (r16 optimization, guide §1.2).
     q = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("__qv"),
+        norm_sq(vec_col).alias("__qn"),
     )
     c = ensure_min_partitions(
-        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("__cv"))
+        corpus.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("__cv"),
+            norm_sq(vec_col).alias("__cn"),
+        )
     )
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("nid"))
     if metric == "cosine":
-        score = cosine("__qv", "__cv")
+        score = dot("__qv", "__cv") / F.sqrt(F.col("__qn") * F.col("__cn"))
         order = [F.col("score").desc(), F.col("nid").asc()]
     elif metric == "euclidean":
         score = euclidean_sq("__qv", "__cv")
@@ -111,11 +122,20 @@ def assign_to_centroids_pandas(
 
     Centroids are collected to the driver (IVF coarse lists are small by
     construction — same metadata-sized role as k-means centroids) and
-    closed over by the UDF, i.e. broadcast with the serialized task.
+    closed over by the kernel, i.e. broadcast with the serialized task.
+
+    r16 optimization (guide §4): the kernel runs as mapInPandas, not a
+    pandas_udf expression. When the assigned column feeds a join key,
+    the optimizer infers an ``isnotnull`` predicate on the UDF output
+    and evaluates the SAME deterministic UDF once for the filter and
+    again for the key projection — two chained ArrowEvalPython nodes
+    running the full distance kernel twice over the corpus (measured in
+    q_ann_ivf's plan). MapInPandas is a plan BARRIER, not an
+    expression: one crossing, one kernel run, by construction. The
+    numpy block is unchanged, and every op is per-row independent, so
+    output values are bit-identical.
     """
     import numpy as np
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import LongType
 
     from hadoop_gpu_spark.utils import ensure_min_partitions
 
@@ -126,21 +146,29 @@ def assign_to_centroids_pandas(
     cid = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
     C = np.array([[float(x) for x in r[vec_col]] for r in rows], dtype=np.float64)
 
-    @pandas_udf(LongType())
-    def _assign(vecs: pd.Series) -> pd.Series:
-        n = len(vecs)
-        if n == 0:
-            return pd.Series(np.empty(0, dtype=np.int64))
-        X = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        acc = np.zeros((n, C.shape[0]))
-        for d in range(C.shape[1]):
-            diff = X[:, d : d + 1] - C[:, d][None, :]
-            acc += diff * diff
-        return pd.Series(cid[np.argmin(acc, axis=1)])
+    in_cols = list(corpus.columns)
 
-    return ensure_min_partitions(corpus).withColumn(
-        "centroid_id", _assign(F.col(vec_col))
+    def _assign_batches(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            acc = np.zeros((n, C.shape[0]))
+            for d in range(C.shape[1]):
+                diff = X[:, d : d + 1] - C[:, d][None, :]
+                acc += diff * diff
+            out = pdf.copy()
+            out["centroid_id"] = cid[np.argmin(acc, axis=1)]
+            yield out
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        list(corpus.schema.fields) + [StructField("centroid_id", LongType())]
     )
+    assert "centroid_id" not in in_cols, "corpus already carries centroid_id"
+    return ensure_min_partitions(corpus).mapInPandas(_assign_batches, schema)
 
 
 def ivf_topk(
@@ -158,18 +186,30 @@ def ivf_topk(
     at scale, persist it partitioned by centroid_id).
     """
     cen = centroids.select("centroid_id", F.col(vec_col).alias("__mv"))
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv"))
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("__qv"),
+        norm_sq(vec_col).alias("__qn"),
+    )
     qc = q.crossJoin(F.broadcast(cen))
     w = Window.partitionBy("qid").orderBy(
         euclidean_sq("__qv", "__mv").asc(), F.col("centroid_id").asc()
     )
     probes = qc.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") <= nprobe)
-    probe_q = probes.select("qid", "__qv", "centroid_id")
+    probe_q = probes.select("qid", "__qv", "__qn", "centroid_id")
+    # per-side norm factoring, same bit-identity argument as
+    # brute_force_topk (the probed-cell candidate set pays one dot per
+    # pair instead of three folds)
     cand = corpus_assigned.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("__cv"), "centroid_id"
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("__cv"),
+        norm_sq(vec_col).alias("__cn"),
+        "centroid_id",
     ).join(F.broadcast(probe_q), "centroid_id")
     scored = cand.filter(F.col("qid") != F.col("nid")).select(
-        "qid", "nid", cosine("__qv", "__cv").alias("score")
+        "qid",
+        "nid",
+        (dot("__qv", "__cv") / F.sqrt(F.col("__qn") * F.col("__cn"))).alias("score"),
     )
     w2 = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
     return scored.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
@@ -315,20 +355,54 @@ def lsh_bucket_topk(
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("__qv"),
+        norm_sq(vec_col).alias("__qn"),
         lsh_signature_pandas_auto(vec_col, n_bits).alias("__sig"),
     )
     # signature computed in the scan projection: at cluster scale the scan
     # has many partitions, so the Arrow-batched UDF is already parallel
     # there (and measured locally, one big Arrow batch beats 32 tiny
     # post-repartition batches — Python worker overhead is per-batch)
-    c = ensure_min_partitions(
-        corpus.select(
-            F.col(id_col).alias("nid"),
-            F.col(vec_col).alias("__cv"),
-            lsh_signature_pandas_auto(vec_col, n_bits).alias("__sig"),
-        )
-    )
+    # Corpus-side signature via mapInPandas, not a pandas_udf expression
+    # (r16 optimization, guide §4): `__sig` is the join key, so the
+    # optimizer infers isnotnull(__sig) and evaluates the SAME UDF once
+    # for that filter and again for the key projection — two chained
+    # ArrowEvalPython nodes running the signature kernel twice over the
+    # corpus (measured in q_ann_lsh's plan). MapInPandas is a plan
+    # barrier: one crossing, one kernel run. The kernel body is
+    # lsh_signature_pandas_auto's verbatim (per-dim memoized sign
+    # matrix + _signatures_np), so signatures are bit-identical; the
+    # float array round-trips Arrow exactly, so the downstream JVM
+    # norm/dot expressions see identical values. The tiny query side
+    # keeps the expression form (8 rows — the duplicate eval is noise).
+    memo: dict[int, list[list[int]]] = {}
+
+    def _sig_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = pdf[vec_col]
+            dim = len(vecs.iloc[0])
+            signs = memo.get(dim)
+            if signs is None:
+                signs = memo[dim] = lsh_signs(n_bits, dim)
+            yield pd.DataFrame(
+                {
+                    "nid": pdf[id_col].to_numpy(),
+                    "__cv": vecs,
+                    "__sig": _signatures_np(vecs, signs),
+                }
+            )
+
+    vec_type = corpus.schema[vec_col].dataType.simpleString()
+    c = ensure_min_partitions(corpus.select(id_col, vec_col)).mapInPandas(
+        _sig_batches, f"nid long, __cv {vec_type}, __sig long"
+    ).withColumn("__cn", norm_sq("__cv"))
     pairs = c.join(F.broadcast(q), "__sig").filter(F.col("qid") != F.col("nid"))
-    scored = pairs.select("qid", "nid", cosine("__qv", "__cv").alias("score"))
+    # per-side norm factoring (bit-identical quotient, see brute_force_topk)
+    scored = pairs.select(
+        "qid",
+        "nid",
+        (dot("__qv", "__cv") / F.sqrt(F.col("__qn") * F.col("__cn"))).alias("score"),
+    )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
