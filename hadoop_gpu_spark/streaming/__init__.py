@@ -205,18 +205,60 @@ def progress_dicts(query) -> list[dict]:
     return out
 
 
+_NO_EMPTY_BATCH_CONF = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+
+def start_skipping_empty_batches(writer, spark: SparkSession):
+    """``writer.start()`` with zero-data micro-batches disabled for THIS
+    stream (r16 optimization, guide §1.2 fixed per-unit overhead): an
+    availableNow drain otherwise appends a no-new-data micro-batch whose
+    only job is advancing the watermark and evicting state — measured at
+    sf0.1 as a full extra batch of fixed cost (~2.5 s: per-batch
+    incremental planning + a state-store commit on EVERY store instance,
+    32-128 of them, for zero output rows).
+
+    Exactness: legal ONLY for drains whose emitted rows cannot depend on
+    the watermark-advance batch — complete-mode sinks re-emit the (by
+    then unchanged) full state each batch, and append-mode
+    stream-stream joins / dropDuplicates / no-timeout sessionizers emit
+    on data arrival only. Watermark-EMIT shapes (append-mode windowed
+    aggregates, processing-time-timeout sessionizers — where the empty
+    batch is what finalizes rows) MUST NOT come through here; they keep
+    calling ``.start()`` directly with the engine default.
+
+    The conf is snapshotted by the stream when ``start()`` clones the
+    session, so restoring it immediately afterwards cannot race the
+    running query.
+    """
+    old = spark.conf.get(_NO_EMPTY_BATCH_CONF, "true")
+    spark.conf.set(_NO_EMPTY_BATCH_CONF, "false")
+    try:
+        return writer.start()
+    finally:
+        spark.conf.set(_NO_EMPTY_BATCH_CONF, old)
+
+
 def drain_to_memory(stream_df: DataFrame, name: str, mode: str | None = None) -> DataFrame:
     """Run an availableNow pass into a memory sink; return the result table
     (test/bench utility — batch parity checks). Default mode: complete for
     streaming aggregations; pass mode="append" for non-aggregating streams
-    (dedup, stateless maps), where complete is rejected by the planner."""
-    q = (
+    (dedup, stateless maps), where complete is rejected by the planner.
+
+    Skips the trailing zero-data micro-batch (see
+    start_skipping_empty_batches): both supported drain shapes —
+    complete-mode aggregates and append-mode emit-on-arrival streams —
+    are watermark-emit-free by construction. An append-mode WINDOWED
+    AGGREGATE (whose rows only emit when the watermark passes) must not
+    use this helper; the watermark-semantics tests start such streams
+    directly.
+    """
+    writer = (
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(mode or ("complete" if stream_df.isStreaming else "append"))
         .trigger(availableNow=True)
-        .start()
     )
+    q = start_skipping_empty_batches(writer, stream_df.sparkSession)
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
 
@@ -321,11 +363,13 @@ def topk_per_window_snapshot(
             .parquet(out_dir)
         )
 
-    q = (
+    # complete-mode snapshot: the skipped empty batch would re-write an
+    # identical snapshot — see start_skipping_empty_batches
+    q = start_skipping_empty_batches(
         agg_stream.writeStream.foreachBatch(sink)
         .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        agg_stream.sparkSession,
     )
     q.awaitTermination()
     return agg_stream.sparkSession.read.parquet(out_dir)
@@ -366,11 +410,14 @@ def hist_sketch_stream_snapshot(
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(out_dir)
 
-    q = (
+    # complete-mode snapshot: the skipped empty batch would re-write an
+    # identical snapshot (state unchanged by no data) — see
+    # start_skipping_empty_batches
+    q = start_skipping_empty_batches(
         agg.writeStream.foreachBatch(sink)
         .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        stream.sparkSession,
     )
     q.awaitTermination()
     return stream.sparkSession.read.parquet(out_dir)
@@ -415,11 +462,14 @@ def hll_stream_snapshot(
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(out_dir)
 
-    q = (
+    # complete-mode snapshot: the skipped empty batch would re-write an
+    # identical snapshot (state unchanged by no data) — see
+    # start_skipping_empty_batches
+    q = start_skipping_empty_batches(
         agg.writeStream.foreachBatch(sink)
         .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        stream.sparkSession,
     )
     q.awaitTermination()
     return stream.sparkSession.read.parquet(out_dir)
@@ -488,11 +538,14 @@ def lsh_bucket_stream_snapshot(
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(out_dir)
 
-    q = (
+    # complete-mode snapshot: the skipped empty batch would re-write an
+    # identical snapshot (state unchanged by no data) — see
+    # start_skipping_empty_batches
+    q = start_skipping_empty_batches(
         agg.writeStream.foreachBatch(sink)
         .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        stream.sparkSession,
     )
     q.awaitTermination()
     return stream.sparkSession.read.parquet(out_dir)
@@ -535,11 +588,14 @@ def cms_stream_snapshot(
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(out_dir)
 
-    q = (
+    # complete-mode snapshot: the skipped empty batch would re-write an
+    # identical snapshot (state unchanged by no data) — see
+    # start_skipping_empty_batches
+    q = start_skipping_empty_batches(
         agg.writeStream.foreachBatch(sink)
         .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        stream.sparkSession,
     )
     q.awaitTermination()
     return stream.sparkSession.read.parquet(out_dir)
