@@ -28,6 +28,103 @@ from pyspark.sql import functions as F
 
 from hadoop_gpu_spark.functions.vectors import euclidean_sq
 
+# Driver-boundedness contract (the bpe/cc/pq_train pattern, r16): at or
+# below this many points the IDENTICAL Lloyd iterations run driver-side —
+# but ONLY when every feature value is an integer-valued double small
+# enough that every partial sum is exact in float64 (see
+# _driver_kmeans_is_exact). Above the threshold, or off the integer
+# lattice, the distributed loop below runs byte-for-byte unchanged.
+# 2^20 points x 2 features x 8 B = 16 MB through the driver at most —
+# the same boundedness class as DRIVER_PQ_TRAIN_MAX_ROWS.
+DRIVER_KMEANS_MAX_POINTS = 1 << 20
+# |v| <= 2^31 and n <= 2^20 terms bounds any partial sum by 2^51 < 2^53,
+# so float64 addition never rounds: EVERY summation order (Spark's
+# partition-order partial aggregation, numpy's pairwise sum, DuckDB's
+# sequential sum) yields the same exact integer, hence the same double.
+_EXACT_ABS_BOUND = float(1 << 31)
+
+
+def _driver_kmeans_is_exact(pts) -> bool:
+    """True iff the driver-side loop is provably bit-identical to the
+    distributed loop: all features finite, integer-valued, and small
+    enough that float64 sums of <= DRIVER_KMEANS_MAX_POINTS of them are
+    exact (then avg = exact_sum / n is ONE deterministic IEEE division,
+    and every distance/argmin decision is a pure function of the same
+    doubles). Anything else — fractional values, huge magnitudes, NaN —
+    falls back to the distributed loop, whose float summation order is
+    part of its declared semantics."""
+    return bool(
+        np.isfinite(pts).all()
+        and (np.abs(pts) <= _EXACT_ABS_BOUND).all()
+        and (pts == np.floor(pts)).all()
+    )
+
+
+def _kmeans_driver_side(
+    pts: np.ndarray,
+    cents: list[tuple],
+    n_features: int,
+    max_iter: int,
+    eps: float | None,
+) -> tuple[list[tuple], dict]:
+    """The distributed loop's iterations replayed driver-side on the
+    collected points — step-for-step, in the same order:
+
+    - assignment = lexicographic min over (distance, cluster_id) structs
+      (``_with_nearest``'s array_min): distances are computed per
+      centroid with the same left-to-right per-feature accumulation
+      ``((x0-c0)^2 + (x1-c1)^2) + ...``, and ties on distance resolve to
+      the smallest cluster_id — implemented by evaluating centroids in
+      cluster_id-ascending order and taking numpy's first-minimum argmin;
+    - recalc = exact integer sum per cluster / count (any-order-exact by
+      the _driver_kmeans_is_exact precondition), empty clusters keep the
+      previous centroid;
+    - eps stop rule evaluated with the identical Python-float expression
+      the distributed loop uses.
+
+    Returns (final cents list in the caller's original order, counts of
+    the final assignment).
+    """
+    counts: dict = {}
+    for _ in range(max_iter):
+        order = sorted(range(len(cents)), key=lambda i: cents[i][0])
+        dists = []
+        for i in order:
+            c = cents[i]
+            d = None
+            for j in range(n_features):
+                t = (pts[:, j] - float(c[1 + j])) ** 2
+                d = t if d is None else d + t
+            dists.append(d)
+        # first-minimum over cluster_id-ascending columns == array_min
+        # over (d, cid) structs
+        assign_pos = np.argmin(np.stack(dists, axis=1), axis=1)
+        new_map = {}
+        counts = {}
+        for pos, i in enumerate(order):
+            cid = cents[i][0]
+            mask = assign_pos == pos
+            n = int(mask.sum())
+            if n:
+                sel = pts[mask]
+                means = tuple(
+                    float(sel[:, j].sum()) / n for j in range(n_features)
+                )
+                new_map[cid] = means
+                counts[cid] = n
+        next_cents = [(cid, *(new_map.get(cid, tuple(vals)))) for cid, *vals in cents]
+        if eps is not None:
+            move = max(
+                sum((a - b) ** 2 for a, b in zip(old[1:], nw[1:]))
+                for old, nw in zip(cents, next_cents)
+            )
+            cents = next_cents
+            if move <= eps * eps:
+                break
+        else:
+            cents = next_cents
+    return cents, counts
+
 
 def kmeans_dataframe(
     points: DataFrame,
@@ -50,6 +147,37 @@ def kmeans_dataframe(
     """
     cents = [tuple(r) for r in init_centroids.select("cluster_id", *feature_cols).collect()]
     spark = points.sparkSession
+
+    # r16 optimization (the bpe/cc/pq_train driver contract): probe the
+    # points with an Arrow-collected LIMIT before paying the persist.
+    # At or below DRIVER_KMEANS_MAX_POINTS, AND when every feature value
+    # sits on the exact-integer float64 lattice (the q_kmeans gate shape:
+    # floor(x * 1e6) doubles — the same property its DuckDB oracle
+    # already relies on), the IDENTICAL iterations run driver-side:
+    # max_iter scans + max_iter k-row aggregate jobs collapse into ONE
+    # bounded read. Off the lattice or above the threshold the
+    # distributed loop below runs byte-for-byte unchanged.
+    if cents:
+        probe = (
+            points.select(*feature_cols)
+            .limit(DRIVER_KMEANS_MAX_POINTS + 1)
+            .toPandas()
+        )
+        if len(probe) <= DRIVER_KMEANS_MAX_POINTS:
+            pts = probe[list(feature_cols)].to_numpy(dtype=np.float64)
+            if _driver_kmeans_is_exact(pts):
+                cents, counts = _kmeans_driver_side(
+                    pts, cents, len(feature_cols), max_iter, eps
+                )
+                rows = [
+                    (int(cid), *[float(v) for v in vals], int(counts.get(cid, 0)))
+                    for cid, *vals in cents
+                ]
+                return spark.createDataFrame(
+                    rows,
+                    ["cluster_id", *[f"c_{c}" for c in feature_cols], "n_points"],
+                )
+
     points = points.persist()
     try:
         counts: dict = {}

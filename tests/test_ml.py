@@ -93,6 +93,58 @@ def test_kmeans_dataframe_eps_early_stop(spark, monkeypatch):
     assert np.allclose(a, b, atol=1e-12)
 
 
+def test_kmeans_driver_path_matches_distributed(spark, monkeypatch):
+    # r16 driver-boundedness contract: on the exact-integer float64
+    # lattice (the q_kmeans gate shape) the driver-side Lloyd loop must
+    # be BIT-identical to the distributed loop — including distance
+    # ties (resolved to the smaller cluster_id by array_min's struct
+    # order) and empty clusters (keep their previous centroid, report
+    # n_points=0). Off-lattice inputs must take the distributed path.
+    from hadoop_gpu_spark.ml import kmeans as km
+
+    rng = np.random.default_rng(11)
+    rows = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+        np.floor(rng.uniform(-500, 500, (120, 2))))]
+    # exact tie: point equidistant from init centroids 0=(row0) and
+    # 1=(row1) would be luck; force one by construction instead
+    rows += [(200, 0.0, 0.0), (201, 2.0, 0.0), (202, 1.0, 0.0)]
+    pts = spark.createDataFrame(rows, ["vec_id", "x", "y"])
+    init = pts.filter(F.col("vec_id").isin([200, 201])).select(
+        (F.col("vec_id") - 200).cast("long").alias("cluster_id"), "x", "y"
+    )
+    # plus one init centroid far from every point -> empty cluster
+    far = spark.createDataFrame([(2, 9.0e5, 9.0e5)], ["cluster_id", "x", "y"])
+    init = init.unionByName(far)
+
+    fast = kmeans_dataframe(pts, init, ["x", "y"], k=3, max_iter=4).toPandas()
+    monkeypatch.setattr(km, "DRIVER_KMEANS_MAX_POINTS", -1)
+    slow = kmeans_dataframe(pts, init, ["x", "y"], k=3, max_iter=4).toPandas()
+
+    a = fast.sort_values("cluster_id").reset_index(drop=True)
+    b = slow.sort_values("cluster_id").reset_index(drop=True)
+    assert a.equals(b), f"driver path diverged:\n{a}\nvs\n{b}"
+    assert (a[a.cluster_id == 2].n_points == 0).all()  # empty cluster kept
+
+    # eps early-stop parity on the lattice
+    fast_eps = None
+    monkeypatch.setattr(km, "DRIVER_KMEANS_MAX_POINTS", 1 << 20)
+    fast_eps = kmeans_dataframe(pts, init, ["x", "y"], k=3, max_iter=50, eps=0.5).toPandas()
+    monkeypatch.setattr(km, "DRIVER_KMEANS_MAX_POINTS", -1)
+    slow_eps = kmeans_dataframe(pts, init, ["x", "y"], k=3, max_iter=50, eps=0.5).toPandas()
+    assert fast_eps.sort_values("cluster_id").reset_index(drop=True).equals(
+        slow_eps.sort_values("cluster_id").reset_index(drop=True)
+    )
+
+    # off-lattice input must NOT take the driver path (its float
+    # summation order is the distributed loop's declared semantics)
+    off = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(rng.normal(0, 1, (30, 2)))],
+        ["vec_id", "x", "y"],
+    )
+    probe = off.select("x", "y").toPandas().to_numpy(dtype=np.float64)
+    assert not km._driver_kmeans_is_exact(probe)
+
+
 def test_kmeans_grouped_reference_semantics(spark):
     # Two datasets, each with 2 tight blobs; reference contract: one whole
     # dataset per group, Lloyd's until eps (cpu-kmeans2D.cc:163-170).
