@@ -1817,21 +1817,33 @@ def q_pipe_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
+    # r16 optimization (guide §1.2 per-task work): the two exact
+    # percentiles share ONE array-form aggregate — separate
+    # percentile(col, p) calls each buffer the whole column
+    # independently (measured 2.23s vs 1.56s for the pair at sf0.1),
+    # and the array form reads the same counts map at both fractions,
+    # so the values are bit-identical (verified bitwise). Same fusion
+    # for the approx pair: one QuantileSummaries sketch queried at both
+    # fractions (0.93s -> 0.59s); the sketch sees the identical row
+    # stream either way and the gate exports tolerance BOOLEANS.
     g = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("suppliers_exact"),
         F.approx_count_distinct("l_suppkey").alias("__ad"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("__med"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("__med_a"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("__p99"),
-        F.percentile_approx("l_extendedprice", 0.99).alias("__p99_a"),
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.99D))").alias("__p"),
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.99))
+        ).alias("__pa"),
     )
-    tol = lambda a, b, rt: F.abs(F.col(a) - F.col(b)) <= rt * F.abs(F.col(b))  # noqa: E731
+    tol = lambda a, b: F.abs(a - b) <= 0.02 * F.abs(b)  # noqa: E731
     return g.select(
         "l_returnflag",
         "suppliers_exact",
-        tol("__ad", "suppliers_exact", 0.1).alias("approx_distinct_ok"),
-        tol("__med_a", "__med", 0.02).alias("approx_median_ok"),
-        tol("__p99_a", "__p99", 0.02).alias("approx_p99_ok"),
+        (
+            F.abs(F.col("__ad") - F.col("suppliers_exact"))
+            <= 0.1 * F.abs(F.col("suppliers_exact"))
+        ).alias("approx_distinct_ok"),
+        tol(F.col("__pa")[0], F.col("__p")[0]).alias("approx_median_ok"),
+        tol(F.col("__pa")[1], F.col("__p")[1]).alias("approx_p99_ok"),
     )
 
 
