@@ -57,6 +57,7 @@ def cms_build(
     w: int = 512,
     group_cols: list[str] | None = None,
     distinct_first: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the sketch: ``(group..., row_id, col_id, cnt)`` — at most
     ``|groups| * d * w`` rows. One pass, map-side-combined aggregate.
@@ -71,9 +72,18 @@ def cms_build(
     ONLY — a streaming caller must keep the single-aggregate form
     (False), because the pre-aggregate would add a second, value-keyed
     stateful operator: unbounded state, and multiple streaming
-    aggregations are rejected by the planner anyway.
+    aggregations are rejected by the planner anyway. A streaming caller
+    that pre-counts STATELESSLY (per batch partition — see
+    streaming.cms_stream_snapshot) passes its count column as
+    ``weight_col`` instead; the same sum-commutativity argument makes
+    any partition/batch-local pre-sum exact.
+
+    ``weight_col``: ``df`` already carries one row per (group..., value)
+    with a count — hash each row once and SUM THE WEIGHTS.
     """
     _check_params(d, w)
+    if distinct_first and weight_col is not None:
+        raise ValueError("distinct_first and weight_col are mutually exclusive")
     gcols = list(group_cols or [])
     cells = F.array(
         *[
@@ -85,11 +95,13 @@ def cms_build(
         ]
     )
     if distinct_first:
-        pre = df.groupBy(*gcols, col).agg(F.count(F.lit(1)).alias("__c"))
+        df = df.groupBy(*gcols, col).agg(F.count(F.lit(1)).alias("__c"))
+        weight_col = "__c"
+    if weight_col is not None:
         return (
-            pre.select(*gcols, F.col("__c"), F.inline(cells))
+            df.select(*gcols, F.col(weight_col).alias("__w"), F.inline(cells))
             .groupBy(*gcols, "row_id", "col_id")
-            .agg(F.sum("__c").cast("long").alias("cnt"))
+            .agg(F.sum("__w").cast("long").alias("cnt"))
         )
     return (
         df.select(*gcols, F.inline(cells))
