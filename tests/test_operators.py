@@ -602,3 +602,32 @@ def test_vectorized_kernels_random_parity(spark):
         lsh_signature_pandas("embedding", signs).alias("p"),
     )
     assert both.filter(F.col("e") != F.col("p")).count() == 0
+
+
+def test_array_form_percentile_is_bitwise_equal_to_scalar_calls(spark):
+    # r16 optimization pin (q_approx_stats): the exact percentile pair is
+    # computed as ONE array-form aggregate — percentile(x, array(p1, p2))
+    # must be BIT-identical per fraction to separate percentile(x, p)
+    # calls (same counts map, same interpolation), or the fusion would
+    # silently change the gate's tolerance booleans. Adversarial values:
+    # duplicates, negatives, a huge-magnitude double, non-dyadic
+    # fractions of the row count.
+    import math
+
+    rows = [(i % 3, v) for i, v in enumerate(
+        [1.5, -2.25, 1.5, 0.0, 3.75, -2.25, 1e15, 7.125, 2.5, -0.5, 9.0]
+    )]
+    df = spark.createDataFrame(rows, "g int, x double").coalesce(2)
+    got = (
+        df.groupBy("g")
+        .agg(
+            F.expr("percentile(x, 0.5)").alias("m"),
+            F.expr("percentile(x, 0.99)").alias("p"),
+            F.expr("percentile(x, array(0.5D, 0.99D))").alias("mp"),
+        )
+        .collect()
+    )
+    assert got, "empty result"
+    for r in got:
+        assert math.isclose(r["m"], r["mp"][0], rel_tol=0, abs_tol=0) and r["m"] == r["mp"][0]
+        assert r["p"] == r["mp"][1]
