@@ -157,7 +157,18 @@ def kmeans_dataframe(
     # max_iter scans + max_iter k-row aggregate jobs collapse into ONE
     # bounded read. Off the lattice or above the threshold the
     # distributed loop below runs byte-for-byte unchanged.
-    if cents:
+    # Fast path only for float feature columns: a DecimalType feature
+    # would pass the integrality check yet diverge — the distributed
+    # loop's avg() is exact decimal arithmetic there, while the replay's
+    # float64 quotient rounds. Float32 is safe (exact widening to
+    # float64 on both sides).
+    from pyspark.sql.types import DoubleType, FloatType
+
+    float_features = all(
+        isinstance(points.schema[c].dataType, (DoubleType, FloatType))
+        for c in feature_cols
+    )
+    if cents and float_features:
         probe = (
             points.select(*feature_cols)
             .limit(DRIVER_KMEANS_MAX_POINTS + 1)
