@@ -5958,75 +5958,88 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   valuable: q_semantic_dedup, q_sparse_allpairs. [17]
 # - 25 + 3 + 2 + 3 + 17 = exactly 50, zero overlap.
 #
-# r17 lookahead (enumerate against CORRECTNESS_r16 when it lands):
-# due = the remaining 45 r14-latest queries + the three q17/q18/q19
-# r13-cohort members that ceded their pre-rotation slots = 48 in 50
-# with 2 spare slots for changed queries — steady state holds (the
-# r15 cohort of 50 then splits across r18/r19).
+# ROUND-17 WINDOW (enumerated mechanically against CORRECTNESS_r16 +
+# the post-r16 driver-sourced manifest refresh, exactly as the r16
+# lookahead directed — the r16 optimization round's 29 surviving sweep
+# bridges changed the arithmetic the lookahead predicted):
+#
+# - SWEEP-BRIDGE CONVERSIONS (mandatory — test_sweep_pins_are_one_round
+#   _bridges): the 29 queries whose r16 __refresh__ pins survived the
+#   driver refresh (their r16 driver window slots went to the rotation
+#   cohort; their only current evidence is the audited sf0.01 sweep).
+#   One driver row each converts the pin. [29]
+# - stale-evidence rotation (mandatory — test_stale_evidence_is
+#   _windowed): the 7 remaining r13-latest TPC-H members
+#   (q09/q13/q17/q18/q19/q20/q22 — q09/q13 ceded their r16 slots to
+#   continuation registrations, the rest were the planned r17 dues).
+#   [7]
+# - r17 OPTIMIZATION-ROUND candidates (category b pre-emption): the
+#   operator families this optimization round touches —
+#   q_hybrid_rrf / q_morelikethis / q_morelikethis_filtered (dense-leg
+#   + MLT corpus-pass work), q_sparse_allpairs (skew adjudication),
+#   q_stream_join (state-store width), q_kmeans_grouped (kmeans.py
+#   probe change) — windowed up front so their r17 changes convert to
+#   driver rows without riding another bridge. [6]
+# - load-leveling pre-rotation from the 45-query r14-latest cohort
+#   (due r18): the first 8 TPC-H members (q02/q04/q06/q07/q08/q10/
+#   q11/q12). [8]
+# - 29 + 7 + 6 + 8 = exactly 50, zero overlap.
 # ===========================================================================
 _DRIVER_WINDOW = [
-    # stale rotation: the full r12-latest cohort (policy boundary)
-    "q_asof_event_state",
-    "q_asof_join",
-    "q_bm25_topk",
-    "q_bpe_merges",
-    "q_chunk_documents",
-    "q_cms_token_freq",
-    "q_descriptor_agg",
-    "q_domain_cap",
-    "q_epoch_shuffle",
-    "q_field_selection",
-    "q_grep",
-    "q_join_broadcast",
-    "q_join_outer_counts",
-    "q_lang_id_confusion",
-    "q_mapfile_get_closest",
-    "q_quality_score",
-    "q_secondary_sort",
-    "q_sessionization",
-    "q_stream_hourly",
-    "q_stream_join",
-    "q_stream_sessionize",
-    "q_stream_sliding",
-    "q_terasort",
-    "q_text_normalize",
-    "q_text_stats",
-    # stale-pin carryover: changed in r15 in the same round their rows
-    # were earned (refresh --exclude kept their pins stale)
-    "q_dup_spans",
-    "q_nb_lang_confusion",
-    "q_sequence_pack",
-    # r16 registrations (the r15 staged gates)
-    "q_ann_ivfpq",
-    "q_rerank_tfidf",
-    # late-r16 registrations (the r16 builds, registered same-round)
-    "q_morelikethis",
+    # sweep-bridge conversions (r16 __refresh__ pins -> driver rows)
+    "q_ann_ivf",
+    "q_ann_lsh",
+    "q_ann_pq",
+    "q_ann_topk",
+    "q_approx_stats",
+    "q_audio_decode",
+    "q_bpe_token_counts",
+    "q_connected_components",
+    "q_dedup_edit_distance",
+    "q_dedup_embedding",
+    "q_dedup_minhash",
+    "q_dedup_minhash_pairs",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_dedup_simhash_pairs",
+    "q_frame_sample",
+    "q_kmeans",
+    "q_matmul_gram",
+    "q_media_probe",
+    "q_multimodal_decode",
+    "q_near_dedup_survivors",
+    "q_pq_encode",
+    "q_pq_train",
+    "q_stream_cms_freq",
+    "q_stream_dedup",
+    "q_stream_hll_distinct",
+    "q_stream_quantiles",
+    "q_stream_topk",
+    "q_winnow_fingerprint",
+    # stale-evidence rotation: the remaining r13-latest cohort
+    "q09_product_type_profit",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q22_global_sales",
+    # r17 optimization-round candidates (changed paths ride driver rows)
     "q_hybrid_rrf",
-    "q_ann_ivfpq_residual",
-    # continuation registrations (built in the r16 continuation session;
-    # they take the q20/q22 pre-rotation slots — r13-latest TPC-H
-    # members not due until r17 and cheap to re-prove then)
-    "q_ann_ivfadc_r",
+    "q_morelikethis",
     "q_morelikethis_filtered",
-    "q_stream_lsh_dedup",
-    "q_bm25f_topk",
-    # load-leveling pre-rotation: the r13-latest cohort minus
-    # q17/q18/q19 (ceded to the late-r16 registrations) and
-    # q09/q13/q20/q22 (ceded to the continuation registrations)
-    "q_boilerplate_ratio",
-    "q_embedding_outliers",
-    "q_events_hourly",
-    "q_funnel",
-    "q_hybrid_token_stats",
-    "q_join_star",
-    "q_pretrain_pipeline",
-    "q_tfidf_topterms",
-    "q_token_budget_sample",
-    "q_uniq_value_count",
-    "q_wordcount",
-    # pre-rotation from the r14-latest cohort: the two heaviest macros
-    "q_semantic_dedup",
     "q_sparse_allpairs",
+    "q_stream_join",
+    "q_kmeans_grouped",
+    # load-leveling pre-rotation from the r14-latest cohort (due r18)
+    "q02_min_cost_supplier",
+    "q04_order_priority",
+    "q06_forecast_revenue",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_shipping",
 ]
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
