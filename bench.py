@@ -165,6 +165,24 @@ def _load_per_cpu() -> float:
     return round(load1 / (os.cpu_count() or 1), 3)
 
 
+def _wait_for_quiet_start(max_wait_s: float, gate: float = 0.10) -> float:
+    """Load-gate an attempt's START (r17 hardening, VERDICT r16 item 2:
+    the official r16 record was a SINGLE attempt started at load_per_cpu
+    0.205 — under the 0.25 contended threshold, so it was never retried,
+    and the round-over-round comparison was decided by ambient VM load).
+    Poll the 1-min load average and only begin measuring once it is
+    below ``gate`` per core, waiting at most ``max_wait_s`` (bounded —
+    the bench must terminate on a genuinely busy host; a still-loaded
+    start is then stamped in the record rather than hidden). Returns the
+    seconds actually waited."""
+    waited = 0.0
+    step = 10.0
+    while _load_per_cpu() > gate and waited < max_wait_s:
+        time.sleep(step)
+        waited += step
+    return round(waited, 1)
+
+
 def _attempt(spark, sf_dir: str, warm_cycles: int) -> dict:
     """One full measured sweep: warm cycles, then 3 timed passes per
     query (min + spread), plus the contention verdict for THIS attempt.
@@ -221,9 +239,12 @@ def _attempt(spark, sf_dir: str, warm_cycles: int) -> dict:
 
     # Contention verdict: pre-existing load at start, or the spread
     # diagnostic itself (many queries with max/min >= 1.5 means something
-    # was stealing cycles between passes — the r05 signature).
+    # was stealing cycles between passes — the r05 signature). The load
+    # threshold was 0.25 through r16; the official r16 record started at
+    # 0.205 and read ~19% slow on queries untouched for rounds, so 0.15
+    # is the r17 calibration (VERDICT r16 item 2).
     wide = sum(1 for s in spread.values() if s >= 1.5)
-    contended = load_per_cpu_start > 0.25 or wide >= max(2, len(spread) // 4)
+    contended = load_per_cpu_start > 0.15 or wide >= max(2, len(spread) // 4)
     return {
         "value": round(sum(times.values()), 3),
         "queries": times,
@@ -245,23 +266,34 @@ def main() -> None:
     # query, not session startup.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
-    # Contended-record auto-retry (VERDICT r06 #4: two rounds running,
-    # the official record was min-of-3-under-load; the load guard made
-    # that self-describing, this makes it self-CORRECTING where a
-    # cooldown suffices). If the first sweep is flagged contended, wait
-    # out the cooldown and measure once more (JIT already warm -> one
-    # warm cycle); report the uncontended attempt, or the faster of two
-    # contended ones. The record keeps the full attempt history so a
-    # still-contended retry remains visible evidence, not a silent pick.
+    # Attempt protocol (r17 hardening, VERDICT r16 item 2 — additions
+    # only; the one-line JSON contract and the $SPARK_GRAFT_CPUS /
+    # $SPARK_GRAFT_SF_DIR contract are unchanged):
+    # 1. every attempt's START is load-gated (bounded wait for the 1-min
+    #    load to drop below 0.10/core — the r16 record began at 0.205
+    #    and was decided by it);
+    # 2. at least TWO attempts ALWAYS run (r15 got a contended attempt
+    #    discarded by the retry; r16's single uncontended-looking
+    #    attempt got no such protection), best = (uncontended, fastest);
+    # 3. the pre-existing contended auto-retry still adds a third
+    #    attempt after a cooldown when both are flagged.
+    # The record keeps the full attempt history so a still-contended
+    # pick remains visible evidence, not a silent choice.
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "120"))
+    gate_waits = [_wait_for_quiet_start(max_wait)]
     attempts = [_attempt(spark, sf_dir, warm_cycles=2)]
-    if attempts[0]["contended"]:
+    gate_waits.append(_wait_for_quiet_start(max_wait))
+    attempts.append(_attempt(spark, sf_dir, warm_cycles=1))
+    if all(a["contended"] for a in attempts):
         cooldown = float(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN_S", "45"))
         print(
-            f"# attempt 1 contended (load {attempts[0]['load_per_cpu_start']}, "
-            f"total {attempts[0]['value']}s) — cooling down {cooldown:.0f}s and retrying",
+            f"# both attempts contended (loads "
+            f"{[a['load_per_cpu_start'] for a in attempts]}) — cooling down "
+            f"{cooldown:.0f}s and retrying once",
             file=sys.stderr,
         )
         time.sleep(cooldown)
+        gate_waits.append(_wait_for_quiet_start(max_wait))
         attempts.append(_attempt(spark, sf_dir, warm_cycles=1))
 
     best = min(
@@ -279,9 +311,10 @@ def main() -> None:
         "attempts": len(attempts),
         "machine_calib": _machine_calib(),
     }
-    if len(attempts) > 1:
-        record["attempt_totals"] = [a["value"] for a in attempts]
-        record["attempt_contended"] = [a["contended"] for a in attempts]
+    record["attempt_totals"] = [a["value"] for a in attempts]
+    record["attempt_contended"] = [a["contended"] for a in attempts]
+    record["attempt_loads"] = [a["load_per_cpu_start"] for a in attempts]
+    record["load_gate_waits_s"] = gate_waits
 
     # Executable lifetime contracts (VERDICT r07 #7): the bloom-bitset
     # broadcast cache and the eager_persist cache registry both claim

@@ -169,6 +169,19 @@ def kmeans_dataframe(
         for c in feature_cols
     )
     if cents and float_features:
+        # r17 (ADVICE r16): a 1024-row sample is lattice-checked BEFORE
+        # the full bounded collect, so an off-lattice input (which can
+        # never take the fast path) pays one tiny CollectLimit instead
+        # of an up-to-2^20-row Arrow collect that gets discarded. The
+        # full probe still re-checks every row — the sample is an
+        # early-out, not the decision.
+        sample = points.select(*feature_cols).limit(1024).toPandas()
+        sample_ok = _driver_kmeans_is_exact(
+            sample[list(feature_cols)].to_numpy(dtype=np.float64)
+        )
+    else:
+        sample_ok = False
+    if sample_ok:
         probe = (
             points.select(*feature_cols)
             .limit(DRIVER_KMEANS_MAX_POINTS + 1)

@@ -551,6 +551,23 @@ def lsh_bucket_stream_snapshot(
     return stream.sparkSession.read.parquet(out_dir)
 
 
+def _cms_precount(batches):
+    """Stateless per-batch-partition value count feeding the weighted CMS
+    grid aggregate (module-level so the null-token contract is testable,
+    ADVICE r16). ``value_counts(dropna=False)`` keeps a null-token group:
+    its NaN index entry Arrow-coerces back to a null string, which the
+    weighted ``cms_build`` then hashes exactly like the per-occurrence
+    path hashes a null cell — pinned by
+    tests/test_r12_candidates.py::test_cms_precount_null_tokens_match_occurrence_form.
+    (The production stream never reaches it: tokenize() explodes a split
+    array and cannot emit null tokens.)"""
+    import pandas as pd  # noqa: PLC0415
+
+    for pdf in batches:
+        vc = pdf["tok"].value_counts(dropna=False)
+        yield pd.DataFrame({"tok": vc.index, "__c": vc.to_numpy()})
+
+
 def cms_stream_snapshot(
     stream: DataFrame,
     text_col: str,
@@ -595,14 +612,7 @@ def cms_stream_snapshot(
     # distinct_first: cell cnt = Σ of occurrence counts over values
     # hashing to the cell, in any grouping of the sum — batch-local,
     # partition-local, or per-occurrence.
-    import pandas as pd  # noqa: PLC0415
-
-    def _precount(batches):
-        for pdf in batches:
-            vc = pdf["tok"].value_counts(dropna=False)
-            yield pd.DataFrame({"tok": vc.index, "__c": vc.to_numpy()})
-
-    pre = toks.mapInPandas(_precount, "tok string, __c long")
+    pre = toks.mapInPandas(_cms_precount, "tok string, __c long")
     agg = cms_build(pre, "tok", d, w, weight_col="__c")
 
     def sink(batch_df: DataFrame, _batch_id: int) -> None:

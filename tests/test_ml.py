@@ -126,7 +126,6 @@ def test_kmeans_driver_path_matches_distributed(spark, monkeypatch):
     assert (a[a.cluster_id == 2].n_points == 0).all()  # empty cluster kept
 
     # eps early-stop parity on the lattice
-    fast_eps = None
     monkeypatch.setattr(km, "DRIVER_KMEANS_MAX_POINTS", 1 << 20)
     fast_eps = kmeans_dataframe(pts, init, ["x", "y"], k=3, max_iter=50, eps=0.5).toPandas()
     monkeypatch.setattr(km, "DRIVER_KMEANS_MAX_POINTS", -1)

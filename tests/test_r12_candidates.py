@@ -370,6 +370,28 @@ def test_stream_cms_snapshot_equals_batch_sketch(spark, sf_dir):
     )
 
 
+def test_cms_precount_null_tokens_match_occurrence_form(spark):
+    # ADVICE r16: _cms_precount uses value_counts(dropna=False), whose
+    # NaN index entry Arrow-coerces to a null string. Pin that a batch
+    # CONTAINING null tokens produces the identical sketch through the
+    # weighted pre-count path and the per-occurrence path (tokenize
+    # never emits nulls, so this guards the helper's own contract, not
+    # a reachable production shape).
+    from hadoop_gpu_spark.operators.cms import cms_build
+    from hadoop_gpu_spark.streaming import _cms_precount
+
+    toks = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,), ("a",), (None,)], "tok string"
+    )
+    occurrence = cms_build(toks, "tok", d=4, w=8).toPandas()
+    pre = toks.mapInPandas(_cms_precount, "tok string, __c long")
+    weighted = cms_build(pre, "tok", d=4, w=8, weight_col="__c").toPandas()
+    key = ["row_id", "col_id", "cnt"]
+    assert sorted(map(tuple, occurrence[key].values.tolist())) == sorted(
+        map(tuple, weighted[key].values.tolist())
+    )
+
+
 def test_stream_cms_construct_two_scales_then_collect_first(spark, sf_dir):
     # r09 ADVICE low: the snapshot dir was keyed only by PID and the
     # returned frame reads it LAZILY, so constructing the query for a
